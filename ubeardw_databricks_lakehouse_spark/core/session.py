@@ -1,0 +1,81 @@
+"""SparkSession factory tuned for the lakehouse workload.
+
+The reference runs on Databricks with AQE + partition coalescing on
+(reference: jobs/gold_pipeline_config.json:40-47) and Delta
+optimizeWrite/autoCompact (jobs/batch_job.json:85-86). We reproduce the
+engine-level knobs on OSS Spark and, when the ``delta-spark`` package is
+importable, enable the Delta Lake catalog; otherwise the storage layer
+falls back to parquet tables (see storage/lakehouse.py).
+
+Scale notes (100 TB design intent):
+- AQE is the primary runtime re-planner: skew-join splitting, partition
+  coalescing, and dynamic broadcast conversion are all enabled.
+- ``spark.sql.shuffle.partitions`` defaults to cores*2 locally; on a
+  1000-executor cluster set it (or rely on AQE coalescing from a high
+  initial number, e.g. 2000-8000 for 100 TB shuffles).
+- ANSI mode is left ON (Spark 4 default): the engine uses try_* /
+  explicit guards where the CDC input may be malformed, so correctness
+  does not depend on silent-null casts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def get_spark(
+    app_name: str = "ubeardw-lakehouse",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: coalesce post-shuffle partitions, split skewed
+        # joins, convert SMJ->BHJ when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas_udf / toPandas (the LLM-pipeline operators are
+        # Arrow-batched; row-at-a-time Python is banned from the hot path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dims in this warehouse are small; 64 MB keeps
+        # dim joins map-side at sf0.1 and on real clusters.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if delta_available():
+        builder = (
+            builder.config(
+                "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
