@@ -25,6 +25,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Python UDF/pandas_udf closures reference this module by name; when
+    the SparkSession was created by an external driver (whose
+    PYTHONPATH doesn't include the repo), workers fail to unpickle
+    them. Zip the package once per session and addPyFile it — Spark
+    distributes the zip and prepends it to every worker's sys.path.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ubeardw_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_root)
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="ubeardw_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._ubeardw_pkg_shipped = True
+
+
 def delta_available() -> bool:
     try:
         import delta  # noqa: F401
@@ -65,6 +99,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # driver testdata ships TIMESTAMP(NANOS) parquet; read as long
+        # and truncate to micros in plans.common.normalize_event_ts
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if delta_available():
         builder = (

@@ -1,0 +1,222 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+LLM-training-data dedup at 100 TB is join-geometry engineering:
+
+- **exact**: one hash-groupBy on a content fingerprint. Single shuffle,
+  map-side combine; survivor = min(id).
+- **n-gram Jaccard**: pairwise — needs blocking to stay sub-quadratic.
+  ``jaccard_pairs`` takes a blocking column (lang, length bucket, LSH
+  band, ...); pairs only form within a block.
+- **MinHash+LSH**: the scale path. Signatures are per-row (narrow);
+  banding turns near-dup search into an equi-join on (band_idx,
+  band_hash) — Spark shuffles both sides by band key, candidate pairs
+  emerge co-partitioned. No O(n^2) anywhere; skewed bands (common
+  shingles) are handled by AQE skew-join splitting.
+- **SimHash**: per-row 64-bit signature; hamming-radius candidates via
+  band rotation.
+
+Hash functions are md5-based on purpose: md5 is identical in Spark and
+DuckDB, so signatures (and therefore the whole pipeline) are
+oracle-checkable cross-engine. String min over hex = numeric min over
+the underlying 128-bit value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) docs.
+
+    Returns (fingerprint, survivor_id, n_dups) with n_dups >= 1; keep
+    survivor_id per group to dedup.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles as an array column (pure SQL fns)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # transform over a 0-based index range; join n consecutive tokens.
+    # Guarded: sequence(0, -1) would count DOWN in Spark, so short docs
+    # get an explicit empty array.
+    joined = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(joined)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within blocks; pairs above threshold.
+
+    Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common, jaccard)
+    — all integer-derived, so exactly reproducible in any engine.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_block")] if block_col else [F.lit(1).alias("_block")] ),
+        word_shingles(text_col, n).alias("_sh"),
+    )
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("_block"), F.col("_sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("_block").alias("_block_b"),
+        F.col("_sh").alias("sh_b"),
+    )
+    pairs = a.join(
+        b, (F.col("_block") == F.col("_block_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_a = F.size(F.col("sh_a"))
+    n_b = F.size(F.col("sh_b"))
+    jac = n_common.cast("double") / (n_a + n_b - n_common)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            n_a.alias("n_shingles_a"),
+            n_b.alias("n_shingles_b"),
+            n_common.alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_j = min over shingles of
+    md5(j || '|' || shingle). Narrow per-row compute, no shuffle."""
+    sh = word_shingles(text_col, shingle_n)
+    cols = [F.col(id_col)]
+
+    def hasher(j: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make Spark
+        # pass (element, index) and shadow the closure variable
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    for j in range(n_hashes):
+        cols.append(F.array_min(F.transform(sh, hasher(j))).alias(f"sig_{j}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_hash).
+
+    Docs sharing ANY band collide; output distinct candidate (id_a,
+    id_b) pairs. This is the shuffle-geometry heart of LSH dedup: the
+    only join key is the band hash, so Spark never forms cross products
+    beyond genuine collision buckets.
+    """
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        member = F.concat_ws(
+            "|", *[F.col(f"sig_{b * band_size + k}") for k in range(band_size)]
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(member).alias("band_hash"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(text_col: str, shingle_n: int = 1) -> Column:
+    """64-bit SimHash from md5 shingle hashes, as pure SQL expressions.
+
+    For each of 64 bit positions, sum +/-1 weighted by the bit of the
+    shingle's hash; the sign of the sum is the signature bit. Uses
+    conv(hex,16,10) on 15-hex-digit halves to stay in signed-long range.
+    """
+    sh = word_shingles(text_col, shingle_n)
+    # per-shingle 60-bit value from the first 15 hex chars of md5
+    hashed = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    def voter(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for bit in range(60):
+        votes = F.aggregate(hashed, F.lit(0), voter(1 << bit))
+        bit_exprs.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out.cast("long")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; see similarity.py
+    for the blocked/ANN scale path)."""
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") > threshold)

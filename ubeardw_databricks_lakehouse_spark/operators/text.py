@@ -1,0 +1,105 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(doc_id, text, ...)`` table.
+
+Everything here is pure Column expressions — JVM-side, codegen'd,
+shuffle-free (per-row), so a 100 TB corpus is embarrassingly parallel
+at whatever partitioning the scan produced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+# tiny per-language stopword marker sets (n-gram heuristic lang-ID)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|with|for|that)\b",
+    "fr": r"\b(le|la|les|des|une)\b",
+    "es": r"\b(el|los|las|una|que)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, WHITESPACE), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish count: split on whitespace AND letter/digit boundaries
+    (a cheap stand-in for BPE tokenization, ~deterministic everywhere)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"[\s]+|(?<=[a-z])(?=[0-9])"), lambda x: x != ""))
+
+
+def lang_id(col: Column | str) -> Column:
+    """First-match stopword heuristic; 'und' (undetermined) otherwise."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for lang, pattern in LANG_MARKERS.items():
+        branch = F.lower(c).rlike(pattern)
+        expr = F.when(branch, lang) if expr is None else expr.when(branch, lang)
+    return expr.otherwise("und")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Share of tokens that are (English) stopwords — quality signal."""
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "a", "in", "is"]])
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0-1 quality score: long enough, low punct/digit noise,
+    some-but-not-all stopwords. Deterministic integer-derived doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(c) * 10, F.lit(1.0)))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(digit_ratio(c) * 10, F.lit(1.0)))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Whitespace-normalized md5 content fingerprint (exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(c, WHITESPACE, " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis column set."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_chars_obs", F.length(c))
+        .withColumn("predicted_lang", lang_id(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("digit_ratio", digit_ratio(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

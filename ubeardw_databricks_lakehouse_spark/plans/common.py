@@ -1,0 +1,60 @@
+"""Shared helpers for the oracle-checked query battery.
+
+Cross-engine determinism policy (Spark vs DuckDB value-hash):
+- Sums/averages over DOUBLE columns are order-sensitive in the last
+  bits; both engines shuffle differently. Every such aggregate routes
+  through an exact DECIMAL sum, then one cast to DOUBLE — identical
+  rationals convert to identical doubles in both engines.
+- Top-k uses row_number() with a total ordering (unique key tiebreak),
+  never bare LIMIT.
+- Money: DECIMAL(12,2); rates: DECIMAL(4,2) — small enough that decimal
+  products stay exact in both engines' precision rules (SURVEY.md §1.2
+  decimal discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: str | Column, alias: str, prec: str = "decimal(12,2)") -> Column:
+    """Exact-decimal sum surfaced as double (cross-engine stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(prec)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, prec: str = "decimal(12,2)") -> Column:
+    """sum(decimal)/count(col) as double division (cross-engine stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(prec)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(col: str, alias: str, prec: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({col} AS {prec})) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(col: str, alias: str, prec: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({col} AS {prec})) AS DOUBLE) / COUNT({col}) AS {alias}"
+
+
+def t(spark, sf_dir: str, name: str):
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df):
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set
+    in core.session) the column arrives as LongType nanoseconds.
+    Truncate to microseconds — exactly what DuckDB's micro-resolution
+    timestamp does on read, so the engines stay value-identical."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer division — double division would lose precision above
+        # 2^53 ns and shift timestamps by a microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

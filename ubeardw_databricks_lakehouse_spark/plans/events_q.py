@@ -1,0 +1,270 @@
+"""Event-stream query battery — the medallion pipeline's idioms mapped
+onto the driver's ``events`` table (event_id, ts, user_id, event_type,
+value, props JSON).
+
+Covers: A4 conditional-max pivot (the trip_fact idiom), F1/F2 JSON
+extraction, W2 lag/lead analytics, sessionization, SCD2-style change
+history, frame-spec moving aggregates, and a Structured Streaming
+aggregation with exact batch parity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.event_pivot import event_pivot
+from .common import dsum, t
+
+EVENT_TYPES = ["signup", "click", "view", "purchase", "error"]
+
+# ---------------------------------------------------------------------------
+# q_user_lifecycle_pivot (A4 flagship): per-user conditional-max pivot —
+# the exact trip_fact idiom on the driver's events. One hash agg, no sort.
+# ---------------------------------------------------------------------------
+
+
+def q_user_lifecycle_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return event_pivot(
+        ev,
+        keys=["user_id"],
+        event_type_col="event_type",
+        event_time_col="ts",
+        event_types=EVENT_TYPES,
+        extra_aggs=[
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+            F.count_distinct(F.col("event_type")).alias("n_event_types"),
+        ],
+    )
+
+
+Q_USER_LIFECYCLE_PIVOT_SQL = """
+SELECT user_id,
+  MAX(CASE WHEN event_type = 'signup' THEN ts END) AS signup_at,
+  MAX(CASE WHEN event_type = 'click' THEN ts END) AS click_at,
+  MAX(CASE WHEN event_type = 'view' THEN ts END) AS view_at,
+  MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_at,
+  MAX(CASE WHEN event_type = 'error' THEN ts END) AS error_at,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT event_type) AS n_event_types
+FROM events
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# q_props_json (F1/F2): JSON path extraction + typed aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_PROPS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# q_sessionization (W2 + cumulative sum): 30-min-gap sessions. Two window
+# passes over the same (user_id, ts) partitioning — one shuffle, reused.
+# ---------------------------------------------------------------------------
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+    prev_sec = F.lag(sec).over(w)
+    new_session = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        dsum("value", "session_value"),
+    )
+
+
+Q_SESSIONIZATION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_id, value, ts,
+    CASE WHEN LAG(FLOOR(EPOCH(ts))) OVER w IS NULL
+              OR FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts))) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM seq
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+# ---------------------------------------------------------------------------
+# q_scd2_history (the SCD2 engine's change-detection semantics as a pure
+# query): consecutive-distinct event_type runs per user, versioned.
+# Oracle-checkable statement of operators/scd2.py's core logic.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = ev.withColumn(
+        "version_number",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return runs.groupBy("user_id", "version_number").agg(
+        F.min_by("event_type", "event_id").alias("event_type"),
+        F.min("ts").alias("effective_start"),
+        F.max("ts").alias("effective_end"),
+        F.count("*").alias("n_events_in_version"),
+    )
+
+
+Q_SCD2_HISTORY_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+              OR event_type <> LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+  SELECT user_id, event_id, event_type, ts,
+    SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_number
+  FROM marked
+)
+SELECT user_id, version_number,
+  MIN_BY(event_type, event_id) AS event_type,
+  MIN(ts) AS effective_start,
+  MAX(ts) AS effective_end,
+  COUNT(*) AS n_events_in_version
+FROM versioned
+GROUP BY user_id, version_number
+"""
+
+# ---------------------------------------------------------------------------
+# q_moving_value (frame spec rowsBetween): 3-row moving sum/avg per user.
+# Exact decimal sum over the frame; division in double — deterministic.
+# ---------------------------------------------------------------------------
+
+
+def q_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    msum = F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+    mcount = F.count("*").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        msum.alias("moving_sum"),
+        (msum / mcount).alias("moving_avg"),
+    )
+
+
+Q_MOVING_VALUE_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS moving_sum,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+# ---------------------------------------------------------------------------
+# q_streaming_event_counts (ST1/ST2): Structured Streaming over the same
+# parquet, availableNow trigger, complete-mode agg into a memory sink —
+# result must equal the batch/oracle aggregation exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw on-disk schema (ts is nanos-as-long; unused by this agg)
+    src = os.path.join(sf_dir, "events.parquet")
+    ev_schema = spark.read.parquet(src).schema
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        # the file stream source requires a directory — expose the single
+        # parquet file through a symlinked dir
+        stream_dir = os.path.join(ckpt, "stream_src")
+        os.makedirs(stream_dir)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .parquet(stream_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+Q_STREAMING_EVENT_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""

@@ -1,0 +1,294 @@
+"""LLM-training-data pipeline queries: text analysis, dedup (exact /
+Jaccard / MinHash-LSH), similarity search, multimodal plumbing.
+
+Oracle design: every hash is md5 (identical across Spark/DuckDB), every
+ratio is integer-derived, every regex sticks to syntax both Java regex
+and RE2 agree on — so even the MinHash/LSH pipeline is exactly
+oracle-checkable. Cosine queries output ids/ranks only (float ordering
+is stable; float values are not hash-stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ..operators.multimodal import attach_binary_payload, decode_image_features
+from ..operators.similarity import topk_brute_force, topk_lsh
+from ..operators.text import text_profile
+from .common import t
+
+# ---------------------------------------------------------------------------
+# q_text_profile: per-document analysis columns (token count, lang-id,
+# quality, fingerprint). Pure per-row expressions — no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return text_profile(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_obs",
+        "predicted_lang",
+        "fingerprint",
+        (F.col("punct_ratio") * 1000).cast("long").alias("punct_permille"),
+        (F.col("digit_ratio") * 1000).cast("long").alias("digit_permille"),
+    )
+
+
+Q_TEXT_PROFILE_SQL = r"""
+SELECT doc_id,
+  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) AS n_tokens,
+  LENGTH(text) AS n_chars_obs,
+  CASE WHEN REGEXP_MATCHES(LOWER(text), '\b(the|and|with|for|that)\b') THEN 'en'
+       WHEN REGEXP_MATCHES(LOWER(text), '\b(le|la|les|des|une)\b') THEN 'fr'
+       WHEN REGEXP_MATCHES(LOWER(text), '\b(el|los|las|una|que)\b') THEN 'es'
+       WHEN REGEXP_MATCHES(LOWER(text), '\b(der|die|und|das|ist)\b') THEN 'de'
+       ELSE 'und' END AS predicted_lang,
+  MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fingerprint,
+  CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) * 1000.0
+       / GREATEST(LENGTH(text), 1) AS BIGINT) AS punct_permille,
+  CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) * 1000.0
+       / GREATEST(LENGTH(text), 1) AS BIGINT) AS digit_permille
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q_lang_quality: corpus rollup by (lang, predicted_lang) — the lang-ID
+# confusion matrix plus exact-decimal quality mass.
+# ---------------------------------------------------------------------------
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text_profile(t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(10,6)")).cast("double").alias(
+            "total_quality"
+        ),
+    )
+
+
+Q_LANG_QUALITY_SQL = r"""
+WITH profiled AS (
+  SELECT lang,
+    CASE WHEN REGEXP_MATCHES(LOWER(text), '\b(the|and|with|for|that)\b') THEN 'en'
+         WHEN REGEXP_MATCHES(LOWER(text), '\b(le|la|les|des|une)\b') THEN 'fr'
+         WHEN REGEXP_MATCHES(LOWER(text), '\b(el|los|las|una|que)\b') THEN 'es'
+         WHEN REGEXP_MATCHES(LOWER(text), '\b(der|die|und|das|ist)\b') THEN 'de'
+         ELSE 'und' END AS predicted_lang,
+    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) AS n_tokens,
+    0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
+    + 0.3 * (1.0 - LEAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                         * 1.0 / GREATEST(LENGTH(text), 1) * 10, 1.0))
+    + 0.3 * (1.0 - LEAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                         * 1.0 / GREATEST(LENGTH(text), 1) * 10, 1.0)) AS quality
+  FROM documents
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+  CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS total_quality
+FROM profiled
+GROUP BY lang, predicted_lang
+"""
+
+# ---------------------------------------------------------------------------
+# q_exact_dedup: hash-groupBy dedup over a corpus with planted exact dups
+# (documents unioned with itself under shifted ids — every group size 2).
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.unionAll(shifted)
+    return exact_dedup_groups(corpus)
+
+
+Q_EXACT_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs
+FROM corpus
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q_jaccard_pairs: bigram-shingle Jaccard near-dup pairs (threshold .5 —
+# the planted near-dups sit at .5-.99, noise below .2).
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=2, threshold=0.5).select(
+        "id_a", "id_b", "n_shingles_a", "n_shingles_b", "n_common"
+    )
+
+
+Q_JACCARD_PAIRS_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) - 1, 0)),
+        i -> LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i]
+             || ' ' ||
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i+1]
+      )
+    ) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  LEN(a.s) AS n_shingles_a, LEN(b.s) AS n_shingles_b,
+  LEN(LIST_INTERSECT(a.s, b.s)) AS n_common
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) > 0.5
+"""
+
+# ---------------------------------------------------------------------------
+# q_minhash_signatures + q_lsh_candidates: the scale path for near-dup.
+# md5-based minhash makes even the signatures exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = r"""
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) - 1, 0)),
+        i -> LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i]
+             || ' ' ||
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i+1]
+      )
+    ) AS s
+  FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, n_hashes=8, shingle_n=2)
+
+
+_SIG_COLS = ",\n  ".join(
+    f"LIST_MIN(LIST_TRANSFORM(s, x -> MD5('{j}|' || x))) AS sig_{j}" for j in range(8)
+)
+
+Q_MINHASH_SIGNATURES_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT doc_id,
+  {_SIG_COLS}
+FROM sh
+"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=2)
+    return lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, "
+    f"MD5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_hash FROM sigs"
+    for b in range(4)
+)
+
+Q_LSH_CANDIDATES_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q_embedding_topk: exact cosine top-5 for query vectors vec_id < 10.
+# Output ids+rank only (ordering is float-stable; values are not).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_brute_force(emb, queries, k=5)
+
+
+Q_EMBEDDING_TOPK_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    LIST_COSINE_SIMILARITY(q.embedding, c.embedding) AS sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# q_embedding_neardup: brute-force cosine pairs above 0.4 (the data's
+# similarity tail ends ~0.51; 0.4 sits in a wide gap).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) > 0.4
+"""
+
+# ---------------------------------------------------------------------------
+# q_multimodal_features: binary payload plumbing through Arrow-batched
+# mapInPandas (codec stubbed; byte-level features oracle-checked).
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    with_blob = attach_binary_payload(docs)
+    return decode_image_features(with_blob).select(
+        "doc_id", "n_bytes", "first_byte", "decode_status"
+    )
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+  ASCII(text) AS first_byte,
+  'stubbed' AS decode_status
+FROM documents
+"""
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant — recall<1 by design, so no SQL oracle (rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_lsh(emb, queries, dim=64, k=5, n_planes=8)

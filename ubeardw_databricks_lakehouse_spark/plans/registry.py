@@ -1,0 +1,119 @@
+"""Query registry — the single source for __spark_entry__.queries() /
+oracle_sql() and for bench.py's headline set.
+
+Every entry pairs a Spark implementation with its DuckDB oracle SQL
+(None only for genuinely non-SQL-reproducible ops, e.g. ANN with
+recall<1 — the driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dims_q, events_q, llm_q, relational
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: list[QueryDef] = [
+    # --- relational / TPC-H-ish (SURVEY §2.2-2.7) ---
+    QueryDef("q01_pricing_summary", relational.q01_pricing_summary,
+             relational.Q01_SQL, "scan+filter+multi-agg (A1,P4,P10,F12)"),
+    QueryDef("q03_shipping_priority", relational.q03_shipping_priority,
+             relational.Q03_SQL, "3-way join + agg + total-order top-k (J2,A1,W1)"),
+    QueryDef("q05_region_revenue", relational.q05_region_revenue,
+             relational.Q05_SQL, "6-way join, broadcast dims (J2)"),
+    QueryDef("q06_forecast_revenue", relational.q06_forecast_revenue,
+             relational.Q06_SQL, "pushdown filter + scalar agg (P4,P8)"),
+    QueryDef("q_market_segment", relational.q_market_segment,
+             relational.Q_MARKET_SEGMENT_SQL, "filtered counts count(when) (A2)"),
+    QueryDef("q_top_customers", relational.q_top_customers,
+             relational.Q_TOP_CUSTOMERS_SQL, "ranking window per partition (W1)"),
+    QueryDef("q_order_gaps", relational.q_order_gaps,
+             relational.Q_ORDER_GAPS_SQL, "lag window + datediff (W2,F16)"),
+    QueryDef("q_union_entities", relational.q_union_entities,
+             relational.Q_UNION_ENTITIES_SQL, "union all + agg (SO1,SO2)"),
+    QueryDef("q_customers_no_orders", relational.q_customers_no_orders,
+             relational.Q_CUSTOMERS_NO_ORDERS_SQL, "left-anti join (J5)"),
+    QueryDef("q_priority_filters", relational.q_priority_filters,
+             relational.Q_PRIORITY_FILTERS_SQL, "isin/between/like/startswith (P5-P9)"),
+    QueryDef("q_customer_tiers", relational.q_customer_tiers,
+             relational.Q_CUSTOMER_TIERS_SQL, "case-when tiering (F8) + countDistinct"),
+    QueryDef("q_rollup_revenue", relational.q_rollup_revenue,
+             relational.Q_ROLLUP_REVENUE_SQL, "rollup grouping sets (extension)"),
+    QueryDef("q_cube_orders", relational.q_cube_orders,
+             relational.Q_CUBE_ORDERS_SQL, "cube grouping sets (extension)"),
+    QueryDef("q_part_stats", relational.q_part_stats,
+             relational.Q_PART_STATS_SQL, "string/math scalar funcs + agg (P1-P3,F5)"),
+    # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
+    QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
+             events_q.Q_USER_LIFECYCLE_PIVOT_SQL,
+             "conditional-max pivot — the trip_fact idiom (A4)"),
+    QueryDef("q_props_json", events_q.q_props_json,
+             events_q.Q_PROPS_JSON_SQL, "JSON path extraction (F1,F2)"),
+    QueryDef("q_sessionization", events_q.q_sessionization,
+             events_q.Q_SESSIONIZATION_SQL, "gap sessionization via lag+cumsum (W2)"),
+    QueryDef("q_scd2_history", events_q.q_scd2_history,
+             events_q.Q_SCD2_HISTORY_SQL, "SCD2 change-detect semantics as a query"),
+    QueryDef("q_moving_value", events_q.q_moving_value,
+             events_q.Q_MOVING_VALUE_SQL, "rowsBetween frame aggregates (W2 ext)"),
+    QueryDef("q_streaming_event_counts", events_q.q_streaming_event_counts,
+             events_q.Q_STREAMING_EVENT_COUNTS_SQL,
+             "Structured Streaming availableNow agg == batch (ST1/ST2)"),
+    # --- static dims (F9-F11) ---
+    QueryDef("q_dim_date", dims_q.q_dim_date, dims_q.Q_DIM_DATE_SQL,
+             "sequence/explode calendar generator"),
+    QueryDef("q_dim_time", dims_q.q_dim_time, dims_q.Q_DIM_TIME_SQL,
+             "minute-of-day generator (F10-F12)"),
+    # --- LLM data pipeline (north star) ---
+    QueryDef("q_text_profile", llm_q.q_text_profile, llm_q.Q_TEXT_PROFILE_SQL,
+             "token count / lang-id / fingerprint per doc"),
+    QueryDef("q_lang_quality", llm_q.q_lang_quality, llm_q.Q_LANG_QUALITY_SQL,
+             "lang-ID confusion rollup + quality mass"),
+    QueryDef("q_exact_dedup", llm_q.q_exact_dedup, llm_q.Q_EXACT_DEDUP_SQL,
+             "exact dedup groups via md5 fingerprint"),
+    QueryDef("q_jaccard_pairs", llm_q.q_jaccard_pairs, llm_q.Q_JACCARD_PAIRS_SQL,
+             "bigram-shingle Jaccard near-dup pairs"),
+    QueryDef("q_minhash_signatures", llm_q.q_minhash_signatures,
+             llm_q.Q_MINHASH_SIGNATURES_SQL, "md5 MinHash signatures (8 hashes)"),
+    QueryDef("q_lsh_candidates", llm_q.q_lsh_candidates,
+             llm_q.Q_LSH_CANDIDATES_SQL, "LSH banding candidate pairs"),
+    QueryDef("q_embedding_topk", llm_q.q_embedding_topk,
+             llm_q.Q_EMBEDDING_TOPK_SQL, "brute-force cosine top-5 (ids+rank)"),
+    QueryDef("q_embedding_neardup", llm_q.q_embedding_neardup,
+             llm_q.Q_EMBEDDING_NEARDUP_SQL, "embedding-cosine near-dup pairs"),
+    QueryDef("q_multimodal_features", llm_q.q_multimodal_features,
+             llm_q.Q_MULTIMODAL_FEATURES_SQL,
+             "binary payload + Arrow mapInPandas features"),
+    QueryDef("q_embedding_topk_lsh", llm_q.q_embedding_topk_lsh, None,
+             "ANN top-k via hyperplane LSH (recall<1 -> rows-only check)"),
+]
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # external drivers create their own SparkSession — ship the
+        # package to its Python workers before any UDF-bearing plan runs
+        from ..core.session import ship_package
+
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: _wrap(q.fn) for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

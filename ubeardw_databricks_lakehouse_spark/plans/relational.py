@@ -1,0 +1,484 @@
+"""Relational query battery over the TPC-H-ish testdata.
+
+Each query maps SURVEY.md §2 operators onto the driver's tables and is
+paired with an ANSI-SQL oracle for DuckDB. Operator coverage noted per
+query (P=projection/filter, J=join, A=aggregation, W=window, SO=set op,
+F=scalar function — SURVEY.md §2 numbering).
+
+Scale design notes live on each query: which side broadcasts, where the
+single shuffle is, what AQE is expected to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import davg, dsum, sql_davg, sql_dsum, t
+
+# ---------------------------------------------------------------------------
+# q01 pricing summary (A1, P4, P10, F12): single scan + single hash agg.
+# Filter pushes to parquet; partial aggregation map-side; 6 aggs one pass.
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    charge = disc_price * (
+        F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", "decimal(4,2)"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice', 'sum_base_price')},
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_charge,
+  {sql_davg('l_quantity', 'avg_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  {sql_davg('l_discount', 'avg_disc', 'DECIMAL(4,2)')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# q03 shipping priority (J2, A1, W1 top-k): 2 shuffles (join, agg);
+# customer filter prunes before join; top-10 via total-order row_number.
+# ---------------------------------------------------------------------------
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+Q03_SQL = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rn FROM agg)
+WHERE rn <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# q05 local supplier volume (J2 multi-way): 6-table join; region/nation
+# broadcast; the c_nationkey = s_nationkey co-location condition makes the
+# big join equi on two keys.
+# ---------------------------------------------------------------------------
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# q06 forecast revenue (P4, P8): pure scan-filter-agg; every predicate
+# reaches the parquet reader (PushedFilters), no shuffle at all after AQE
+# coalesces the single-row agg.
+# ---------------------------------------------------------------------------
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+Q06_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# q_market_segment (A2 filtered counts, F8): count(when(...)) ≡ count_if.
+# ---------------------------------------------------------------------------
+
+
+def q_market_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_wealthy"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        davg("c_acctbal", "avg_acctbal"),
+    )
+
+
+Q_MARKET_SEGMENT_SQL = f"""
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_wealthy,
+  COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+  {sql_davg('c_acctbal', 'avg_acctbal')}
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# q_top_customers (W1 ranking): spend per customer, then row_number
+# partitioned by nation — the canonical SCD2/top-k window shape.
+# ---------------------------------------------------------------------------
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .select("c_custkey", "c_name", "c_nationkey", "total_spend")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_nationkey, total_spend, rank_in_nation
+FROM (
+  SELECT c_custkey, c_name, c_nationkey, total_spend,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey)
+      AS rank_in_nation
+  FROM customer JOIN spend ON c_custkey = o_custkey
+)
+WHERE rank_in_nation <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# q_order_gaps (W2 lag): per-customer inter-order gap in days.
+# ---------------------------------------------------------------------------
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+Q_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+  DATE_DIFF('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# q_union_entities (SO1/SO2): customer ∪ supplier account balances by nation.
+# ---------------------------------------------------------------------------
+
+
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity_type"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity_type"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        cust.unionAll(supp)
+        .groupBy("entity_type", "nationkey")
+        .agg(F.count("*").alias("n_entities"), dsum("acctbal", "total_balance"))
+    )
+
+
+Q_UNION_ENTITIES_SQL = """
+SELECT entity_type, nationkey, COUNT(*) AS n_entities,
+  CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM (
+  SELECT 'customer' AS entity_type, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey, s_acctbal FROM supplier
+)
+GROUP BY entity_type, nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# q_customers_no_orders (J5 left-anti): referential-integrity shape.
+# ---------------------------------------------------------------------------
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_no_orders"))
+    )
+
+
+Q_CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# q_priority_filters (P5-P9 predicate battery): isin, between, like,
+# startswith, null guards — all pushed to the scan.
+# ---------------------------------------------------------------------------
+
+
+def q_priority_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").between("1996-01-01", "1998-12-31")
+            & (F.col("o_orderstatus") != "F")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .withColumn("is_urgent", F.col("o_orderpriority").startswith("1"))
+        .groupBy("o_orderpriority", "is_urgent")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+Q_PRIORITY_FILTERS_SQL = """
+SELECT o_orderpriority, (o_orderpriority LIKE '1%') AS is_urgent,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+  AND o_orderstatus <> 'F'
+  AND o_totalprice IS NOT NULL
+GROUP BY o_orderpriority, o_orderpriority LIKE '1%'
+"""
+
+# ---------------------------------------------------------------------------
+# q_customer_tiers (F8 case chains — the reference's tiering idiom,
+# gold_pipeline.py:376-385).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .otherwise("bronze")
+    )
+    return (
+        cust.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("c_acctbal", "avg_balance"),
+            F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
+        )
+    )
+
+
+Q_CUSTOMER_TIERS_SQL = f"""
+SELECT CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2500 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+  COUNT(*) AS n_customers,
+  {sql_davg('c_acctbal', 'avg_balance')},
+  COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q_rollup_revenue / q_cube_orders (extension beyond reference: grouping
+# sets — Catalyst expands these into a single Expand + one shuffle).
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
+
+
+Q_ROLLUP_REVENUE_SQL = """
+SELECT n_name, c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+Q_CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------------------
+# q_part_stats (P1-P3 expressions + A1): string/math scalar functions.
+# ---------------------------------------------------------------------------
+
+
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.withColumn("brand_upper", F.upper(F.col("p_brand")))
+        .withColumn("type_prefix", F.substring(F.col("p_type"), 1, 6))
+        .withColumn("name_len", F.length(F.col("p_name")))
+        .groupBy("brand_upper", "type_prefix")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            davg("p_retailprice", "avg_price"),
+            (F.sum("name_len").cast("double") / F.count("*")).alias("avg_name_len"),
+        )
+    )
+
+
+Q_PART_STATS_SQL = f"""
+SELECT UPPER(p_brand) AS brand_upper, SUBSTRING(p_type, 1, 6) AS type_prefix,
+  COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+  {sql_davg('p_retailprice', 'avg_price')},
+  CAST(SUM(LENGTH(p_name)) AS DOUBLE) / COUNT(*) AS avg_name_len
+FROM part
+GROUP BY 1, 2
+"""

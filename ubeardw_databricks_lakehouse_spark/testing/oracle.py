@@ -1,0 +1,103 @@
+"""Local DuckDB-oracle differential harness (mirrors the driver's t2).
+
+Runs each registry query on Spark and its oracle SQL on DuckDB against
+the same parquet tables, then compares row count + column names +
+order-insensitive value multiset.
+
+Comparison normalization: column order is sorted by name; rows are
+sorted by their full string rendering; floats are rendered with repr
+(exact bits — our cross-engine determinism policy is supposed to make
+them identical, so we compare strictly and surface any drift).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from ..core.schemas import TESTDATA_TABLES
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, fn, oracle: str, sf_dir: str
+) -> dict:
+    sdf = fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = list(sdf.columns)
+    d = con.sql(oracle)
+    d_rows = [tuple(r) for r in d.fetchall()]
+    d_cols = list(d.columns)
+
+    sc, sr = _normalize(s_cols, s_rows)
+    dc, dr = _normalize(d_cols, d_rows)
+    result = {
+        "rows_spark": len(sr),
+        "rows_duck": len(dr),
+        "cols_match": sc == dc,
+        "count_match": len(sr) == len(dr),
+        "values_match": sr == dr,
+    }
+    if not result["cols_match"]:
+        result["cols_spark"], result["cols_duck"] = sc, dc
+    if result["count_match"] and result["cols_match"] and not result["values_match"]:
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        result["first_diffs"] = diffs
+    return result
+
+
+def run_all(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> dict:
+    from ..plans.registry import QUERIES
+
+    con = duck_con(sf_dir)
+    results = {}
+    for q in QUERIES:
+        if only and q.name not in only:
+            continue
+        if q.oracle is None:
+            df = q.fn(spark, sf_dir)
+            results[q.name] = {"rows_spark": df.count(), "rows_only": True}
+            continue
+        try:
+            results[q.name] = compare_query(spark, con, q.fn, q.oracle, sf_dir)
+        except Exception as e:  # surface, don't halt the sweep
+            results[q.name] = {"error": f"{type(e).__name__}: {e}"}
+    return results
