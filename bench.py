@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Materialization is via the noop sink (measures compute + scan, not
+driver-side collect serialization). One warm-up pass of a tiny query
+absorbs session/JIT startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ubeardw_databricks_lakehouse_spark.core.session import get_spark, ship_package
+from ubeardw_databricks_lakehouse_spark.plans.registry import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the operators whose cost dominates real workloads.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_user_lifecycle_pivot",
+    "q_sessionization",
+    "q_scd2_history",
+    "q_top_customers",
+    "q_rollup_revenue",
+    "q_exact_dedup",
+    "q_neardup_verified",
+    "q_embedding_topk",
+    "q_embedding_neardup",
+    "q_text_profile",
+    "q_streaming_event_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="ubeardw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    by_name = {q.name: q for q in QUERIES}
+
+    # warm-up: JVM/codegen/parquet footer caches
+    materialize(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = by_name[name]
+        t0 = time.perf_counter()
+        materialize(q.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

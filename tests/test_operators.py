@@ -1,0 +1,281 @@
+"""Operator-level unit tests: SCD2 engine, lakehouse merge, expectations,
+text/dedup/similarity operators, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubeardw_databricks_lakehouse_spark.expectations.rules import (
+    ExpectationFailed,
+    Rule,
+    apply_expectations,
+)
+from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    neardup_verified_pairs,
+    simhash64,
+    word_shingles,
+)
+from ubeardw_databricks_lakehouse_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_features,
+)
+from ubeardw_databricks_lakehouse_spark.operators.scd2 import apply_scd2
+from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+    topk_brute_force,
+    topk_lsh,
+)
+from ubeardw_databricks_lakehouse_spark.operators.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_multi_version_history(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    v1 = spark.createDataFrame(
+        [(1, "alice", "paris"), (2, "bob", "lyon")], "id int, name string, city string"
+    )
+    n = apply_scd2(lake, "dim", v1, ["id"], ["name", "city"],
+                   surrogate_name="sk", effective_ts="2024-01-01 00:00:00")
+    assert n == 2
+
+    # no change -> short-circuit
+    assert apply_scd2(lake, "dim", v1, ["id"], ["name", "city"],
+                      surrogate_name="sk", effective_ts="2024-01-02 00:00:00") == 0
+
+    # change one row twice -> versions 2 and 3
+    v2 = spark.createDataFrame(
+        [(1, "alice", "marseille"), (2, "bob", "lyon")],
+        "id int, name string, city string",
+    )
+    assert apply_scd2(lake, "dim", v2, ["id"], ["name", "city"],
+                      surrogate_name="sk", effective_ts="2024-01-03 00:00:00") == 1
+    v3 = spark.createDataFrame(
+        [(1, "alice", "nice"), (2, "bob", "lyon")], "id int, name string, city string"
+    )
+    assert apply_scd2(lake, "dim", v3, ["id"], ["name", "city"],
+                      surrogate_name="sk", effective_ts="2024-01-04 00:00:00") == 1
+
+    hist = lake.read("dim").filter("id = 1").orderBy("version_number").collect()
+    assert [r.version_number for r in hist] == [1, 2, 3]
+    assert [r.is_current for r in hist] == [False, False, True]
+    assert [r.city for r in hist] == ["paris", "marseille", "nice"]
+    # expired rows carry end dates equal to successor's start
+    assert str(hist[0].effective_end_date) == "2024-01-03 00:00:00"
+    assert str(hist[1].effective_end_date) == "2024-01-04 00:00:00"
+    assert hist[2].effective_end_date is None
+    # surrogate keys unique across versions
+    sks = [r.sk for r in lake.read("dim").collect()]
+    assert len(sks) == len(set(sks))
+
+    # new entity arrives -> version 1
+    v4 = spark.createDataFrame(
+        [(1, "alice", "nice"), (2, "bob", "lyon"), (3, "carol", "paris")],
+        "id int, name string, city string",
+    )
+    assert apply_scd2(lake, "dim", v4, ["id"], ["name", "city"],
+                      surrogate_name="sk", effective_ts="2024-01-05 00:00:00") == 1
+    assert lake.read("dim").filter("id = 3").first().version_number == 1
+
+
+def test_scd2_composite_keys(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    src = spark.createDataFrame(
+        [(1, "eu", "a"), (1, "us", "b")], "id int, region string, val string"
+    )
+    apply_scd2(lake, "d", src, ["id", "region"], ["val"],
+               effective_ts="2024-01-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(1, "eu", "a2"), (1, "us", "b")], "id int, region string, val string"
+    )
+    assert apply_scd2(lake, "d", upd, ["id", "region"], ["val"],
+                      effective_ts="2024-01-02 00:00:00") == 1
+    assert lake.read("d").filter("is_current").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse merge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_guarded_update(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    t0 = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k int, v string, ts int")
+    lake.upsert("t", t0, keys=["k"])
+    # newer source row updates; older one is ignored; new key inserts
+    src = spark.createDataFrame(
+        [(1, "a9", 9), (2, "b20", 20), (3, "c", 5)], "k int, v string, ts int"
+    )
+    lake.upsert("t", src, keys=["k"], update_condition="source.ts > target.ts")
+    got = {r.k: (r.v, r.ts) for r in lake.read("t").collect()}
+    assert got == {1: ("a", 10), 2: ("b20", 20), 3: ("c", 5)}
+
+
+def test_update_and_delete_where(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", spark.createDataFrame([(1, True), (2, True)], "k int, cur boolean"))
+    lake.update_where("t", "k = 1", {"cur": "false"})
+    assert {r.k: r.cur for r in lake.read("t").collect()} == {1: False, 2: True}
+    lake.delete_where("t", "k = 1")
+    assert lake.read("t").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Expectations
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_drop_warn_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (3, None)], "id int, name string"
+    )
+    rules = [
+        Rule("id_not_null", "id IS NOT NULL", "drop"),
+        Rule("name_not_null", "name IS NOT NULL", "warn"),
+    ]
+    applied = apply_expectations(df, rules)
+    rows = applied.df.collect()
+    assert len(rows) == 2  # null id dropped
+    assert applied.metrics()["violations_name_not_null"] == 1
+
+    failing = apply_expectations(df, [Rule("no_nulls", "id IS NOT NULL", "fail")])
+    failing.df.collect()
+    with pytest.raises(ExpectationFailed):
+        failing.raise_on_failures()
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup operators
+# ---------------------------------------------------------------------------
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "le chat et la souris des champs une fois"),
+            (3, "12345 67890 !!!???"),
+        ],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n == 8 and by_id[1].lang == "en"
+    assert by_id[2].lang == "fr"
+    assert by_id[3].lang == "und" and by_id[3].q < by_id[1].q
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "single",), (2, "two words")], "id int, text string")
+    rows = df.select("id", word_shingles("text", 2).alias("s")).collect()
+    got = {r.id: r.s for r in rows}
+    assert got[1] == []
+    assert got[2] == ["two words"]
+
+
+def test_exact_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")],
+        "doc_id int, text string",
+    )
+    groups = {r.fingerprint: r for r in exact_dedup_groups(df).collect()}
+    sizes = sorted(g.n_docs for g in groups.values())
+    assert sizes == [1, 2]
+    dup_group = [g for g in groups.values() if g.n_docs == 2][0]
+    assert dup_group.survivor_id == 1  # min id survives
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, n_hashes=8, shingle_n=2)
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands
+    verified = {
+        (r.id_a, r.id_b)
+        for r in neardup_verified_pairs(df, threshold=0.5).collect()
+    }
+    assert verified == {(1, 2)}
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "totally unrelated words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", simhash64("text").alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_topk_excludes_self_and_ranks(spark, emb):
+    q = emb.filter("vec_id < 3")
+    out = topk_brute_force(emb, q, k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert r.neighbor_id != r.query_id
+    for qid, rows in per_q.items():
+        assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
+
+
+def test_lsh_topk_subset_quality(spark, emb):
+    """ANN hits must be a subset of corpus ids and self-free; recall vs
+    exact top-5 should be nontrivial on this data."""
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in topk_brute_force(emb, q, k=5).collect()}
+    ann = topk_lsh(emb, q, dim=64, k=5, n_planes=4).collect()
+    assert all(r.neighbor_id != r.query_id for r in ann)
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann}
+    assert len(ann_pairs & exact) > 0
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_binary_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    blobbed = attach_binary_payload(df)
+    meta = {r.doc_id: r.media_meta for r in blobbed.collect()}
+    assert meta[1].n_bytes == 3 and meta[1].mime_type == "application/octet-stream"
+    feats = {r.doc_id: r for r in decode_image_features(blobbed).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].first_byte == ord("a")
+    assert feats[1].decode_status == "stubbed"
+    assert feats[2].first_byte == -1

@@ -19,6 +19,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    neardup_verified_pairs,
 )
 from ..operators.multimodal import attach_binary_payload, decode_image_features
 from ..operators.similarity import topk_brute_force, topk_lsh
@@ -218,6 +219,41 @@ bands AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q_neardup_verified: the full production pipeline — MinHash -> LSH
+# candidates -> exact Jaccard verify. Sub-quadratic end to end; the
+# oracle replicates the identical banding, so recall trade-offs cancel.
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return neardup_verified_pairs(docs, n_hashes=8, band_size=2, threshold=0.5)
+
+
+Q_NEARDUP_VERIFIED_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  LEN(sa.s) AS n_shingles_a, LEN(sb.s) AS n_shingles_b,
+  LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common
+FROM cands
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+      / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))) > 0.5
 """
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,9 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_MINHASH_SIGNATURES_SQL, "md5 MinHash signatures (8 hashes)"),
     QueryDef("q_lsh_candidates", llm_q.q_lsh_candidates,
              llm_q.Q_LSH_CANDIDATES_SQL, "LSH banding candidate pairs"),
+    QueryDef("q_neardup_verified", llm_q.q_neardup_verified,
+             llm_q.Q_NEARDUP_VERIFIED_SQL,
+             "MinHash->LSH->exact-Jaccard verified near-dup pipeline"),
     QueryDef("q_embedding_topk", llm_q.q_embedding_topk,
              llm_q.Q_EMBEDDING_TOPK_SQL, "brute-force cosine top-5 (ids+rank)"),
     QueryDef("q_embedding_neardup", llm_q.q_embedding_neardup,
