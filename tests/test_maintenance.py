@@ -1,0 +1,80 @@
+"""Maintenance layer: compaction/clustering + gold validation suite,
+run against the golden-fixture star schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from ubeardw_databricks_lakehouse_spark.maintenance.optimize import (
+    describe_detail,
+    optimize_gold_tables,
+    optimize_table,
+)
+from ubeardw_databricks_lakehouse_spark.maintenance.validation import validate_gold
+from ubeardw_databricks_lakehouse_spark.pipelines.gold import run_gold_job
+from ubeardw_databricks_lakehouse_spark.pipelines.silver import (
+    silver_courier,
+    silver_eater,
+    silver_merchant,
+    silver_trip_events,
+)
+from ubeardw_databricks_lakehouse_spark.sources.debezium import to_bronze
+from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+from ubeardw_databricks_lakehouse_spark.testing.fixtures import raw_kafka_df
+
+
+@pytest.fixture(scope="module")
+def gold_lake(spark, tmp_path_factory):
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("goldmaint")))
+    run_gold_job(
+        lake,
+        silver_eater(to_bronze(raw_kafka_df(spark, "eater"), "eater")),
+        silver_merchant(to_bronze(raw_kafka_df(spark, "merchant"), "merchant")),
+        silver_courier(to_bronze(raw_kafka_df(spark, "courier"), "courier")),
+        silver_trip_events(to_bronze(raw_kafka_df(spark, "trip_events"), "trip_events")),
+        effective_ts="2024-12-02 02:00:00",
+    )
+    return lake
+
+
+def test_optimize_compacts_files(spark, gold_lake):
+    # fragment the table first (simulates many small streaming writes)
+    gold_lake.overwrite("dim_date", gold_lake.read("dim_date").repartition(8))
+    before = describe_detail(gold_lake, "dim_date")
+    assert before["numFiles"] == 8
+    res = optimize_table(gold_lake, "dim_date", zorder_by=["date_key"])
+    assert res["status"] == "SUCCESS"
+    assert res["files_after"] <= res["files_before"]
+    assert res["files_after"] == 1  # tiny table -> single 128MB-target file
+    # data intact and readable after rewrite
+    assert gold_lake.read("dim_date").count() == 4018
+
+
+def test_optimize_whole_schema(spark, gold_lake):
+    results = optimize_gold_tables(gold_lake)
+    by_table = {r["table"]: r for r in results}
+    assert by_table["trip_fact"]["status"] == "SUCCESS"
+    assert by_table["dim_eater"]["status"] == "SUCCESS"
+
+
+def test_gold_validation_suite_passes(spark, gold_lake):
+    summary = validate_gold(gold_lake, raise_on_failure=True)
+    assert summary["status"] == "PASS"
+    assert summary["tables"]["dim_date"]["counts"]["total"] == 4018
+    assert summary["tables"]["trip_fact"]["counts"]["orphans"] == 0
+
+
+def test_validation_detects_corruption(spark, gold_lake, tmp_path):
+    """Plant an orphan fact row -> referential integrity must FAIL."""
+    lake2 = Lakehouse(spark, str(tmp_path))
+    for t in ["dim_eater", "dim_merchant", "dim_courier", "dim_location",
+              "dim_date", "dim_time", "trip_fact"]:
+        lake2.overwrite(t, gold_lake.read(t))
+    fact = gold_lake.read("trip_fact")
+    orphan = fact.limit(1).withColumn("eater_id", fact.eater_id + 9999)
+    lake2.append("trip_fact", orphan)
+    summary = validate_gold(lake2)
+    assert summary["tables"]["trip_fact"]["status"] == "FAIL"
+    assert summary["status"] == "FAIL"
+    with pytest.raises(AssertionError):
+        validate_gold(lake2, raise_on_failure=True)

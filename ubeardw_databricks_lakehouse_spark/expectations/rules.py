@@ -74,17 +74,22 @@ def apply_expectations(df: DataFrame, rules: list[Rule]) -> AppliedExpectations:
     if observed:
         import uuid
 
-        obs = Observation(f"expectations-{uuid.uuid4().hex[:8]}")
-        df = df.observe(
-            obs,
-            *[
-                F.sum(
-                    F.when(~F.expr(r.constraint) | F.expr(r.constraint).isNull(), 1)
-                    .otherwise(0)
-                ).alias(f"violations_{r.name}")
-                for r in observed
-            ],
-        )
+        metrics = [
+            F.sum(
+                F.when(~F.expr(r.constraint) | F.expr(r.constraint).isNull(), 1)
+                .otherwise(0)
+            ).alias(f"violations_{r.name}")
+            for r in observed
+        ]
+        name = f"expectations-{uuid.uuid4().hex[:8]}"
+        if df.isStreaming:
+            # Observation objects are batch-only; streams use named
+            # observe — per-micro-batch metrics surface via
+            # StreamingQueryListener / query.lastProgress (ST6/ST7).
+            df = df.observe(name, *metrics)
+        else:
+            obs = Observation(name)
+            df = df.observe(obs, *metrics)
     for r in drop_rules:
         df = df.filter(F.expr(r.constraint))
     return AppliedExpectations(df, obs, fail_rules, warn_rules)

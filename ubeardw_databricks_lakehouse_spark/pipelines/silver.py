@@ -37,6 +37,21 @@ def _cdc_meta() -> list[F.Column]:
     ]
 
 
+
+def _latest_per_key(df: DataFrame, pk: str) -> DataFrame:
+    """Deterministic snapshot dedup: latest cdc_timestamp wins (ties by
+    the row's own pk ordering). The reference's dropDuplicates([pk])
+    keeps an arbitrary row when a batch holds insert+update for one key
+    (SURVEY.md §4 hazard) — latest-wins is the declared intent."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(pk).orderBy(F.col("cdc_timestamp").desc_nulls_last())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
 def _entity_common(df: DataFrame) -> DataFrame:
     """Upstream deletes drop out of silver (op='d' has no after image)."""
     return df.filter((F.col("cdc_operation") != "d") | F.col("cdc_operation").isNull())
@@ -85,7 +100,7 @@ def silver_trip_events(bronze: DataFrame, dedup: bool = True) -> DataFrame:
     )
     out = apply_expectations(out, SILVER_RULES["trip_events"]).df
     if dedup:
-        out = out.dropDuplicates(["event_id"])
+        out = _latest_per_key(out, "event_id")
     return out
 
 
@@ -111,7 +126,7 @@ def silver_eater(bronze: DataFrame, dedup: bool = True) -> DataFrame:
     )
     out = apply_expectations(out, SILVER_RULES["eater"]).df
     if dedup:
-        out = out.dropDuplicates(["eater_id"])
+        out = _latest_per_key(out, "eater_id")
     return out
 
 
@@ -138,7 +153,7 @@ def silver_merchant(bronze: DataFrame, dedup: bool = True) -> DataFrame:
     )
     out = apply_expectations(out, SILVER_RULES["merchant"]).df
     if dedup:
-        out = out.dropDuplicates(["merchant_id"])
+        out = _latest_per_key(out, "merchant_id")
     return out
 
 
@@ -160,7 +175,7 @@ def silver_courier(bronze: DataFrame, dedup: bool = True) -> DataFrame:
     )
     out = apply_expectations(out, SILVER_RULES["courier"]).df
     if dedup:
-        out = out.dropDuplicates(["courier_id"])
+        out = _latest_per_key(out, "courier_id")
     return out
 
 

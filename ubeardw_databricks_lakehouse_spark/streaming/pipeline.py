@@ -1,0 +1,121 @@
+"""Continuous medallion pipeline — Structured Streaming bronze/silver.
+
+Re-expresses the reference's DLT continuous pipelines (reference:
+jobs/bronze_pipeline_config.json:23-27, pipelines/bronze_pipeline.py,
+silver_pipeline.py) on open-source Structured Streaming:
+
+- Source: Kafka in production (sources/debezium.kafka_stream); a
+  file-based JSON-lines source with the identical envelope schema for
+  tests and local runs. Both feed the same parse/clean transforms, so
+  semantics are source-agnostic.
+- Bronze: append-only typed CDC (exactly-once via checkpoint).
+- Silver: cleaned entity streams. The reference's stream dedup is an
+  unbounded-state ``dropDuplicates([pk])`` (SURVEY.md §2.8 ST3 — a
+  latent leak); the rebuild uses ``withWatermark`` +
+  ``dropDuplicatesWithinWatermark`` so state is bounded by the
+  late-data horizon while batch semantics stay identical.
+- Triggers: ``availableNow`` for tests/backfills, processingTime for
+  continuous runs — same contract as DLT continuous vs triggered.
+
+Scale notes: each entity stream is an independent query (own
+checkpoint, own offsets) exactly like the reference's 4 DLT tables;
+state store size ≈ keys-within-watermark, not total history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipelines.silver import SILVER_BUILDERS
+from ..sources.debezium import parse_debezium_envelope
+
+RAW_STREAM_SCHEMA = (
+    "kafka_key string, raw_value string, kafka_topic string, "
+    "kafka_partition int, kafka_offset long, kafka_timestamp timestamp"
+)
+
+
+def file_cdc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """JSON-lines CDC stream with the Kafka-record envelope shape.
+
+    Each file holds rows of {kafka_key, raw_value, ...} — the same
+    columns project_kafka_record produces from a live Kafka source.
+    """
+    return spark.readStream.schema(RAW_STREAM_SCHEMA).json(source_dir)
+
+
+def bronze_stream(raw: DataFrame, entity: str) -> DataFrame:
+    return parse_debezium_envelope(raw, entity)
+
+
+def silver_stream(
+    bronze: DataFrame, entity: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Silver transform with bounded-state streaming dedup.
+
+    Dedup key is (pk, cdc_timestamp), NOT pk alone: at-least-once
+    redeliveries carry identical CDC timestamps and are suppressed,
+    while genuine updates (same pk, later ts) flow through as new
+    rows for downstream SCD2 to version. The reference dedups on pk
+    alone (silver_pipeline.py:215), silently swallowing updates within
+    state lifetime — a recorded divergence/bugfix (SURVEY.md §4).
+    """
+    from ..core.schemas import ENTITY_PRIMARY_KEYS
+
+    cleaned = SILVER_BUILDERS[entity](bronze, dedup=False)
+    pk = ENTITY_PRIMARY_KEYS[entity]
+    return cleaned.withWatermark(
+        "cdc_timestamp", watermark
+    ).dropDuplicatesWithinWatermark([pk, "cdc_timestamp"])
+
+
+def run_entity_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    entity: str,
+    out_root: str,
+    available_now: bool = True,
+    fmt: str = "parquet",
+) -> dict[str, StreamingQuery]:
+    """Wire source -> bronze table -> silver table for one entity.
+
+    Returns the two streaming queries (caller awaits/stops them).
+    Bronze and silver are separate checkpointed queries, matching the
+    reference's table-per-stage DLT layout (S3/S4).
+    """
+    bronze_path = os.path.join(out_root, f"bronze_{entity}")
+    silver_path = os.path.join(out_root, f"silver_{entity}")
+    ck_bronze = os.path.join(out_root, f"_ck_bronze_{entity}")
+    ck_silver = os.path.join(out_root, f"_ck_silver_{entity}")
+
+    raw = file_cdc_stream(spark, source_dir)
+    bw = (
+        bronze_stream(raw, entity)
+        .writeStream.format(fmt)
+        .option("checkpointLocation", ck_bronze)
+        .option("path", bronze_path)
+        .outputMode("append")
+    )
+    if available_now:
+        bw = bw.trigger(availableNow=True)
+    bq = bw.start()
+    bq.awaitTermination()  # bronze lands before silver subscribes (test mode)
+
+    bronze_readstream = spark.readStream.schema(
+        spark.read.format(fmt).load(bronze_path).schema
+    ).format(fmt).load(bronze_path)
+    sw = (
+        silver_stream(bronze_readstream, entity)
+        .writeStream.format(fmt)
+        .option("checkpointLocation", ck_silver)
+        .option("path", silver_path)
+        .outputMode("append")
+    )
+    if available_now:
+        sw = sw.trigger(availableNow=True)
+    sq = sw.start()
+    sq.awaitTermination()
+    return {"bronze": bq, "silver": sq}
