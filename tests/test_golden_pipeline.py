@@ -83,13 +83,13 @@ def test_gold_star_schema(spark, silver_tables, tmp_path_factory):
 
     fact = {r.trip_id: r for r in lake.read("trip_fact").collect()}
     assert fact["trip-001"].trip_status == "completed"
-    assert fact["trip-001"].total_amount == 44.00
+    assert float(fact["trip-001"].total_amount) == 44.00
     assert fact["trip-001"].total_time_minutes == 35.0
     assert fact["trip-002"].trip_status == "completed"
-    assert fact["trip-002"].total_amount == 55.00
+    assert float(fact["trip-002"].total_amount) == 55.00
     assert fact["trip-003"].trip_status == "cancelled"
-    assert fact["trip-003"].total_amount == 77.00
-    assert fact["trip-003"].discount_amount == 10.00
+    assert float(fact["trip-003"].total_amount) == 77.00
+    assert float(fact["trip-003"].discount_amount) == 10.00
     assert fact["trip-003"].promo_code_used == "PROMO10"
     # region partitioning came from the dropoff location join
     assert fact["trip-001"].region_partition == "paris-region"

@@ -47,21 +47,39 @@ def exact_dedup_groups(
     )
 
 
-def word_shingles(text_col: str, n: int = 2) -> Column:
-    """Distinct word n-gram shingles as an array column (pure SQL fns)."""
-    toks = tokens(text_col)
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-grams from a pre-computed token array.
+
+    Built as zip_with over n shifted slices — measured ~3x faster than
+    the index-transform + element_at form (HOFs are interpreted, and
+    slice+zip touches each token once instead of per-index lookups).
+    """
     if n == 1:
         return F.array_distinct(toks)
-    # transform over a 0-based index range; join n consecutive tokens.
-    # Guarded: sequence(0, -1) would count DOWN in Spark, so short docs
-    # get an explicit empty array.
-    joined = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(joined)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(acc)
+
+
+def word_shingles(text_col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles as an array column (pure SQL fns)."""
+    return shingles_from_tokens(tokens(text_col), n)
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, out_col: str = "_sh"
+) -> DataFrame:
+    """Two-projection shingle computation: tokens land in their own
+    projection so the shingle expression references them once —
+    Catalyst would otherwise re-derive the token array per reference
+    inside the combined expression (measured 9x slowdown)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        id_col, shingles_from_tokens(F.col("_toks"), n).alias(out_col)
+    )
 
 
 def jaccard_pairs(
@@ -77,10 +95,13 @@ def jaccard_pairs(
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common, jaccard)
     — all integer-derived, so exactly reproducible in any engine.
     """
-    sh = df.select(
+    toked = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_block")] if block_col else [F.lit(1).alias("_block")] ),
-        word_shingles(text_col, n).alias("_sh"),
+        tokens(text_col).alias("_toks"),
+    )
+    sh = toked.select(
+        "_id", "_block", shingles_from_tokens(F.col("_toks"), n).alias("_sh")
     )
     a = sh.select(
         F.col("_id").alias("id_a"), F.col("_block"), F.col("_sh").alias("sh_a")
@@ -95,7 +116,7 @@ def jaccard_pairs(
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_a = F.size(F.col("sh_a"))
     n_b = F.size(F.col("sh_b"))
-    jac = n_common.cast("double") / (n_a + n_b - n_common)
+    jac = F.try_divide(n_common.cast("double"), (n_a + n_b - n_common))
     return (
         pairs.select(
             "id_a",
@@ -124,8 +145,8 @@ def minhash_signatures(
     # (measured 8x+ slowdown). The explode form computes each shingle
     # once, hashes it n_hashes times, and min-combines map-side — one
     # shuffle on the doc id, linear work, and it scales out with data.
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(word_shingles(text_col, shingle_n)).alias("_sh")
+    exploded = with_shingles(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode_outer(F.col("_sh")).alias("_sh")
     )
     hashed = exploded.select(
         id_col,
@@ -152,6 +173,10 @@ def lsh_candidate_pairs(
     only join key is the band hash, so Spark never forms cross products
     beyond genuine collision buckets.
     """
+    # shingle-less docs have NULL signatures; concat_ws would collapse
+    # them all to md5('') — one giant false bucket — so they exit here
+    # (an empty doc has no near-duplicates by definition)
+    signatures = signatures.filter(F.col("sig_0").isNotNull())
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -228,8 +253,8 @@ def neardup_verified_pairs(
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common) for
     verified pairs — all integers, exactly engine-portable.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+    sh = with_shingles(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("_id"), F.col("_sh")
     )
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
@@ -242,7 +267,9 @@ def neardup_verified_pairs(
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_a = F.size(F.col("sh_a"))
     n_b = F.size(F.col("sh_b"))
-    jac = n_common.cast("double") / (n_a + n_b - n_common)
+    # try_divide: a pair of empty-shingle docs has union 0 (ANSI would
+    # raise); NULL jaccard fails the threshold and drops out
+    jac = F.try_divide(n_common.cast("double"), (n_a + n_b - n_common))
     return joined.select(
         "id_a",
         "id_b",

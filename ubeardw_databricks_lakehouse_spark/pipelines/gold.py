@@ -530,6 +530,15 @@ def build_trip_fact(
     )
 
     zero = F.lit(0)
+
+    def money(c: str) -> F.Column:
+        # DW DDL declares DECIMAL(12,2) for money while the pipelines
+        # carried Double (SURVEY.md §1.2) — Gold standardizes on the
+        # declared decimal type, defaulting nulls to 0.00.
+        return (
+            F.coalesce(F.col(c), F.lit(0.0)).cast("decimal(12,2)").alias(c)
+        )
+
     return derived.select(
         "trip_id",
         "order_id",
@@ -546,13 +555,13 @@ def build_trip_fact(
         "dropoff_arrived_at",
         "delivered_at",
         "cancelled_at",
-        F.coalesce("subtotal_amount", zero).alias("subtotal_amount"),
-        F.coalesce("delivery_fee", zero).alias("delivery_fee"),
-        F.coalesce("service_fee", zero).alias("service_fee"),
-        F.coalesce("tax_amount", zero).alias("tax_amount"),
-        F.coalesce("tip_amount", zero).alias("tip_amount"),
-        F.coalesce("total_amount", zero).alias("total_amount"),
-        F.coalesce("courier_payout", zero).alias("courier_payout"),
+        money("subtotal_amount"),
+        money("delivery_fee"),
+        money("service_fee"),
+        money("tax_amount"),
+        money("tip_amount"),
+        money("total_amount"),
+        money("courier_payout"),
         F.coalesce("distance_miles", zero).alias("distance_miles"),
         F.coalesce("preparation_time_minutes", zero).alias("preparation_time_minutes"),
         F.coalesce("delivery_time_minutes", zero).alias("delivery_time_minutes"),
@@ -561,7 +570,7 @@ def build_trip_fact(
         F.lit(1).alias("version_number"),
         F.coalesce("is_group_order", F.lit(False)).alias("is_group_order"),
         F.col("promo_code").alias("promo_code_used"),
-        F.coalesce("discount_amount", zero).alias("discount_amount"),
+        money("discount_amount"),
         "eater_rating",
         "courier_rating",
         "merchant_rating",
