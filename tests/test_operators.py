@@ -279,3 +279,34 @@ def test_multimodal_binary_plumbing(spark):
     assert feats[1].first_byte == ord("a")
     assert feats[1].decode_status == "stubbed"
     assert feats[2].first_byte == -1
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_boundaries(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.chunking import chunk_documents
+
+    text_20 = " ".join(f"w{i}" for i in range(20))
+    text_5 = " ".join(f"w{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, text_20), (2, text_5), (3, "")], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: 20 tokens, step 6 -> chunks at 0,6,12 -> 1+ceil(12/6)=3 chunks
+    assert len(by_doc[1]) == 3
+    assert [r.n_chunk_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [8, 8, 8]
+    # consecutive chunks overlap by 2 tokens
+    c0, c1 = [r.chunk_text.split() for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)[:2]]
+    assert c0[-2:] == c1[:2]
+    # doc2 fits in one chunk; empty doc produces none
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 5
+    assert 3 not in by_doc
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)

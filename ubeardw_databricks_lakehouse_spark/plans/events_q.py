@@ -268,3 +268,62 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q_daily_timeseries: date_trunc rollup — the dashboard time-series shape.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+Q_DAILY_TIMESERIES_SQL = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# q_top_purchasers: filtered agg + global top-k with total ordering.
+# ---------------------------------------------------------------------------
+
+
+def q_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), dsum("value", "total_spend"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("user_id"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+Q_TOP_PURCHASERS_SQL = """
+WITH spend AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, n_purchases, total_spend, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY total_spend DESC, user_id) AS rank FROM spend
+)
+WHERE rank <= 10
+"""

@@ -328,3 +328,103 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return topk_lsh(emb, queries, dim=64, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# q_chunking: fixed-size token windows with overlap — the canonical
+# training-data prep operator. Integer chunk math, engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+Q_CHUNKING_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), counted AS (
+  SELECT doc_id, toks, LEN(toks) AS n,
+    CASE WHEN LEN(toks) <= 0 THEN 0
+         WHEN LEN(toks) <= 32 THEN 1
+         ELSE 1 + CAST(CEIL((LEN(toks) - 32) / 24.0) AS INTEGER) END AS n_chunks
+  FROM toked
+)
+SELECT doc_id,
+  i AS chunk_idx,
+  ARRAY_TO_STRING(toks[(i*24)+1 : (i*24)+32], ' ') AS chunk_text,
+  LEN(toks[(i*24)+1 : (i*24)+32]) AS n_chunk_tokens
+FROM counted, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS g(i)
+WHERE n_chunks > 0
+"""
+
+# ---------------------------------------------------------------------------
+# q_vocabulary: corpus token frequency (explode + count) — vocabulary
+# building for tokenizer training. One shuffle with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .select(F.lower(F.col("token")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+Q_VOCABULARY_SQL = r"""
+SELECT LOWER(tok) AS token, COUNT(*) AS freq
+FROM documents,
+  UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) AS u(tok)
+GROUP BY 1
+HAVING COUNT(*) >= 5
+"""
+
+# ---------------------------------------------------------------------------
+# q_label_centroids: per-label embedding centroid via posexplode +
+# exact decimal sums — the array-aggregation idiom for cluster stats.
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "e")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        # float -> double (exact) -> round 6 -> exact decimal sum
+        F.round(F.col("e").cast("double"), 6).cast("decimal(16,6)").alias("e"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum("e").cast("double") / F.count("*")).alias("centroid_val"),
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = """
+SELECT label, i AS pos, COUNT(*) AS n_vectors,
+  CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(16,6))) AS DOUBLE)
+    / COUNT(*) AS centroid_val
+FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+GROUP BY label, i
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (rows-only: conv() hex->long has no
+    cheap DuckDB twin; correctness is pytest-verified hamming behavior)."""
+    from ..operators.dedup import simhash64
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))

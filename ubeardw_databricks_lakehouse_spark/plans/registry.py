@@ -54,6 +54,11 @@ QUERIES: list[QueryDef] = [
              relational.Q_CUBE_ORDERS_SQL, "cube grouping sets (extension)"),
     QueryDef("q_part_stats", relational.q_part_stats,
              relational.Q_PART_STATS_SQL, "string/math scalar funcs + agg (P1-P3,F5)"),
+    QueryDef("q12_late_shipments", relational.q12_late_shipments,
+             relational.Q12_LATE_SHIPMENTS_SQL,
+             "join + conditional counts + date arithmetic (A2,F8)"),
+    QueryDef("q14_promo_revenue", relational.q14_promo_revenue,
+             relational.Q14_PROMO_REVENUE_SQL, "revenue-share ratio of exact sums"),
     # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
     QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
              events_q.Q_USER_LIFECYCLE_PIVOT_SQL,
@@ -66,6 +71,10 @@ QUERIES: list[QueryDef] = [
              events_q.Q_SCD2_HISTORY_SQL, "SCD2 change-detect semantics as a query"),
     QueryDef("q_moving_value", events_q.q_moving_value,
              events_q.Q_MOVING_VALUE_SQL, "rowsBetween frame aggregates (W2 ext)"),
+    QueryDef("q_daily_timeseries", events_q.q_daily_timeseries,
+             events_q.Q_DAILY_TIMESERIES_SQL, "date_trunc time-series rollup"),
+    QueryDef("q_top_purchasers", events_q.q_top_purchasers,
+             events_q.Q_TOP_PURCHASERS_SQL, "filtered agg + global top-k"),
     QueryDef("q_streaming_event_counts", events_q.q_streaming_event_counts,
              events_q.Q_STREAMING_EVENT_COUNTS_SQL,
              "Structured Streaming availableNow agg == batch (ST1/ST2)"),
@@ -99,6 +108,15 @@ QUERIES: list[QueryDef] = [
              "binary payload + Arrow mapInPandas features"),
     QueryDef("q_embedding_topk_lsh", llm_q.q_embedding_topk_lsh, None,
              "ANN top-k via hyperplane LSH (recall<1 -> rows-only check)"),
+    QueryDef("q_chunking", llm_q.q_chunking, llm_q.Q_CHUNKING_SQL,
+             "fixed-size token chunks with overlap (training-data prep)"),
+    QueryDef("q_vocabulary", llm_q.q_vocabulary, llm_q.Q_VOCABULARY_SQL,
+             "corpus token frequency / vocabulary building"),
+    QueryDef("q_label_centroids", llm_q.q_label_centroids,
+             llm_q.Q_LABEL_CENTROIDS_SQL,
+             "per-label embedding centroids via posexplode + exact sums"),
+    QueryDef("q_simhash", llm_q.q_simhash, None,
+             "64-bit SimHash signatures (rows-only; hamming pytest-verified)"),
 ]
 
 

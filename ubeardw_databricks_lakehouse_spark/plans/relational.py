@@ -482,3 +482,77 @@ SELECT UPPER(p_brand) AS brand_upper, SUBSTRING(p_type, 1, 6) AS type_prefix,
 FROM part
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# q12-style late shipments (J2, A2, F8): join + conditional counts with
+# date arithmetic; both predicates push to the scans.
+# ---------------------------------------------------------------------------
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.count(F.when(late & high, 1)).alias("n_late_high"),
+        )
+    )
+
+
+Q12_LATE_SHIPMENTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS n_late,
+  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_late_high
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# q14-style promo revenue share (J2, F8, F12): ratio of two exact decimal
+# sums — deterministic double division at the end.
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("SMALL"), rev).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("small_type_revenue_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q14_PROMO_REVENUE_SQL = """
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'SMALL%'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS small_type_revenue_pct,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
