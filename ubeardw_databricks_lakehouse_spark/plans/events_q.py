@@ -327,3 +327,52 @@ SELECT user_id, n_purchases, total_spend, rank FROM (
 )
 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# q_event_quantiles: exact discrete quantiles per group via grouped
+# applyInPandas (SURVEY §2.9 extension — custom grouped aggregation the
+# built-ins don't express exactly). Oracle: DuckDB quantile_disc.
+# ---------------------------------------------------------------------------
+
+
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..core.session import ship_package
+
+    ship_package(spark)
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(pdf["value"].to_numpy(dtype="float64"))
+        # method='lower' == discrete quantile: an actual element, no
+        # interpolation arithmetic -> bitwise engine-portable
+        pick = lambda q: float(v[max(0, int(np.ceil(q * len(v))) - 1)])  # noqa: E731
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "p25": [pick(0.25)],
+                "p50": [pick(0.50)],
+                "p75": [pick(0.75)],
+                "vmax": [float(v[-1])],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        quantiles, "event_type string, n long, p25 double, p50 double, p75 double, vmax double"
+    )
+
+
+Q_EVENT_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  QUANTILE_DISC(value, 0.25) AS p25,
+  QUANTILE_DISC(value, 0.50) AS p50,
+  QUANTILE_DISC(value, 0.75) AS p75,
+  MAX(value) AS vmax
+FROM events
+GROUP BY event_type
+"""

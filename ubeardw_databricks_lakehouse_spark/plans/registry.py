@@ -75,6 +75,9 @@ QUERIES: list[QueryDef] = [
              events_q.Q_DAILY_TIMESERIES_SQL, "date_trunc time-series rollup"),
     QueryDef("q_top_purchasers", events_q.q_top_purchasers,
              events_q.Q_TOP_PURCHASERS_SQL, "filtered agg + global top-k"),
+    QueryDef("q_event_quantiles", events_q.q_event_quantiles,
+             events_q.Q_EVENT_QUANTILES_SQL,
+             "exact grouped quantiles via applyInPandas (UDAF extension)"),
     QueryDef("q_streaming_event_counts", events_q.q_streaming_event_counts,
              events_q.Q_STREAMING_EVENT_COUNTS_SQL,
              "Structured Streaming availableNow agg == batch (ST1/ST2)"),
