@@ -376,3 +376,34 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q_user_event_arrays (declared surface: collect_list/array_agg):
+# per-user sorted event-type array — deterministic via sort_array.
+# ---------------------------------------------------------------------------
+
+
+def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # total-order key as a zero-padded string: DuckDB's arg_min/arg_max
+    # reject struct keys, and a lexicographic composite is identical in
+    # both engines
+    order_key = F.format_string("%020d-%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(F.col("event_type"))).alias("event_types"),
+        F.min_by(F.col("event_type"), order_key).alias("first_event_type"),
+        F.max_by(F.col("event_type"), order_key).alias("last_event_type"),
+        F.size(F.sort_array(F.collect_list(F.col("event_type")))).alias("n_events"),
+    )
+
+
+Q_USER_EVENT_ARRAYS_SQL = """
+SELECT user_id,
+  LIST_SORT(LIST_DISTINCT(LIST(event_type))) AS event_types,
+  ARG_MIN(event_type, PRINTF('%020d-%010d', CAST(EPOCH_US(ts) AS BIGINT), event_id)) AS first_event_type,
+  ARG_MAX(event_type, PRINTF('%020d-%010d', CAST(EPOCH_US(ts) AS BIGINT), event_id)) AS last_event_type,
+  COUNT(event_type) AS n_events
+FROM events
+GROUP BY user_id
+"""

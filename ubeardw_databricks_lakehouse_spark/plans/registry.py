@@ -59,6 +59,11 @@ QUERIES: list[QueryDef] = [
              "join + conditional counts + date arithmetic (A2,F8)"),
     QueryDef("q14_promo_revenue", relational.q14_promo_revenue,
              relational.Q14_PROMO_REVENUE_SQL, "revenue-share ratio of exact sums"),
+    QueryDef("q10_returned_items", relational.q10_returned_items,
+             relational.Q10_RETURNED_ITEMS_SQL,
+             "returned-value customers: 4-way join + top-20 (J2,W1)"),
+    QueryDef("q_customer_deciles", relational.q_customer_deciles,
+             relational.Q_CUSTOMER_DECILES_SQL, "ntile + dense_rank deciles (W2)"),
     # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
     QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
              events_q.Q_USER_LIFECYCLE_PIVOT_SQL,
@@ -75,6 +80,9 @@ QUERIES: list[QueryDef] = [
              events_q.Q_DAILY_TIMESERIES_SQL, "date_trunc time-series rollup"),
     QueryDef("q_top_purchasers", events_q.q_top_purchasers,
              events_q.Q_TOP_PURCHASERS_SQL, "filtered agg + global top-k"),
+    QueryDef("q_user_event_arrays", events_q.q_user_event_arrays,
+             events_q.Q_USER_EVENT_ARRAYS_SQL,
+             "collect_list/array_agg surface: sorted arrays + arg_min/max"),
     QueryDef("q_event_quantiles", events_q.q_event_quantiles,
              events_q.Q_EVENT_QUANTILES_SQL,
              "exact grouped quantiles via applyInPandas (UDAF extension)"),

@@ -556,3 +556,88 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
 """
+
+
+# ---------------------------------------------------------------------------
+# q10-style returned-item customers (J2, A1, W1): who returned the most
+# value. Fact-side filter pushes down; customer/nation broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("returned_revenue"),
+             F.count("*").alias("n_returned_items"))
+    )
+    w = Window.orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+Q10_RETURNED_ITEMS_SQL = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      AS returned_revenue,
+    COUNT(*) AS n_returned_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, returned_revenue, n_returned_items, rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY returned_revenue DESC, c_custkey) AS rank FROM agg)
+WHERE rank <= 20
+"""
+
+# ---------------------------------------------------------------------------
+# q_customer_deciles (W2 declared surface: ntile + dense_rank): spend
+# deciles with total-order tiebreaks for engine-portable tiles.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w)).withColumn(
+        "spend_rank", F.dense_rank().over(w)
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("total_spend").cast("decimal(18,2)")).cast("double").alias(
+            "decile_spend"
+        ),
+        F.min("spend_rank").alias("best_rank"),
+    )
+
+
+Q_CUSTOMER_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT total_spend,
+    NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile,
+    DENSE_RANK() OVER (ORDER BY total_spend DESC, o_custkey) AS spend_rank
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) AS decile_spend,
+  MIN(spend_rank) AS best_rank
+FROM tiled
+GROUP BY decile
+"""
