@@ -12,8 +12,8 @@ LLM-training-data dedup at 100 TB is join-geometry engineering:
   band_hash) — Spark shuffles both sides by band key, candidate pairs
   emerge co-partitioned. No O(n^2) anywhere; skewed bands (common
   shingles) are handled by AQE skew-join splitting.
-- **SimHash**: per-row 64-bit signature; hamming-radius candidates via
-  band rotation.
+- **SimHash**: per-row signature (60 effective bits); hamming-radius
+  candidates via band rotation over bits 0..59.
 
 Hash functions are md5-based on purpose: md5 is identical in Spark and
 DuckDB, so signatures (and therefore the whole pipeline) are
@@ -210,11 +210,13 @@ def lsh_candidate_pairs(
 
 
 def simhash64(text_col: str, shingle_n: int = 1) -> Column:
-    """64-bit SimHash from md5 shingle hashes, as pure SQL expressions.
+    """SimHash signature (60 effective bits) as pure SQL expressions.
 
-    For each of 64 bit positions, sum +/-1 weighted by the bit of the
-    shingle's hash; the sign of the sum is the signature bit. Uses
-    conv(hex,16,10) on 15-hex-digit halves to stay in signed-long range.
+    For each of 60 bit positions, sum +/-1 weighted by the bit of the
+    shingle's hash; the sign of the sum is the signature bit. 60 (not
+    64) because conv(hex,16,10) of 15 hex chars is the widest slice
+    that stays inside a signed long — consumers banding the signature
+    must band over bits 0..59 (bits 60-63 are always 0).
     """
     sh = word_shingles(text_col, shingle_n)
     # per-shingle 60-bit value from the first 15 hex chars of md5
@@ -253,6 +255,10 @@ def neardup_verified_pairs(
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common) for
     verified pairs — all integers, exactly engine-portable.
     """
+    # shingles are derived twice (here and inside minhash_signatures);
+    # measured: caching the shingle DF is SLOWER locally (array
+    # serialization dominates). At warehouse scale, persist the
+    # signature table instead of recomputing per run.
     sh = with_shingles(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_id"), F.col("_sh")
     )

@@ -139,7 +139,35 @@ def apply_scd2(
     )
     if surrogate_name:
         new_rows = new_rows.withColumn(surrogate_name, surrogate_key(business_keys))
-    out = expired.unionByName(new_rows.select(*expired.columns))
-    lake._swap(table, out)
+
+    if lake.fmt == "delta":  # pragma: no cover - delta not in this container
+        # ACID path: expire via DeltaTable.update (matched keys only),
+        # then append the new versions — never a directory swap, so
+        # history/time-travel and concurrent readers survive.
+        keys_local = [tuple(r) for r in changed_keys.collect()]
+        per_key = [
+            "(" + " AND ".join(f"{k} = {_sql_lit(v)}" for k, v in zip(business_keys, kt)) + ")"
+            for kt in keys_local
+        ]
+        cond = "is_current AND (" + " OR ".join(per_key) + ")"
+        ts_sql = "current_timestamp()"
+        lake.update_where(
+            table,
+            cond,
+            {"is_current": "false", "effective_end_date": ts_sql},
+        )
+        lake.append(table, new_rows.select(*lake.read(table).columns))
+    else:
+        # parquet path: one rewrite commits expiry + append together
+        out = expired.unionByName(new_rows.select(*expired.columns))
+        lake._swap(table, out)
     changes.unpersist()
     return n_changes
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"

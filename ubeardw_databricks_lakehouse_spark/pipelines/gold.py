@@ -64,12 +64,21 @@ def build_dim_location(
     ]
     eater_addr = eater_silver.select(*addr_cols, F.lit("dropoff").alias("location_type"))
     merch_addr = merchant_silver.select(*addr_cols, F.lit("pickup").alias("location_type"))
-    all_addr = eater_addr.union(merch_addr).dropDuplicates(
-        ["address_line_1", "city", "postal_code"]
+    # Deterministic dedup: when an eater and a merchant share an address,
+    # 'pickup' survives (the reference's bare dropDuplicates keeps an
+    # arbitrary side, flipping output run-to-run — determinism policy fix).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("address_line_1", "city", "postal_code").orderBy(
+        F.col("location_type").desc()
+    )
+    all_addr = (
+        eater_addr.union(merch_addr)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
-    lat = F.lit(None).cast("double")
-    lon = F.lit(None).cast("double")
     lat_expr = None
     lon_expr = None
     for city, (la, lo) in _CITY_COORDS.items():

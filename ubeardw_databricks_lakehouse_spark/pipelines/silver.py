@@ -39,13 +39,21 @@ def _cdc_meta() -> list[F.Column]:
 
 
 def _latest_per_key(df: DataFrame, pk: str) -> DataFrame:
-    """Deterministic snapshot dedup: latest cdc_timestamp wins (ties by
-    the row's own pk ordering). The reference's dropDuplicates([pk])
-    keeps an arbitrary row when a batch holds insert+update for one key
-    (SURVEY.md §4 hazard) — latest-wins is the declared intent."""
+    """Deterministic snapshot dedup: latest cdc_timestamp wins. The
+    reference's dropDuplicates([pk]) keeps an arbitrary row when a batch
+    holds insert+update for one key (SURVEY.md §4 hazard).
+
+    Tie-breaks are total: equal timestamps prefer the later lifecycle op
+    ('u' sorts above 'r'/'d'/'c'), then a row-content hash — so reruns
+    and shuffles can never flip the surviving row.
+    """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(pk).orderBy(F.col("cdc_timestamp").desc_nulls_last())
+    w = Window.partitionBy(pk).orderBy(
+        F.col("cdc_timestamp").desc_nulls_last(),
+        F.col("cdc_operation").desc_nulls_last(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).desc(),
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -422,7 +422,7 @@ GROUP BY label, i
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (rows-only: conv() hex->long has no
+    """SimHash signatures, 60 effective bits (rows-only: conv() hex->long has no
     cheap DuckDB twin; correctness is pytest-verified hamming behavior)."""
     from ..operators.dedup import simhash64
 

@@ -127,7 +127,7 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_LABEL_CENTROIDS_SQL,
              "per-label embedding centroids via posexplode + exact sums"),
     QueryDef("q_simhash", llm_q.q_simhash, None,
-             "64-bit SimHash signatures (rows-only; hamming pytest-verified)"),
+             "SimHash signatures, 60 effective bits (rows-only; hamming pytest-verified)"),
 ]
 
 

@@ -46,6 +46,29 @@ class Lakehouse:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def partitioning(self, name: str) -> list[str] | None:
+        """Partition spec for a table — remembered in-process, else
+        inferred from the on-disk key=value directory layout, so a fresh
+        Lakehouse instance never silently flattens a partitioned table."""
+        if name in self._partitioning:
+            return self._partitioning[name]
+        cols: list[str] = []
+        p = self.path(name)
+        while os.path.isdir(p):
+            sub = [
+                d
+                for d in os.listdir(p)
+                if "=" in d and os.path.isdir(os.path.join(p, d))
+            ]
+            if not sub:
+                break
+            cols.append(sub[0].split("=", 1)[0])
+            p = os.path.join(p, sub[0])
+        if cols:
+            self._partitioning[name] = cols
+            return cols
+        return None
+
     def exists(self, name: str) -> bool:
         p = self.path(name)
         if not os.path.isdir(p):
@@ -73,7 +96,7 @@ class Lakehouse:
         self, name: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> None:
         writer = df.write.format(self.fmt).mode("append")
-        partition_by = partition_by or self._partitioning.get(name)
+        partition_by = partition_by or self.partitioning(name)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(name))
@@ -110,15 +133,19 @@ class Lakehouse:
             m.whenNotMatchedInsertAll().execute()
             return
         # parquet fallback: full-outer join keyed on `keys`, row-wise choose.
-        target = self.read(name).alias("target")
-        src = source.alias("source")
+        # Provenance markers (not key-null checks) decide which side a row
+        # came from, so a source row with a NULL merge key inserts intact
+        # (Delta MERGE whenNotMatchedInsertAll semantics) instead of
+        # collapsing to an all-NULL row.
+        target = self.read(name).withColumn("_tgt", F.lit(True)).alias("target")
+        src = source.withColumn("_src", F.lit(True)).alias("source")
         cond = None
         for k in keys:
             c = F.col(f"target.{k}") == F.col(f"source.{k}")
             cond = c if cond is None else cond & c
         joined = target.join(src, cond, "full_outer")
-        take_source = F.col(f"source.{keys[0]}").isNotNull() & (
-            F.col(f"target.{keys[0]}").isNull()
+        take_source = F.col("source._src").isNotNull() & (
+            F.col("target._tgt").isNull()
             | (F.expr(update_condition) if update_condition else F.lit(True))
         )
         out_cols = []
@@ -166,7 +193,7 @@ class Lakehouse:
     ) -> None:
         """Commit a full-table rewrite atomically-enough for local use."""
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
-        partition_by = partition_by or self._partitioning.get(name)
+        partition_by = partition_by or self.partitioning(name)
         writer = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

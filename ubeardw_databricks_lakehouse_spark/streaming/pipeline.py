@@ -62,6 +62,12 @@ def silver_stream(
     rows for downstream SCD2 to version. The reference dedups on pk
     alone (silver_pipeline.py:215), silently swallowing updates within
     state lifetime — a recorded divergence/bugfix (SURVEY.md §4).
+
+    Emission latency (continuous mode): the dedup operator finalizes a
+    row once the watermark passes its event time — i.e. when later CDC
+    arrives. A live feed advances the watermark continuously; a stalled
+    feed holds the tail until the next record (verified empirically).
+    availableNow runs flush on stream completion.
     """
     from ..core.schemas import ENTITY_PRIMARY_KEYS
 
@@ -92,9 +98,12 @@ def run_entity_pipeline(
     ck_silver = os.path.join(out_root, f"_ck_silver_{entity}")
 
     raw = file_cdc_stream(spark, source_dir)
+    bronze_df = bronze_stream(raw, entity)
+    # static bronze schema (derived from the transform, not the written
+    # files) so the silver query can subscribe without waiting for data
+    bronze_schema = bronze_df.schema
     bw = (
-        bronze_stream(raw, entity)
-        .writeStream.format(fmt)
+        bronze_df.writeStream.format(fmt)
         .option("checkpointLocation", ck_bronze)
         .option("path", bronze_path)
         .outputMode("append")
@@ -102,11 +111,17 @@ def run_entity_pipeline(
     if available_now:
         bw = bw.trigger(availableNow=True)
     bq = bw.start()
-    bq.awaitTermination()  # bronze lands before silver subscribes (test mode)
+    if available_now:
+        # test/backfill mode: bronze fully lands before silver subscribes
+        bq.awaitTermination()
+    else:
+        # continuous mode: both queries run concurrently; silver tails the
+        # bronze directory as files appear
+        os.makedirs(bronze_path, exist_ok=True)
 
-    bronze_readstream = spark.readStream.schema(
-        spark.read.format(fmt).load(bronze_path).schema
-    ).format(fmt).load(bronze_path)
+    bronze_readstream = (
+        spark.readStream.schema(bronze_schema).format(fmt).load(bronze_path)
+    )
     sw = (
         silver_stream(bronze_readstream, entity)
         .writeStream.format(fmt)
@@ -117,5 +132,6 @@ def run_entity_pipeline(
     if available_now:
         sw = sw.trigger(availableNow=True)
     sq = sw.start()
-    sq.awaitTermination()
+    if available_now:
+        sq.awaitTermination()
     return {"bronze": bq, "silver": sq}

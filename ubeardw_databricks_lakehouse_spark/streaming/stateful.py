@@ -7,6 +7,9 @@ closed-session output matches the batch sessionization query
 stateful ops Structured Streaming lacks natively.
 
 State per user: open-session accumulator (start, last_ts, count, sum).
+Value totals accumulate as integer cents so the closed-session sums are
+exact and arrival-order independent (matching the batch query's
+decimal-exact session_value).
 A session closes when the gap to the next event exceeds the timeout or
 the group times out under the watermark — state size is O(active
 users), not O(history).
@@ -43,7 +46,7 @@ STATE_SCHEMA = StructType(
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n_events", IntegerType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_cents", LongType()),
     ]
 )
 
@@ -58,7 +61,7 @@ def _sessionize_group(
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
-            start_us, last_us, n, total = state.get
+            start_us, last_us, n, cents = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -66,31 +69,32 @@ def _sessionize_group(
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
-                    "total_value": [total],
+                    "total_value": [cents / 100.0],
                 }
             )
         return
 
     events = pd.concat(list(pdfs)).sort_values("ts")
     if state.exists:
-        start_us, last_us, n, total = state.get
+        start_us, last_us, n, cents = state.get
     else:
         start_us = last_us = None
-        n, total = 0, 0.0
+        n, cents = 0, 0
 
     closed: list[tuple] = []
     for ts, value in zip(events["ts"], events["value"]):
         us = ts.value // 1000
         if last_us is not None and us - last_us > GAP_SECONDS * 1_000_000:
-            closed.append((start_us, last_us, n, total))
-            start_us, n, total = us, 0, 0.0
+            closed.append((start_us, last_us, n, cents))
+            start_us, n, cents = us, 0, 0
         if start_us is None:
             start_us = us
         last_us = us
         n += 1
-        total += float(value) if pd.notna(value) else 0.0
+        # exact integer-cents accumulation (values are 2-decimal)
+        cents += round(float(value) * 100) if pd.notna(value) else 0
 
-    state.update((start_us, last_us, n, total))
+    state.update((start_us, last_us, n, cents))
     # close the open session if no event arrives within the gap
     state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)
 
@@ -101,7 +105,7 @@ def _sessionize_group(
                 "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
                 "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
                 "n_events": [c[2] for c in closed],
-                "total_value": [c[3] for c in closed],
+                "total_value": [c[3] / 100.0 for c in closed],
             }
         )
 
