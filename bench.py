@@ -75,6 +75,36 @@ def main() -> None:
         materialize(q.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # end-to-end medallion pipeline throughput: synth CDC (2k trips,
+    # ~13k events) -> bronze -> silver -> full gold star schema
+    import tempfile
+
+    from ubeardw_databricks_lakehouse_spark.pipelines.gold import run_gold_job
+    from ubeardw_databricks_lakehouse_spark.pipelines.silver import (
+        silver_courier,
+        silver_eater,
+        silver_merchant,
+        silver_trip_events,
+    )
+    from ubeardw_databricks_lakehouse_spark.sources.debezium import to_bronze
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+    from ubeardw_databricks_lakehouse_spark.testing.fixtures import raw_kafka_df
+    from ubeardw_databricks_lakehouse_spark.testing.generator import generate
+
+    data = generate(n_trips=2000)
+    with tempfile.TemporaryDirectory() as lake_dir:
+        lake = Lakehouse(spark, lake_dir)
+        t0 = time.perf_counter()
+        run_gold_job(
+            lake,
+            silver_eater(to_bronze(raw_kafka_df(spark, "eater", rows=data["eater"]), "eater")),
+            silver_merchant(to_bronze(raw_kafka_df(spark, "merchant", rows=data["merchant"]), "merchant")),
+            silver_courier(to_bronze(raw_kafka_df(spark, "courier", rows=data["courier"]), "courier")),
+            silver_trip_events(to_bronze(raw_kafka_df(spark, "trip_events", rows=data["trip_events"]), "trip_events")),
+            effective_ts="2024-12-02 02:00:00",
+        )
+        timings["pipeline_gold_13k_events"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

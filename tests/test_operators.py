@@ -310,3 +310,27 @@ def test_chunking_boundaries(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_partition_inference_fresh_instance(spark, tmp_path):
+    """A fresh Lakehouse must infer the on-disk partition layout."""
+    l1 = Lakehouse(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a", "p1"), (2, "b", "p2")], "k int, v string, part string")
+    l1.overwrite("t", df, partition_by=["part"])
+    l2 = Lakehouse(spark, str(tmp_path))
+    assert l2.partitioning("t") == ["part"]
+    l2.update_where("t", "k = 1", {"v": "'z'"})
+    import os
+
+    assert sorted(
+        d for d in os.listdir(l2.path("t")) if d.startswith("part=")
+    ) == ["part=p1", "part=p2"]
+
+
+def test_upsert_null_key_inserts_intact(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", spark.createDataFrame([(1, "x")], "k int, v string"))
+    src = spark.createDataFrame([(None, "nullkey"), (2, "y")], "k int, v string")
+    lake.upsert("t", src, keys=["k"])
+    rows = sorted([(r.k, r.v) for r in lake.read("t").collect()], key=str)
+    assert rows == [(1, "x"), (2, "y"), (None, "nullkey")]

@@ -603,8 +603,18 @@ def run_gold_job(
     trip_events_silver: DataFrame,
     effective_ts=None,
 ) -> dict[str, int]:
-    """Build/refresh the whole star schema; returns row counts."""
+    """Build/refresh the whole star schema; returns row counts.
+
+    The silver inputs are consumed by multiple consumers (three metric
+    aggregations, the location build, the fact assembly) — cache them
+    for the duration of the job so the CDC parse/clean lineage runs
+    once, not once per consumer (the reference re-reads materialized
+    silver *tables*, which amounts to the same reuse).
+    """
     spark = eater_silver.sparkSession
+    cached = [eater_silver, merchant_silver, courier_silver, trip_events_silver]
+    for df in cached:
+        df.cache()
     counts: dict[str, int] = {}
 
     dim_location = build_dim_location(eater_silver, merchant_silver)
@@ -662,4 +672,6 @@ def run_gold_job(
         partition_by=["date_partition", "region_partition"],
     )
     counts["trip_fact"] = lake.read("trip_fact").count()
+    for df in cached:
+        df.unpersist()
     return counts

@@ -428,3 +428,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def q_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo UDF surface through the driver contract: derive synthetic
+    coordinates from embeddings, enrich with vectorized geohash + H3 +
+    expression timezone. Rows-only (no geohash in DuckDB)."""
+    from ..functions.geo import geohash8, h3_index, timezone_from_coords
+
+    emb = t(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") * 45).alias("lat"),
+        (F.element_at("embedding", 2).cast("double") * 90).alias("lon"),
+    )
+    return coords.select(
+        "vec_id",
+        geohash8(F.col("lat"), F.col("lon")).alias("geohash"),
+        h3_index(F.col("lat"), F.col("lon")).alias("h3_index"),
+        timezone_from_coords(F.col("lat"), F.col("lon")).alias("timezone"),
+    )

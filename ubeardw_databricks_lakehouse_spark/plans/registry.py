@@ -59,6 +59,8 @@ QUERIES: list[QueryDef] = [
              "join + conditional counts + date arithmetic (A2,F8)"),
     QueryDef("q14_promo_revenue", relational.q14_promo_revenue,
              relational.Q14_PROMO_REVENUE_SQL, "revenue-share ratio of exact sums"),
+    QueryDef("q04_priority_semi", relational.q04_priority_semi,
+             relational.Q04_PRIORITY_SEMI_SQL, "left-semi join / EXISTS (J-family)"),
     QueryDef("q10_returned_items", relational.q10_returned_items,
              relational.Q10_RETURNED_ITEMS_SQL,
              "returned-value customers: 4-way join + top-20 (J2,W1)"),
@@ -126,6 +128,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_label_centroids", llm_q.q_label_centroids,
              llm_q.Q_LABEL_CENTROIDS_SQL,
              "per-label embedding centroids via posexplode + exact sums"),
+    QueryDef("q_geo_enrichment", llm_q.q_geo_enrichment, None,
+             "vectorized geohash/H3/timezone enrichment (U1-U3; rows-only)"),
     QueryDef("q_simhash", llm_q.q_simhash, None,
              "SimHash signatures, 60 effective bits (rows-only; hamming pytest-verified)"),
 ]

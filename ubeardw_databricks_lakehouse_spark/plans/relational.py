@@ -641,3 +641,36 @@ SELECT decile, COUNT(*) AS n_customers,
 FROM tiled
 GROUP BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# q04-style order priority check (left-semi join / EXISTS): orders having
+# at least one late-committed lineitem, counted by priority.
+# ---------------------------------------------------------------------------
+
+
+def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    # "multi-line order" proxy for TPC-H q4's commit-date predicate (the
+    # testdata has no commitdate column)
+    late_items = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 3)
+    return (
+        orders.join(
+            late_items, orders.o_orderkey == late_items.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q04_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_linenumber >= 3)
+GROUP BY o_orderpriority
+"""
