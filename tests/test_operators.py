@@ -334,3 +334,18 @@ def test_upsert_null_key_inserts_intact(spark, tmp_path):
     lake.upsert("t", src, keys=["k"])
     rows = sorted([(r.k, r.v) for r in lake.read("t").collect()], key=str)
     assert rows == [(1, "x"), (2, "y"), (None, "nullkey")]
+
+
+def test_catalog_specs_consistent(spark):
+    """The declarative catalog agrees with the modules that consume it."""
+    from ubeardw_databricks_lakehouse_spark.core.catalog import ENTITIES, GOLD_TABLES
+    from ubeardw_databricks_lakehouse_spark.maintenance.optimize import ZORDER_CONFIG
+
+    assert set(ENTITIES) == {"eater", "merchant", "courier", "trip_events"}
+    assert ENTITIES["eater"].primary_key == "eater_id"
+    assert ENTITIES["eater"].topic == "ubear.public.eater"
+    assert any(r.action == "drop" for r in ENTITIES["trip_events"].expectations)
+    assert GOLD_TABLES["trip_fact"].partition_by == ("date_partition", "region_partition")
+    assert GOLD_TABLES["trip_fact"].merge_guard is not None
+    assert ZORDER_CONFIG["trip_fact"][0] == "order_placed_at"
+    assert GOLD_TABLES["dim_eater"].scd2_business_keys == ("eater_id",)

@@ -102,6 +102,11 @@ def apply_expectations(df: DataFrame, rules: list[Rule]) -> AppliedExpectations:
 
 SILVER_RULES: dict[str, list[Rule]] = {
     "trip_events": [
+        Rule(
+            "sane_cdc_timestamp",
+            "cdc_timestamp IS NULL OR cdc_timestamp > TIMESTAMP '1971-01-01 00:00:00'",
+            "warn",
+        ),
         Rule("valid_trip_id", "trip_id IS NOT NULL", "drop"),
         Rule(
             "valid_event_type",
@@ -113,6 +118,11 @@ SILVER_RULES: dict[str, list[Rule]] = {
         Rule("valid_event_time", "event_time IS NOT NULL", "warn"),
     ],
     "eater": [
+        Rule(
+            "sane_cdc_timestamp",
+            "cdc_timestamp IS NULL OR cdc_timestamp > TIMESTAMP '1971-01-01 00:00:00'",
+            "warn",
+        ),
         Rule("valid_eater_id", "eater_id IS NOT NULL", "drop"),
         Rule("valid_email", "email IS NOT NULL AND email LIKE '%@%'", "drop"),
         Rule(
@@ -122,11 +132,21 @@ SILVER_RULES: dict[str, list[Rule]] = {
         ),
     ],
     "merchant": [
+        Rule(
+            "sane_cdc_timestamp",
+            "cdc_timestamp IS NULL OR cdc_timestamp > TIMESTAMP '1971-01-01 00:00:00'",
+            "warn",
+        ),
         Rule("valid_merchant_id", "merchant_id IS NOT NULL", "drop"),
         Rule("valid_name", "name IS NOT NULL", "warn"),
         Rule("valid_email", "email IS NOT NULL AND email LIKE '%@%'", "warn"),
     ],
     "courier": [
+        Rule(
+            "sane_cdc_timestamp",
+            "cdc_timestamp IS NULL OR cdc_timestamp > TIMESTAMP '1971-01-01 00:00:00'",
+            "warn",
+        ),
         Rule("valid_courier_id", "courier_id IS NOT NULL", "drop"),
         Rule(
             "valid_vehicle",

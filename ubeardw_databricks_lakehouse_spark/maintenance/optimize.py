@@ -27,18 +27,19 @@ from ..storage.lakehouse import Lakehouse
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # parity: 128 MB optimize target
 
-# Z-order column config (reference: optimize_tables.py:24-32, with the
-# reference's dim_date/dim_time typo'd `date_id`/`time_id` corrected to
-# the columns those tables actually have).
-ZORDER_CONFIG: dict[str, list[str]] = {
-    "dim_eater": ["eater_id"],
-    "dim_merchant": ["merchant_id"],
-    "dim_courier": ["courier_id"],
-    "dim_location": ["location_id", "region_zone"],
-    "dim_date": ["date_key"],
-    "dim_time": ["time_key"],
-    "trip_fact": ["order_placed_at", "eater_id", "merchant_id", "courier_id"],
-}
+# Z-order config comes from the declarative catalog (core/catalog.py) —
+# parity with the reference's per-table config (optimize_tables.py:24-32,
+# its dim_date/dim_time `date_id`/`time_id` typos corrected).
+
+
+def _zorder_config() -> dict[str, list[str]]:
+    from ..core.catalog import GOLD_TABLES
+
+    return {name: list(spec.zorder_by) for name, spec in GOLD_TABLES.items()
+            if spec.zorder_by}
+
+
+ZORDER_CONFIG: dict[str, list[str]] = _zorder_config()
 
 
 def describe_detail(lake: Lakehouse, table: str) -> dict:

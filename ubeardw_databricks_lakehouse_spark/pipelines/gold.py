@@ -617,8 +617,14 @@ def run_gold_job(
         df.cache()
     counts: dict[str, int] = {}
 
+    from ..core.catalog import GOLD_TABLES
+
     dim_location = build_dim_location(eater_silver, merchant_silver)
-    lake.overwrite("dim_location", dim_location, partition_by=["region_zone"])
+    lake.overwrite(
+        "dim_location",
+        dim_location,
+        partition_by=list(GOLD_TABLES["dim_location"].partition_by),
+    )
     counts["dim_location"] = lake.read("dim_location").count()
 
     apply_scd2(
@@ -664,12 +670,13 @@ def run_gold_job(
     fact = build_trip_fact(
         trip_events_silver, eater_silver, merchant_silver, lake.read("dim_location")
     )
+    fact_spec = GOLD_TABLES["trip_fact"]
     lake.upsert(
         "trip_fact",
         fact,
-        keys=["trip_id"],
-        update_condition="source.updated_at > target.updated_at",
-        partition_by=["date_partition", "region_partition"],
+        keys=list(fact_spec.merge_keys),
+        update_condition=fact_spec.merge_guard,
+        partition_by=list(fact_spec.partition_by),
     )
     counts["trip_fact"] = lake.read("trip_fact").count()
     for df in cached:

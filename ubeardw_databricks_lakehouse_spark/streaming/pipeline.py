@@ -52,7 +52,7 @@ def bronze_stream(raw: DataFrame, entity: str) -> DataFrame:
 
 
 def silver_stream(
-    bronze: DataFrame, entity: str, watermark: str = "1 hour"
+    bronze: DataFrame, entity: str, watermark: str | None = None
 ) -> DataFrame:
     """Silver transform with bounded-state streaming dedup.
 
@@ -69,13 +69,13 @@ def silver_stream(
     feed holds the tail until the next record (verified empirically).
     availableNow runs flush on stream completion.
     """
-    from ..core.schemas import ENTITY_PRIMARY_KEYS
+    from ..core.catalog import ENTITIES
 
+    spec = ENTITIES[entity]
     cleaned = SILVER_BUILDERS[entity](bronze, dedup=False)
-    pk = ENTITY_PRIMARY_KEYS[entity]
     return cleaned.withWatermark(
-        "cdc_timestamp", watermark
-    ).dropDuplicatesWithinWatermark([pk, "cdc_timestamp"])
+        "cdc_timestamp", watermark or spec.watermark
+    ).dropDuplicatesWithinWatermark([spec.primary_key, "cdc_timestamp"])
 
 
 def run_entity_pipeline(
