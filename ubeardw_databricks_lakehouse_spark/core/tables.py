@@ -17,6 +17,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    from ..plans.common import ensure_read_confs
+
+    ensure_read_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

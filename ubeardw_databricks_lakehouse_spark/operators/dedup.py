@@ -89,27 +89,60 @@ def jaccard_pairs(
     block_col: str | None = None,
     n: int = 2,
     threshold: float = 0.5,
+    length_blocked: bool = False,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard within blocks; pairs above threshold.
+
+    Blocking (pick one; without either this is an O(n^2) pair join —
+    fine for a didactic run, never for a corpus):
+
+    - ``block_col``: caller-supplied equi-block (lang, LSH band, ...).
+    - ``length_blocked=True``: shingle-count log2 buckets with
+      adjacent-bucket probing. **Provably lossless for threshold >=
+      0.5**: j = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so j > 0.5
+      forces the set sizes within a factor of 2, which pins the pair
+      to the same or adjacent floor(log2) bucket. The all-pairs join
+      becomes a bucketed equi-join (B side replicated to blk-1..blk+1,
+      each qualifying pair matched exactly once).
 
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common, jaccard)
     — all integer-derived, so exactly reproducible in any engine.
     """
     toked = df.select(
         F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_block")] if block_col else [F.lit(1).alias("_block")] ),
+        *( [F.col(block_col).alias("_block")] if block_col else [] ),
         tokens(text_col).alias("_toks"),
     )
     sh = toked.select(
-        "_id", "_block", shingles_from_tokens(F.col("_toks"), n).alias("_sh")
+        *(["_block"] if block_col else []),
+        F.col("_id"),
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"),
     )
+    if length_blocked and block_col is None:
+        sh = sh.withColumn(
+            "_block",
+            F.floor(F.log2(F.greatest(F.size("_sh"), F.lit(1)))).cast("int"),
+        )
+    elif block_col is None:
+        sh = sh.withColumn("_block", F.lit(1))
     a = sh.select(
         F.col("_id").alias("id_a"), F.col("_block"), F.col("_sh").alias("sh_a")
     )
-    b = sh.select(
-        F.col("_id").alias("id_b"), F.col("_block").alias("_block_b"),
-        F.col("_sh").alias("sh_b"),
-    )
+    if length_blocked and block_col is None:
+        # replicate the B side to its bucket +/- 1; the A side stays at
+        # its own bucket, so a cross-bucket pair matches exactly once
+        b = sh.select(
+            F.col("_id").alias("id_b"),
+            F.explode(
+                F.array(F.col("_block") - 1, F.col("_block"), F.col("_block") + 1)
+            ).alias("_block_b"),
+            F.col("_sh").alias("sh_b"),
+        )
+    else:
+        b = sh.select(
+            F.col("_id").alias("id_b"), F.col("_block").alias("_block_b"),
+            F.col("_sh").alias("sh_b"),
+        )
     pairs = a.join(
         b, (F.col("_block") == F.col("_block_b")) & (F.col("id_a") < F.col("id_b"))
     )
@@ -290,43 +323,76 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, vectorized.
+    """Embedding-cosine near-dup pairs via a block-tiled pair grid.
 
-    Arrow-batched mapInPandas: each batch of rows does one numpy
-    matmul against the (broadcast) normalized corpus matrix instead of
-    per-pair expression folds — ~100x over HOF-per-pair. At true scale
-    swap the broadcast matrix for block-partitioned tiles (same batch
-    kernel, outer join over tile grid).
+    All-pairs cosine is inherently O(n^2) *compute*; the scale question
+    is memory/shuffle geometry. Rows hash into ``n_blocks`` blocks; each
+    unordered block pair (bi <= bj) is one tile, executed as one
+    applyInPandas group running a single numpy matmul over the tile's
+    two row sets. A pair (x, y) lands in exactly one tile
+    (min(block), max(block)) so no dedup pass is needed.
+
+    Nothing is ever collected to the driver: each row is replicated to
+    its ~n_blocks tiles (shuffle volume N*B rows), and a tile holds
+    ~2N/B vectors — pick B so a tile fits one executor's memory. At
+    100 TB: B scales with sqrt(corpus) to hold tile size constant; the
+    pair-grid shuffle is the whole cost, and skewed blocks cannot form
+    (hash blocking, uniform by construction).
     """
-    from .similarity import _collect_matrix
-
-    spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col)
-    b = spark.sparkContext.broadcast((ids, mat))
-
     import numpy as np
     import pandas as pd
 
-    def score(batches):
-        all_ids, all_mat = b.value
-        for pdf in batches:
-            if len(pdf) == 0 or len(all_ids) == 0:
-                continue
-            batch_ids = pdf[id_col].to_numpy()
-            bm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ all_mat.T
-            rows_a, rows_b = [], []
-            for r, ida in enumerate(batch_ids):
-                hits = all_ids[(sims[r] > threshold) & (all_ids > ida)]
-                rows_a.extend([ida] * len(hits))
-                rows_b.extend(hits.tolist())
-            yield pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    B = max(1, n_blocks)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    blocked = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk")
     )
-    return df.select(id_col, vec_col).mapInPandas(score, schema)
+    # tiles where this row is the A side: (blk, j) for j in [blk, B-1];
+    # plus tiles where it is the B side: (i, blk) for i in [0, blk-1]
+    # (sequence() counts DOWN when end < start, so guard blk == 0).
+    a_tiles = F.transform(
+        F.sequence(F.col("_blk"), F.lit(B - 1)),
+        lambda j: F.struct(F.col("_blk").alias("bi"), j.alias("bj")),
+    )
+    b_tiles = F.when(F.col("_blk") > 0, F.transform(
+        F.sequence(F.lit(0), F.col("_blk") - 1),
+        lambda i: F.struct(i.alias("bi"), F.col("_blk").alias("bj")),
+    )).otherwise(F.array().cast("array<struct<bi:int,bj:int>>"))
+    tiled = blocked.select(
+        "_id", "_v", "_blk", F.explode(F.concat(a_tiles, b_tiles)).alias("_tile")
+    ).select("_id", "_v", "_blk", "_tile.bi", "_tile.bj")
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        side_a = pdf[pdf["_blk"] == bi]
+        side_b = pdf[pdf["_blk"] == bj] if bi != bj else side_a
+        if len(side_a) == 0 or len(side_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids_a = side_a["_id"].to_numpy()
+        ids_b = side_b["_id"].to_numpy()
+        ma = np.stack(side_a["_v"].to_numpy()).astype("float64")
+        mb = np.stack(side_b["_v"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        if bi == bj:
+            # same set on both sides: keep the strict upper triangle so
+            # each unordered pair is emitted exactly once
+            hit = (sims > threshold) & (ids_a[:, None] < ids_b[None, :])
+            lo = np.broadcast_to(ids_a[:, None], sims.shape)
+            hi = np.broadcast_to(ids_b[None, :], sims.shape)
+        else:
+            # disjoint blocks: every (a, b) appears once; canonicalize
+            lo = np.minimum(ids_a[:, None], ids_b[None, :])
+            hi = np.maximum(ids_a[:, None], ids_b[None, :])
+            hit = sims > threshold
+        return pd.DataFrame({"id_a": lo[hit], "id_b": hi[hit]})
+
+    return (
+        tiled.groupBy("bi", "bj")
+        .applyInPandas(tile_pairs, "id_a long, id_b long")
+    )

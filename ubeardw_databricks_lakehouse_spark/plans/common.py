@@ -38,7 +38,23 @@ def sql_davg(col: str, alias: str, prec: str = "DECIMAL(12,2)") -> str:
     return f"CAST(SUM(CAST({col} AS {prec})) AS DOUBLE) / COUNT({col}) AS {alias}"
 
 
+def ensure_read_confs(spark) -> None:
+    """Make reads work on ANY SparkSession, not just ours.
+
+    The driver's correctness harness builds its own SparkSession (without
+    core.session's configs), and events.parquet stores TIMESTAMP(NANOS)
+    which Spark's parquet reader rejects unless
+    spark.sql.legacy.parquet.nanosAsLong=true. The conf is runtime-settable,
+    so every query self-protects here instead of relying on session setup.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (never observed) — reads may still work
+
+
 def t(spark, sf_dir: str, name: str):
+    ensure_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

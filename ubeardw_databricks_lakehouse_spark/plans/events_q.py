@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.event_pivot import event_pivot
-from .common import dsum, t
+from .common import dsum, ensure_read_confs, t
 
 EVENT_TYPES = ["signup", "click", "view", "purchase", "error"]
 
@@ -81,7 +81,7 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PROPS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
@@ -130,7 +130,7 @@ WITH seq AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM seq
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
   MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
 FROM numbered
@@ -180,7 +180,7 @@ WITH marked AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_number
   FROM marked
 )
-SELECT user_id, version_number,
+SELECT user_id, CAST(version_number AS BIGINT) AS version_number,
   MIN_BY(event_type, event_id) AS event_type,
   MIN(ts) AS effective_start,
   MAX(ts) AS effective_end,
@@ -231,6 +231,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw on-disk schema (ts is nanos-as-long; unused by this agg)
     src = os.path.join(sf_dir, "events.parquet")
+    ensure_read_confs(spark)
     ev_schema = spark.read.parquet(src).schema
     sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:

@@ -95,7 +95,8 @@ WITH profiled AS (
                          * 1.0 / GREATEST(LENGTH(text), 1) * 10, 1.0)) AS quality
   FROM documents
 )
-SELECT lang, predicted_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, predicted_lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS total_quality
 FROM profiled
 GROUP BY lang, predicted_lang
@@ -134,7 +135,10 @@ GROUP BY 1
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, n=2, threshold=0.5).select(
+    # length_blocked: log2 shingle-count buckets + adjacent probing —
+    # lossless at threshold 0.5 (see operator docstring) and turns the
+    # all-pairs join into a bucketed equi-join that survives corpus scale
+    return jaccard_pairs(docs, n=2, threshold=0.5, length_blocked=True).select(
         "id_a", "id_b", "n_shingles_a", "n_shingles_b", "n_common"
     )
 
@@ -151,11 +155,15 @@ WITH sh AS (
       )
     ) AS s
   FROM documents
+), blk AS (
+  SELECT doc_id, s,
+    CAST(FLOOR(LOG2(GREATEST(LEN(s), 1))) AS INTEGER) AS b
+  FROM sh
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   LEN(a.s) AS n_shingles_a, LEN(b.s) AS n_shingles_b,
   LEN(LIST_INTERSECT(a.s, b.s)) AS n_common
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM blk a JOIN blk b ON a.doc_id < b.doc_id AND ABS(a.b - b.b) <= 1
 WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
       / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) > 0.5
 """

@@ -48,6 +48,65 @@ def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
     return sorted_cols, out
 
 
+def _spark_kind(dt) -> str:
+    """Coarse type kind for cross-engine dtype parity.
+
+    The driver's value-hash is type-sensitive at the pandas-dtype level:
+    int32 vs int64 hash alike (both numeric), but DuckDB HUGEINT lands as
+    object dtype and hash-mismatches equal values (round-1 q_lang_quality).
+    We compare coarse kinds so that class of artifact is caught locally.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return "list<" + _spark_kind(dt.elementType) + ">"
+    return "other"
+
+
+_DUCK_KINDS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "hugeint",  # pandas object dtype — the driver WILL mismatch
+    "FLOAT": "float", "DOUBLE": "float",
+    "BOOLEAN": "bool", "VARCHAR": "str", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+
+def _duck_kind(t) -> str:
+    s = str(t)
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.endswith("[]"):
+        return "list<" + _duck_kind(s[:-2]) + ">"
+    return _DUCK_KINDS.get(s, "other")
+
+
+def _kind_diffs(sdf, drel) -> list[tuple[str, str, str]]:
+    s_kinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    d_kinds = dict(zip(drel.columns, [_duck_kind(t) for t in drel.types]))
+    diffs = []
+    for col in sorted(set(s_kinds) | set(d_kinds)):
+        sk, dk = s_kinds.get(col, "<missing>"), d_kinds.get(col, "<missing>")
+        if sk != dk:
+            diffs.append((col, sk, dk))
+    return diffs
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
@@ -69,13 +128,17 @@ def compare_query(
 
     sc, sr = _normalize(s_cols, s_rows)
     dc, dr = _normalize(d_cols, d_rows)
+    kind_diffs = _kind_diffs(sdf, d)
     result = {
         "rows_spark": len(sr),
         "rows_duck": len(dr),
         "cols_match": sc == dc,
         "count_match": len(sr) == len(dr),
         "values_match": sr == dr,
+        "dtype_match": not kind_diffs,
     }
+    if kind_diffs:
+        result["dtype_diffs"] = kind_diffs
     if not result["cols_match"]:
         result["cols_spark"], result["cols_duck"] = sc, dc
     if result["count_match"] and result["cols_match"] and not result["values_match"]:
