@@ -1,0 +1,107 @@
+"""Distributed total-order ranking without single-partition windows.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels every
+row through ONE task — the classic global-window scale killer (flagged
+on q_customer_deciles in round 1). The scale-safe shape:
+
+1. range-repartition on the order key (parallel sort, same machinery
+   as a distributed ORDER BY),
+2. number rows locally inside each sorted partition (no shuffle — a
+   mapInPandas pass that preserves partition order),
+3. add per-partition offsets. Offsets come from collecting partition
+   COUNTS — O(num_partitions) rows, bounded by cluster geometry, not
+   by data size — and re-join as a broadcast.
+
+The output row numbers are identical to the single-partition window's
+(range boundaries affect only placement, not the global order), so any
+downstream ntile/dense_rank derivation is value-stable.
+
+Reference parity: the reference computes global rankings with its
+native sort engine (utils/transformations + gold ranking tasks); this
+is the Spark-idiomatic equivalent that holds at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    with_total: bool = False,
+):
+    """Add a 1-based global row number over a TOTAL order.
+
+    ``order_by`` must be a total order (include a unique tiebreak key)
+    or the numbering is non-deterministic. Emits two Spark jobs (the
+    partition-count pass and the main pass); persist upstream if the
+    input is expensive to recompute. With ``with_total`` returns
+    (df, n_rows) — the total falls out of the offset pass for free.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + f", {out_col} long"
+
+    def number_local(batches):
+        # Arrow batches stream in partition order, so a running counter
+        # is the local (post-sort) row number
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.RangeIndex(i + 1, i + len(pdf) + 1)
+            i += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(number_local, out_schema)
+
+    counts = ranged.groupBy("_pid").count().collect()  # O(P), not O(N)
+    by_pid = {int(r["_pid"]): int(r["count"]) for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    if not offsets:
+        out = local.drop("_pid")
+        return (out, 0) if with_total else out
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col(out_col) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return (out, acc) if with_total else out
+
+
+def ntile_from_rn(rn: Column, n_rows: int, k: int) -> Column:
+    """NTILE(k) derived from a global row number — pure arithmetic.
+
+    SQL NTILE semantics: with n = n_rows, q = n div k, r = n mod k, the
+    first r tiles hold q+1 rows, the rest q. Row rn's tile is then a
+    closed-form integer expression — no window, no shuffle.
+    """
+    q, r = n_rows // k, n_rows % k
+    if q == 0:
+        # fewer rows than tiles: every row is its own tile
+        return rn.cast("long")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    # double division then truncate == floor here: quotients are tiny
+    # (<= k) so they sit far inside double's exact-integer range
+    first = ((rn - 1) / (q + 1)).cast("long") + 1
+    rest = F.lit(r) + ((rn - big - 1) / q).cast("long") + 1
+    return F.when(rn <= big, first).otherwise(rest).cast("long")

@@ -310,11 +310,11 @@ def q_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_purchases"), dsum("value", "total_spend"))
     )
+    # parallel top-k first (TakeOrderedAndProject), then rank the k
+    # survivors — no global single-partition window over all users
+    top = spend.orderBy(F.col("total_spend").desc(), F.col("user_id")).limit(10)
     w = Window.orderBy(F.col("total_spend").desc(), F.col("user_id"))
-    return (
-        spend.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 Q_TOP_PURCHASERS_SQL = """

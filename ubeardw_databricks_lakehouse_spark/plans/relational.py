@@ -86,12 +86,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject: parallel per-partition
+    # top-k, tiny reduce — no single-partition window Exchange (the
+    # tiebreak on l_orderkey keeps it deterministic)
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
 
 
 Q03_SQL = """
@@ -580,8 +578,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).cast("double").alias("returned_revenue"),
              F.count("*").alias("n_returned_items"))
     )
+    # parallel top-k (TakeOrderedAndProject), then rank over the 20
+    # surviving rows only — the single-partition window shrinks from
+    # all customers to k rows
+    top = agg.orderBy(F.col("returned_revenue").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
-    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 Q10_RETURNED_ITEMS_SQL = """
@@ -610,11 +612,21 @@ WHERE rank <= 20
 
 
 def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import ntile_from_rn, with_global_row_number
+
     orders = t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    tiled = spend.withColumn("decile", F.ntile(10).over(w)).withColumn(
-        "spend_rank", F.dense_rank().over(w)
+    # distributed ranking instead of a global ntile/dense_rank window
+    # (round-1 scale flag): the order key is total (custkey tiebreak),
+    # so dense_rank == row_number and NTILE is closed-form from (rn, n)
+    ranked, n = with_global_row_number(
+        spend,
+        [F.col("total_spend").desc(), F.col("o_custkey")],
+        out_col="spend_rank",
+        with_total=True,
+    )
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rn(F.col("spend_rank"), n, 10)
     )
     return tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
