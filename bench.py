@@ -102,6 +102,7 @@ def main() -> None:
             silver_courier(to_bronze(raw_kafka_df(spark, "courier", rows=data["courier"]), "courier")),
             silver_trip_events(to_bronze(raw_kafka_df(spark, "trip_events", rows=data["trip_events"]), "trip_events")),
             effective_ts="2024-12-02 02:00:00",
+            collect_counts=False,
         )
         timings["pipeline_gold_13k_events"] = round(time.perf_counter() - t0, 3)
 

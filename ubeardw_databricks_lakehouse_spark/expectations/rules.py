@@ -45,6 +45,11 @@ class AppliedExpectations:
     observation: Observation | None
     fail_rules: list[Rule]
     warn_rules: list[Rule]
+    #: rows the drop rules removed, annotated with ``_violated_rules``
+    #: (parity with the reference's quarantine routing,
+    #: expectations/data_quality.py:290-298). Lazy — costs nothing
+    #: unless written somewhere; works on batch and streaming frames.
+    quarantine: DataFrame | None = None
 
     def metrics(self) -> dict[str, int]:
         """Violation counts (valid after an action ran on ``df``)."""
@@ -65,6 +70,7 @@ class AppliedExpectations:
 
 def apply_expectations(df: DataFrame, rules: list[Rule]) -> AppliedExpectations:
     """Compile a rule set onto a DataFrame (batch or streaming)."""
+    raw = df
     drop_rules = [r for r in rules if r.action == "drop"]
     warn_rules = [r for r in rules if r.action == "warn"]
     fail_rules = [r for r in rules if r.action == "fail"]
@@ -90,9 +96,28 @@ def apply_expectations(df: DataFrame, rules: list[Rule]) -> AppliedExpectations:
         else:
             obs = Observation(name)
             df = df.observe(obs, *metrics)
+    quarantine = None
+    if drop_rules:
+        # built from the pre-observe frame: the observed metrics must
+        # ride the main output exactly once (two branches carrying the
+        # same Observation cannot meet in one plan)
+        violated = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.expr(r.constraint) | F.expr(r.constraint).isNull(),
+                        F.lit(r.name),
+                    )
+                    for r in drop_rules
+                ]
+            )
+        )
+        quarantine = raw.withColumn("_violated_rules", violated).filter(
+            F.size("_violated_rules") > 0
+        )
     for r in drop_rules:
         df = df.filter(F.expr(r.constraint))
-    return AppliedExpectations(df, obs, fail_rules, warn_rules)
+    return AppliedExpectations(df, obs, fail_rules, warn_rules, quarantine)
 
 
 # ---------------------------------------------------------------------------

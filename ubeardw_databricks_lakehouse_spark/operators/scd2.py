@@ -141,20 +141,30 @@ def apply_scd2(
         new_rows = new_rows.withColumn(surrogate_name, surrogate_key(business_keys))
 
     if lake.fmt == "delta":  # pragma: no cover - delta not in this container
-        # ACID path: expire via DeltaTable.update (matched keys only),
-        # then append the new versions — never a directory swap, so
-        # history/time-travel and concurrent readers survive.
-        keys_local = [tuple(r) for r in changed_keys.collect()]
-        per_key = [
-            "(" + " AND ".join(f"{k} = {_sql_lit(v)}" for k, v in zip(business_keys, kt)) + ")"
-            for kt in keys_local
-        ]
-        cond = "is_current AND (" + " OR ".join(per_key) + ")"
-        ts_sql = "current_timestamp()"
-        lake.update_where(
-            table,
-            cond,
-            {"is_current": "false", "effective_end_date": ts_sql},
+        # ACID path: expire via DeltaTable.merge against the changed-keys
+        # DATAFRAME (reference: gold_pipeline.py:187-195) — the key set
+        # never leaves the cluster, so there is no driver-memory or
+        # SQL-literal ceiling on the size of a change batch. The expiry
+        # timestamp rides along as a source column so any Column-valued
+        # effective_ts (literal or current_timestamp) works.
+        from delta.tables import DeltaTable
+
+        merge_src = changed_keys.withColumn("_expire_ts", effective_ts)
+        cond = (
+            " AND ".join(f"target.{k} = source.{k}" for k in business_keys)
+            + " AND target.is_current"
+        )
+        (
+            DeltaTable.forPath(lake.spark, lake.path(table))
+            .alias("target")
+            .merge(merge_src.alias("source"), cond)
+            .whenMatchedUpdate(
+                set={
+                    "is_current": "false",
+                    "effective_end_date": "source._expire_ts",
+                }
+            )
+            .execute()
         )
         lake.append(table, new_rows.select(*lake.read(table).columns))
     else:
@@ -163,11 +173,3 @@ def apply_scd2(
         lake._swap(table, out)
     changes.unpersist()
     return n_changes
-
-
-def _sql_lit(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"

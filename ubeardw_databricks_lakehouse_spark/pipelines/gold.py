@@ -602,6 +602,7 @@ def run_gold_job(
     courier_silver: DataFrame,
     trip_events_silver: DataFrame,
     effective_ts=None,
+    collect_counts: bool = True,
 ) -> dict[str, int]:
     """Build/refresh the whole star schema; returns row counts.
 
@@ -610,12 +611,18 @@ def run_gold_job(
     for the duration of the job so the CDC parse/clean lineage runs
     once, not once per consumer (the reference re-reads materialized
     silver *tables*, which amounts to the same reuse).
+
+    ``collect_counts=False`` skips the per-table count actions entirely
+    (returns {}) — the reference's eager-count anti-pattern
+    (gold_pipeline.py:157,177,227,341) made opt-outable; production /
+    bench runs don't pay for observability they don't read. When on,
+    all tables are counted in ONE job via a union instead of seven
+    separate actions.
     """
     spark = eater_silver.sparkSession
     cached = [eater_silver, merchant_silver, courier_silver, trip_events_silver]
     for df in cached:
         df.cache()
-    counts: dict[str, int] = {}
 
     from ..core.catalog import GOLD_TABLES
 
@@ -625,7 +632,6 @@ def run_gold_job(
         dim_location,
         partition_by=list(GOLD_TABLES["dim_location"].partition_by),
     )
-    counts["dim_location"] = lake.read("dim_location").count()
 
     apply_scd2(
         lake,
@@ -636,8 +642,6 @@ def run_gold_job(
         surrogate_name="eater_key",
         effective_ts=effective_ts,
     )
-    counts["dim_eater"] = lake.read("dim_eater").count()
-
     apply_scd2(
         lake,
         "dim_merchant",
@@ -647,8 +651,6 @@ def run_gold_job(
         surrogate_name="merchant_key",
         effective_ts=effective_ts,
     )
-    counts["dim_merchant"] = lake.read("dim_merchant").count()
-
     apply_scd2(
         lake,
         "dim_courier",
@@ -658,14 +660,11 @@ def run_gold_job(
         surrogate_name="courier_key",
         effective_ts=effective_ts,
     )
-    counts["dim_courier"] = lake.read("dim_courier").count()
 
     if not lake.exists("dim_date"):
         lake.overwrite("dim_date", generate_dim_date(spark))
-    counts["dim_date"] = lake.read("dim_date").count()
     if not lake.exists("dim_time"):
         lake.overwrite("dim_time", generate_dim_time(spark))
-    counts["dim_time"] = lake.read("dim_time").count()
 
     fact = build_trip_fact(
         trip_events_silver, eater_silver, merchant_silver, lake.read("dim_location")
@@ -678,7 +677,21 @@ def run_gold_job(
         update_condition=fact_spec.merge_guard,
         partition_by=list(fact_spec.partition_by),
     )
-    counts["trip_fact"] = lake.read("trip_fact").count()
     for df in cached:
         df.unpersist()
-    return counts
+
+    if not collect_counts:
+        return {}
+    tables = [
+        "dim_location", "dim_eater", "dim_merchant", "dim_courier",
+        "dim_date", "dim_time", "trip_fact",
+    ]
+    # one action for all counts: union of per-table scalar aggregates
+    # (parquet counts are footer-only reads; the win is one job, not 7)
+    unioned = None
+    for name in tables:
+        c = lake.read(name).select(
+            F.lit(name).alias("t"), F.lit(1).alias("one")
+        ).groupBy("t").agg(F.count("*").alias("n"))
+        unioned = c if unioned is None else unioned.unionByName(c)
+    return {r["t"]: r["n"] for r in unioned.collect()}

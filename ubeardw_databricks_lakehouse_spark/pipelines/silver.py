@@ -65,7 +65,7 @@ def _entity_common(df: DataFrame) -> DataFrame:
     return df.filter((F.col("cdc_operation") != "d") | F.col("cdc_operation").isNull())
 
 
-def silver_trip_events(bronze: DataFrame, dedup: bool = True) -> DataFrame:
+def silver_trip_events(bronze: DataFrame, dedup: bool = True, quarantine_sink=None) -> DataFrame:
     """Explode the sparse JSON payload into typed metric columns
     (silver_pipeline.py:89-162)."""
     df = _entity_common(bronze).withColumn(
@@ -106,13 +106,16 @@ def silver_trip_events(bronze: DataFrame, dedup: bool = True) -> DataFrame:
         F.col("payload").alias("raw_payload"),
         *_cdc_meta(),
     )
-    out = apply_expectations(out, SILVER_RULES["trip_events"]).df
+    applied = apply_expectations(out, SILVER_RULES["trip_events"])
+    if quarantine_sink is not None and applied.quarantine is not None:
+        quarantine_sink(applied.quarantine)
+    out = applied.df
     if dedup:
         out = _latest_per_key(out, "event_id")
     return out
 
 
-def silver_eater(bronze: DataFrame, dedup: bool = True) -> DataFrame:
+def silver_eater(bronze: DataFrame, dedup: bool = True, quarantine_sink=None) -> DataFrame:
     out = _entity_common(bronze).select(
         "eater_id",
         "eater_uuid",
@@ -132,13 +135,16 @@ def silver_eater(bronze: DataFrame, dedup: bool = True) -> DataFrame:
         epoch_ms_to_ts("updated_at").alias("updated_at"),
         *_cdc_meta(),
     )
-    out = apply_expectations(out, SILVER_RULES["eater"]).df
+    applied = apply_expectations(out, SILVER_RULES["eater"])
+    if quarantine_sink is not None and applied.quarantine is not None:
+        quarantine_sink(applied.quarantine)
+    out = applied.df
     if dedup:
         out = _latest_per_key(out, "eater_id")
     return out
 
 
-def silver_merchant(bronze: DataFrame, dedup: bool = True) -> DataFrame:
+def silver_merchant(bronze: DataFrame, dedup: bool = True, quarantine_sink=None) -> DataFrame:
     out = _entity_common(bronze).select(
         "merchant_id",
         "merchant_uuid",
@@ -159,13 +165,16 @@ def silver_merchant(bronze: DataFrame, dedup: bool = True) -> DataFrame:
         epoch_ms_to_ts("updated_at").alias("updated_at"),
         *_cdc_meta(),
     )
-    out = apply_expectations(out, SILVER_RULES["merchant"]).df
+    applied = apply_expectations(out, SILVER_RULES["merchant"])
+    if quarantine_sink is not None and applied.quarantine is not None:
+        quarantine_sink(applied.quarantine)
+    out = applied.df
     if dedup:
         out = _latest_per_key(out, "merchant_id")
     return out
 
 
-def silver_courier(bronze: DataFrame, dedup: bool = True) -> DataFrame:
+def silver_courier(bronze: DataFrame, dedup: bool = True, quarantine_sink=None) -> DataFrame:
     out = _entity_common(bronze).select(
         "courier_id",
         "courier_uuid",
@@ -181,7 +190,10 @@ def silver_courier(bronze: DataFrame, dedup: bool = True) -> DataFrame:
         epoch_ms_to_ts("updated_at").alias("updated_at"),
         *_cdc_meta(),
     )
-    out = apply_expectations(out, SILVER_RULES["courier"]).df
+    applied = apply_expectations(out, SILVER_RULES["courier"])
+    if quarantine_sink is not None and applied.quarantine is not None:
+        quarantine_sink(applied.quarantine)
+    out = applied.df
     if dedup:
         out = _latest_per_key(out, "courier_id")
     return out

@@ -148,17 +148,31 @@ class Lakehouse:
             F.col("target._tgt").isNull()
             | (F.expr(update_condition) if update_condition else F.lit(True))
         )
+        # Output schema follows the TARGET (Delta whenMatchedUpdateAll
+        # keeps target-only columns; without schema evolution, source-only
+        # columns are an error — surface the mismatch instead of silently
+        # dropping target columns).
+        target_cols = [c for c in target.columns if c != "_tgt"]
+        source_set = {c for c in source.columns}
+        extra = source_set - set(target_cols)
+        if extra:
+            raise ValueError(
+                f"upsert source has columns not in target {name}: {sorted(extra)}"
+            )
         out_cols = []
         key_set = set(keys)
-        for c in source.columns:
+        for c in target_cols:
             if c in key_set:
                 out_cols.append(F.coalesce(F.col(f"source.{c}"), F.col(f"target.{c}")).alias(c))
-            else:
+            elif c in source_set:
                 out_cols.append(
                     F.when(take_source, F.col(f"source.{c}"))
                     .otherwise(F.col(f"target.{c}"))
                     .alias(c)
                 )
+            else:
+                # target-only column: kept on update, NULL on fresh insert
+                out_cols.append(F.col(f"target.{c}").alias(c))
         self._swap(name, joined.select(*out_cols), partition_by)
 
     def update_where(
@@ -199,6 +213,12 @@ class Lakehouse:
             writer = writer.partitionBy(*partition_by)
         writer.save(tmp)
         final = self.path(name)
+        # rename the live table aside before promoting the new write, so
+        # a crash between the two renames never leaves the table absent;
+        # the trash directory is removed last
+        trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex[:8]}")
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            os.rename(final, trash)
         os.rename(tmp, final)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)

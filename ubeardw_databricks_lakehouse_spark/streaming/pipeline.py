@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipelines.silver import SILVER_BUILDERS
@@ -52,7 +53,10 @@ def bronze_stream(raw: DataFrame, entity: str) -> DataFrame:
 
 
 def silver_stream(
-    bronze: DataFrame, entity: str, watermark: str | None = None
+    bronze: DataFrame,
+    entity: str,
+    watermark: str | None = None,
+    quarantine_sink=None,
 ) -> DataFrame:
     """Silver transform with bounded-state streaming dedup.
 
@@ -72,7 +76,9 @@ def silver_stream(
     from ..core.catalog import ENTITIES
 
     spec = ENTITIES[entity]
-    cleaned = SILVER_BUILDERS[entity](bronze, dedup=False)
+    cleaned = SILVER_BUILDERS[entity](
+        bronze, dedup=False, quarantine_sink=quarantine_sink
+    )
     return cleaned.withWatermark(
         "cdc_timestamp", watermark or spec.watermark
     ).dropDuplicatesWithinWatermark([spec.primary_key, "cdc_timestamp"])
@@ -85,12 +91,26 @@ def run_entity_pipeline(
     out_root: str,
     available_now: bool = True,
     fmt: str = "parquet",
+    event_log=None,
+    quarantine: bool = False,
 ) -> dict[str, StreamingQuery]:
     """Wire source -> bronze table -> silver table for one entity.
 
     Returns the two streaming queries (caller awaits/stops them).
     Bronze and silver are separate checkpointed queries, matching the
     reference's table-per-stage DLT layout (S3/S4).
+
+    ``event_log`` (a ``PipelineEventLog``): persists per-micro-batch
+    metrics (numInputRows + expectation counters from observe) to the
+    ``_pipeline_events`` table — ST7 parity with the DLT event log. In
+    availableNow mode the recording is synchronous from
+    ``recentProgress`` after termination (deterministic for tests); in
+    continuous mode attach ``event_log.listener(...)`` yourself.
+
+    ``quarantine=True`` starts a third query appending expectation-
+    dropped rows (with ``_violated_rules``) to ``quarantine_{entity}``
+    — parity with the reference's quarantine routing
+    (expectations/data_quality.py:290-298).
     """
     bronze_path = os.path.join(out_root, f"bronze_{entity}")
     silver_path = os.path.join(out_root, f"silver_{entity}")
@@ -122,8 +142,29 @@ def run_entity_pipeline(
     bronze_readstream = (
         spark.readStream.schema(bronze_schema).format(fmt).load(bronze_path)
     )
+
+    queries: dict[str, StreamingQuery] = {"bronze": bq}
+    quarantine_sink = None
+    if quarantine:
+        q_path = os.path.join(out_root, f"quarantine_{entity}")
+        ck_q = os.path.join(out_root, f"_ck_quarantine_{entity}")
+
+        def quarantine_sink(qdf: DataFrame) -> None:
+            w = (
+                qdf.withColumn(
+                    "_violated_rules", F.concat_ws(",", "_violated_rules")
+                )
+                .writeStream.format(fmt)
+                .option("checkpointLocation", ck_q)
+                .option("path", q_path)
+                .outputMode("append")
+            )
+            if available_now:
+                w = w.trigger(availableNow=True)
+            queries["quarantine"] = w.start()
+
     sw = (
-        silver_stream(bronze_readstream, entity)
+        silver_stream(bronze_readstream, entity, quarantine_sink=quarantine_sink)
         .writeStream.format(fmt)
         .option("checkpointLocation", ck_silver)
         .option("path", silver_path)
@@ -132,6 +173,21 @@ def run_entity_pipeline(
     if available_now:
         sw = sw.trigger(availableNow=True)
     sq = sw.start()
+    queries["silver"] = sq
     if available_now:
         sq.awaitTermination()
-    return {"bronze": bq, "silver": sq}
+        if "quarantine" in queries:
+            queries["quarantine"].awaitTermination()
+        if event_log is not None:
+            for stage in ("bronze", "silver"):
+                for p in queries[stage].recentProgress:
+                    metrics = {"numInputRows": int(p.get("numInputRows", 0))}
+                    for row in (p.get("observedMetrics") or {}).values():
+                        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                        for k, v in d.items():
+                            if v is not None:
+                                metrics[str(k)] = int(v)
+                    event_log.record(
+                        f"medallion_{entity}", stage, metrics, p.get("batchId", -1)
+                    )
+    return queries
