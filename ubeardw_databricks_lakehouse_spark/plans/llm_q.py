@@ -430,18 +430,51 @@ GROUP BY label, i
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures, 60 effective bits (rows-only: conv() hex->long has no
-    cheap DuckDB twin; correctness is pytest-verified hamming behavior)."""
+    """SimHash signatures, 60 effective bits, fully oracle-checked:
+    DuckDB reproduces ``conv(substr(md5(s),1,15),16,10)`` via
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` and the 60 per-bit
+    majority votes as plain CASE aggregates."""
     from ..operators.dedup import simhash64
 
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
+# per-bit majority vote: +1 when the shingle-hash bit is set, else -1;
+# signature bit = (votes > 0). Docs with no shingles vote on nothing ->
+# LEFT JOIN + COALESCE lands them on simhash 0, matching Spark's
+# aggregate-over-empty-array (acc stays 0, no bit clears the > 0 gate).
+_SIMHASH_BITS = ",\n    ".join(
+    f"CASE WHEN SUM(CASE WHEN (hv & {1 << b}) <> 0 THEN 1 ELSE -1 END) > 0"
+    f" THEN {1 << b} ELSE 0 END AS bit_{b}"
+    for b in range(60)
+)
+
+Q_SIMHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) AS s
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(u.x), 1, 15)) AS BIGINT) AS hv
+  FROM sh, UNNEST(sh.s) AS u(x)
+), votes AS (
+  SELECT doc_id,
+    {_SIMHASH_BITS}
+  FROM h GROUP BY doc_id
+)
+SELECT sh.doc_id,
+  CAST(COALESCE({" + ".join(f"bit_{b}" for b in range(60))}, 0) AS BIGINT) AS simhash
+FROM sh LEFT JOIN votes USING (doc_id)
+"""
+
+
 def q_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo UDF surface through the driver contract: derive synthetic
     coordinates from embeddings, enrich with vectorized geohash + H3 +
-    expression timezone. Rows-only (no geohash in DuckDB)."""
+    expression timezone. Oracle-checked: DuckDB replays the geohash
+    bisection loop in a recursive CTE (midpoints are exact doubles, so
+    the comparisons are bit-identical to the pandas-UDF loop)."""
     from ..functions.geo import geohash8, h3_index, timezone_from_coords
 
     emb = t(spark, sf_dir, "embeddings")
@@ -456,3 +489,57 @@ def q_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         h3_index(F.col("lat"), F.col("lon")).alias("h3_index"),
         timezone_from_coords(F.col("lat"), F.col("lon")).alias("timezone"),
     )
+
+
+# DuckDB twin of functions/geo.py:_geohash_encode — the 40-step
+# lon/lat bisection replayed as a recursive CTE. Every midpoint
+# (lo+hi)/2 starting from ±90/±180 is a dyadic rational times 45,
+# exactly representable in a double, so DuckDB's comparisons match the
+# Python loop bit-for-bit. The h3 surrogate ('88' || geohash) and the
+# bounding-box timezone are plain expressions.
+Q_GEO_ENRICHMENT_SQL = """
+WITH RECURSIVE coords AS (
+  SELECT vec_id,
+    CAST(embedding[1] AS DOUBLE) * 45 AS lat,
+    CAST(embedding[2] AS DOUBLE) * 90 AS lon
+  FROM embeddings
+), gh AS (
+  SELECT vec_id, lat, lon, 0 AS step, '' AS bits,
+         CAST(-90 AS DOUBLE) AS lat_lo, CAST(90 AS DOUBLE) AS lat_hi,
+         CAST(-180 AS DOUBLE) AS lon_lo, CAST(180 AS DOUBLE) AS lon_hi
+  FROM coords
+  UNION ALL
+  SELECT vec_id, lat, lon, step + 1,
+    bits || CASE WHEN step % 2 = 0
+      THEN CASE WHEN lon >= (lon_lo + lon_hi) / 2 THEN '1' ELSE '0' END
+      ELSE CASE WHEN lat >= (lat_lo + lat_hi) / 2 THEN '1' ELSE '0' END END,
+    CASE WHEN step % 2 = 1 AND lat >= (lat_lo + lat_hi) / 2
+         THEN (lat_lo + lat_hi) / 2 ELSE lat_lo END,
+    CASE WHEN step % 2 = 1 AND lat < (lat_lo + lat_hi) / 2
+         THEN (lat_lo + lat_hi) / 2 ELSE lat_hi END,
+    CASE WHEN step % 2 = 0 AND lon >= (lon_lo + lon_hi) / 2
+         THEN (lon_lo + lon_hi) / 2 ELSE lon_lo END,
+    CASE WHEN step % 2 = 0 AND lon < (lon_lo + lon_hi) / 2
+         THEN (lon_lo + lon_hi) / 2 ELSE lon_hi END
+  FROM gh WHERE step < 40
+), enc AS (
+  SELECT vec_id, lat, lon,
+    ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(0, 7), c ->
+      substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        1 + 16 * CAST(substr(bits, c * 5 + 1, 1) AS INTEGER)
+          +  8 * CAST(substr(bits, c * 5 + 2, 1) AS INTEGER)
+          +  4 * CAST(substr(bits, c * 5 + 3, 1) AS INTEGER)
+          +  2 * CAST(substr(bits, c * 5 + 4, 1) AS INTEGER)
+          +      CAST(substr(bits, c * 5 + 5, 1) AS INTEGER), 1)), '') AS geohash
+  FROM gh WHERE step = 40
+)
+SELECT vec_id, geohash, '88' || geohash AS h3_index,
+  CASE
+    WHEN lat BETWEEN 41.0 AND 51.5 AND lon BETWEEN -5.0 AND 10.0
+      THEN 'Europe/Paris'
+    WHEN lat BETWEEN 49.5 AND 61.0 AND lon BETWEEN -8.0 AND 2.0
+      THEN 'Europe/London'
+    ELSE 'UTC'
+  END AS timezone
+FROM enc
+"""

@@ -128,10 +128,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_label_centroids", llm_q.q_label_centroids,
              llm_q.Q_LABEL_CENTROIDS_SQL,
              "per-label embedding centroids via posexplode + exact sums"),
-    QueryDef("q_geo_enrichment", llm_q.q_geo_enrichment, None,
-             "vectorized geohash/H3/timezone enrichment (U1-U3; rows-only)"),
-    QueryDef("q_simhash", llm_q.q_simhash, None,
-             "SimHash signatures, 60 effective bits (rows-only; hamming pytest-verified)"),
+    QueryDef("q_geo_enrichment", llm_q.q_geo_enrichment,
+             llm_q.Q_GEO_ENRICHMENT_SQL,
+             "vectorized geohash/H3/timezone enrichment (U1-U3), "
+             "recursive-CTE geohash oracle"),
+    QueryDef("q_simhash", llm_q.q_simhash, llm_q.Q_SIMHASH_SQL,
+             "SimHash signatures, 60 effective bits, bit-exact DuckDB oracle"),
 ]
 
 

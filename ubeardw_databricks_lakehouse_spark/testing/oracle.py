@@ -148,8 +148,10 @@ def compare_query(
 
 
 def run_all(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> dict:
+    from ..core.session import ship_package
     from ..plans.registry import QUERIES
 
+    ship_package(spark)  # UDF-bearing plans need the package on workers
     con = duck_con(sf_dir)
     results = {}
     for q in QUERIES:
