@@ -349,3 +349,84 @@ def test_catalog_specs_consistent(spark):
     assert GOLD_TABLES["trip_fact"].merge_guard is not None
     assert ZORDER_CONFIG["trip_fact"][0] == "order_placed_at"
     assert GOLD_TABLES["dim_eater"].scd2_business_keys == ("eater_id",)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (diameter > 1 forces a second propagation round),
+    # pair 10-11, singleton 99
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_planted_neardups(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " ok"),              # near-dup of 1
+            (3, base + " ok fine"),          # near-dup of 2 (and likely 1)
+            (4, "completely different words about sailing ships at sea"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["is_canonical"]
+    assert out[2]["cluster_id"] == 1 and not out[2]["is_canonical"]
+    assert out[3]["cluster_id"] == 1
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+    # dedup keeps exactly one canonical per cluster
+    assert sum(1 for r in out.values() if r["is_canonical"]) == 2
+
+
+def test_hash_sampling_deterministic_and_disjoint(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import (
+        assign_splits,
+        hash_sample,
+        stratified_hash_sample,
+        top_k_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed="s").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed="s").collect()}
+    assert s1 == s2 and 30 <= len(s1) <= 90  # deterministic, ~20%
+    # repartitioning must not change membership (the df.sample failure mode)
+    s3 = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(7), "doc_id", 0.2, seed="s").collect()
+    }
+    assert s3 == s1
+
+    splits = assign_splits(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="v1"
+    )
+    per = {r["doc_id"]: r["split"] for r in splits.collect()}
+    assert len(per) == 300 and set(per.values()) == {"train", "val", "test"}
+
+    strat = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 1.0}, default_rate=0.0, seed="m"
+    )
+    langs = {r["lang"] for r in strat.collect()}
+    assert langs == {"en"}  # rate-1 stratum fully kept, rate-0 fully dropped
+
+    k = top_k_per_stratum(df, "doc_id", "lang", k=5)
+    by_lang = k.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in by_lang} == {"en": 5, "fr": 5}

@@ -396,3 +396,82 @@ def embedding_neardup_pairs(
         tiled.groupBy("bi", "bj")
         .applyInPandas(tile_pairs, "id_a long, id_b long")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: (id, component) per vertex.
+
+    ``edges`` is an undirected pair list (id_a, id_b); ``vertices``
+    supplies every node (singletons keep their own id as component).
+    Each round ships every vertex's current label across its edges and
+    takes the min — converges in graph-diameter rounds, and near-dup
+    components are shallow (pairs already had to collide in LSH bands),
+    so 3-4 rounds is typical. Per round: one shuffle join + one
+    groupBy-min, both on the vertex key — no driver-side state beyond
+    the single converged? aggregate. At 100 TB this is the standard
+    large-graph CC recipe (GraphX/Pregel does the same message flow);
+    swap in large-star/small-star if components ever get deep.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("v"), F.col("id_b").alias("u")
+    ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, "v")
+            .select(F.col("u").alias("v"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate clusters: LSH-verified pairs -> connected
+    components -> canonical pick (min id per cluster).
+
+    The keep/drop decision a dedup pipeline actually needs: every doc
+    gets (cluster_id, cluster_size, is_canonical); filtering to
+    ``is_canonical`` yields the deduplicated corpus with exactly one
+    representative per near-dup group.
+    """
+    pairs = neardup_verified_pairs(
+        df, id_col, text_col, n_hashes, band_size, shingle_n, threshold
+    )
+    comp = connected_components(pairs, df, id_col)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )

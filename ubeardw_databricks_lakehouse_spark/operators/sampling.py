@@ -1,0 +1,109 @@
+"""Deterministic sampling & dataset splitting for training-data prep.
+
+A 100 TB corpus pipeline samples and splits constantly — quality
+ablations, train/val/test carves, per-source mixing rates — and at
+scale the sample must be (a) reproducible run-to-run, (b) stable under
+repartitioning, and (c) pushdown-friendly. ``df.sample()`` is none of
+these (seeded per-partition RNG moves with the partitioning), so every
+operator here derives its randomness from a content hash of the row
+key: the decision for a row is a pure function of (key, seed) and the
+whole filter stays inside WholeStageCodegen — no UDF, no shuffle.
+
+md5 (not xxhash64) so DuckDB/any engine reproduces the exact sample:
+the bucket is ``conv(md5(seed|key)[:15], 16, 10) % n`` — the same
+trick the MinHash operator uses (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: bucket granularity — rates land on 1/10000 boundaries
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, seed: str = "") -> Column:
+    """Uniform bucket in [0, N_BUCKETS) from a content hash of the key.
+
+    60-bit md5 slice (exactly portable to DuckDB — see module doc);
+    uniform enough that a rate r keeps r*n rows within binomial noise.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(N_BUCKETS)).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, seed: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by key hash."""
+    return df.filter(hash_bucket(key, seed) < int(rate * N_BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum sampling rates (corpus mixing): keep a row when its
+    bucket clears its stratum's threshold. One codegen'd filter — the
+    rate table compiles to a CASE chain, so there is no join and the
+    predicate pushes into the scan."""
+    thresh = F.lit(int(default_rate * N_BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * N_BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(key, seed) < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic splits (train/val/test): cumulative bucket
+    ranges over one hash, so every row lands in exactly one split and
+    membership never changes as the corpus grows (a doc's split is a
+    function of its key alone)."""
+    b = hash_bucket(key, seed)
+    expr = None
+    cum = 0
+    for name, frac in fractions.items():  # caller-ordered carve
+        cum += int(frac * N_BUCKETS)
+        cond = b < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(F.lit(list(fractions)[-1])))
+
+
+def top_k_per_stratum(
+    df: DataFrame, key: str, strata_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """Exactly-k uniform rows per stratum (deterministic reservoir):
+    rank by key hash within the stratum, keep the k smallest. The
+    window partitions by stratum, so work distributes across strata —
+    no global ordering, no single-task funnel."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

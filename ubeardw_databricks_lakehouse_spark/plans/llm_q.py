@@ -265,6 +265,59 @@ WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
 """
 
 # ---------------------------------------------------------------------------
+# q_dedup_clusters: the keep/drop decision — LSH-verified pairs ->
+# connected components -> canonical representative per cluster. Oracle
+# computes the same components with a recursive reachability CTE.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, n_hashes=8, band_size=2, threshold=0.5)
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+        / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))) > 0.5
+),
+sym AS (
+  SELECT id_a AS v, id_b AS u FROM verified
+  UNION ALL
+  SELECT id_b AS v, id_a AS u FROM verified
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.v
+),
+comp AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT c.doc_id, c.cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+  c.doc_id = c.cluster_id AS is_canonical
+FROM comp c
+"""
+
+# ---------------------------------------------------------------------------
 # q_embedding_topk: exact cosine top-5 for query vectors vec_id < 10.
 # Output ids+rank only (ordering is float-stable; values are not).
 # ---------------------------------------------------------------------------
@@ -542,4 +595,87 @@ SELECT vec_id, geohash, '88' || geohash AS h3_index,
     ELSE 'UTC'
   END AS timezone
 FROM enc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (operators/sampling.py): the
+# md5-bucket trick makes every sample decision a pure function of the
+# row key, so DuckDB reproduces the exact row set.
+# ---------------------------------------------------------------------------
+
+_DUCK_BUCKET = (
+    "CAST(('0x' || substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 10000"
+)
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test carve + per-(lang, split) corpus accounting."""
+    from ..operators.sampling import assign_splits
+
+    docs = t(spark, sf_dir, "documents")
+    split = assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="v1"
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+Q_CORPUS_SPLITS_SQL = f"""
+WITH b AS (
+  SELECT lang, n_chars, {_DUCK_BUCKET.format(seed="v1")} AS bkt
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN bkt < 8000 THEN 'train'
+       WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing rates (en 50%, fr 25%, rest 10%)."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25}, default_rate=0.1,
+        seed="mix1",
+    )
+    return out.select("doc_id", "lang")
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DUCK_BUCKET.format(seed="mix1")} <
+  CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+"""
+
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 uniform docs per source (deterministic reservoir)."""
+    from ..operators.sampling import top_k_per_stratum
+
+    docs = t(spark, sf_dir, "documents")
+    return top_k_per_stratum(docs, "doc_id", "source", k=20, seed="r1").select(
+        "doc_id", "source"
+    )
+
+
+Q_SAMPLE_PER_SOURCE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5('r1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+) WHERE rk <= 20
 """

@@ -112,6 +112,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_neardup_verified", llm_q.q_neardup_verified,
              llm_q.Q_NEARDUP_VERIFIED_SQL,
              "MinHash->LSH->exact-Jaccard verified near-dup pipeline"),
+    QueryDef("q_dedup_clusters", llm_q.q_dedup_clusters,
+             llm_q.Q_DEDUP_CLUSTERS_SQL,
+             "near-dup clusters: connected components + canonical pick"),
     QueryDef("q_embedding_topk", llm_q.q_embedding_topk,
              llm_q.Q_EMBEDDING_TOPK_SQL, "brute-force cosine top-5 (ids+rank)"),
     QueryDef("q_embedding_neardup", llm_q.q_embedding_neardup,
@@ -134,6 +137,15 @@ QUERIES: list[QueryDef] = [
              "recursive-CTE geohash oracle"),
     QueryDef("q_simhash", llm_q.q_simhash, llm_q.Q_SIMHASH_SQL,
              "SimHash signatures, 60 effective bits, bit-exact DuckDB oracle"),
+    QueryDef("q_corpus_splits", llm_q.q_corpus_splits,
+             llm_q.Q_CORPUS_SPLITS_SQL,
+             "deterministic train/val/test carve + per-(lang,split) accounting"),
+    QueryDef("q_stratified_sample", llm_q.q_stratified_sample,
+             llm_q.Q_STRATIFIED_SAMPLE_SQL,
+             "per-language hash-sampling rates (corpus mixing)"),
+    QueryDef("q_sample_per_source", llm_q.q_sample_per_source,
+             llm_q.Q_SAMPLE_PER_SOURCE_SQL,
+             "exactly-k deterministic reservoir per source"),
 ]
 
 
