@@ -430,3 +430,47 @@ def test_hash_sampling_deterministic_and_disjoint(spark):
     k = top_k_per_stratum(df, "doc_id", "lang", k=5)
     by_lang = k.groupBy("lang").count().collect()
     assert {r["lang"]: r["count"] for r in by_lang} == {"en": 5, "fr": 5}
+
+
+def test_ivf_topk_recall_vs_brute(spark, emb):
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        topk_brute_force,
+        topk_ivf,
+    )
+
+    # mechanism on real test data: contiguous ranks, self-free, and
+    # recall == nprobe/K on geometry-free labels (the documented bound)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf_rows = topk_ivf(emb, queries, k=3, nprobe=2).collect()
+    per_q = {}
+    for r in ivf_rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    # recall on data where the quantizer matches geometry: 3 planted
+    # directional clusters, labels = cluster -> IVF must find the same
+    # neighbors as brute force
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    centers = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append(
+            (i, [v + rnd.uniform(-0.05, 0.05) for v in c], i % 3)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_brute_force(df, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(df, q, k=5, nprobe=1).collect()
+    }
+    assert len(exact & got) / len(exact) == 1.0

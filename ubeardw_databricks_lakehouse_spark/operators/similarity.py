@@ -205,3 +205,103 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _centroids(
+    corpus: DataFrame, vec_col: str, cell_col: str, dim: int
+) -> DataFrame:
+    """Per-cell mean vectors, engine-exact: each component rounds to 6
+    decimals, sums as DECIMAL (order-free exact arithmetic), then one
+    cast to double — the cross-engine float policy, so DuckDB rebuilds
+    bit-identical centroids."""
+    pos = F.posexplode(F.col(vec_col))
+    comp = corpus.select(F.col(cell_col).alias("cell"), pos).select(
+        "cell",
+        F.col("pos"),
+        F.round(F.col("col").cast("double"), 6).cast("decimal(16,6)").alias("v"),
+    )
+    per_dim = comp.groupBy("cell", "pos").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("cv")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("cvec")
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-``nprobe`` centroid cells per vector (broadcast N x K).
+
+    The centroid table is tiny (K rows), so this is a broadcast
+    nested-loop scored join — the standard IVF assignment cost N*K with
+    zero shuffle of the corpus. Ties break on cell id.
+    """
+    c = F.broadcast(centroids)
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(c).select(
+        id_col,
+        vec_col,
+        "cell",
+        cosine(F.col(vec_col), F.col("cvec")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= nprobe)
+        .drop("_csim", "_crk")
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into centroid cells,
+    probe each query's ``nprobe`` nearest cells, exact-rank inside.
+
+    The inverted-file counterpart to ``topk_lsh``: search cost drops
+    from N to ~N*nprobe/K per query, and the corpus join key is the
+    cell id — an equi-join, never a cross product. Here the coarse
+    quantizer trains as per-``cell_col`` means (deterministic; swap in
+    k-means iterations at scale — the search path is identical).
+    Recall < 1 only when a true neighbor hides in an unprobed cell;
+    raising nprobe trades cost for recall exactly like IVF-PQ systems.
+    """
+    cents = _centroids(corpus, vec_col, cell_col, dim)
+    corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        "cell",
+    )
+    query_cells = F.broadcast(
+        assign_cells(queries, cents, id_col, vec_col, nprobe).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+        )
+    )
+    scored = corpus_cells.join(query_cells, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -679,3 +679,55 @@ SELECT doc_id, source FROM (
   FROM h
 ) WHERE rk <= 20
 """
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_topk_ivf: the inverted-file ANN scale path. The oracle
+# replicates the full IVF algorithm (centroids, assignment, nprobe
+# probing), so the recall trade-off cancels and ranks compare exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_ivf(emb, queries, k=5, nprobe=2)
+
+
+Q_EMBEDDING_TOPK_IVF_SQL = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos,
+    CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(16,6))) AS DOUBLE)
+      / COUNT(*) AS cv
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+  GROUP BY label, g.i
+), cvecs AS (
+  SELECT cell, LIST(cv ORDER BY pos) AS cvec FROM cent GROUP BY cell
+), corpus_assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cell) AS rk
+    FROM embeddings e, cvecs c
+  ) WHERE rk = 1
+), query_assign AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cell) AS rk
+    FROM embeddings e, cvecs c
+    WHERE e.vec_id < 10
+  ) WHERE rk <= 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY LIST_COSINE_SIMILARITY(qv, nv) DESC, neighbor_id) AS rank
+  FROM corpus_assign JOIN query_assign USING (cell)
+  WHERE query_id <> neighbor_id
+) WHERE rank <= 5
+"""

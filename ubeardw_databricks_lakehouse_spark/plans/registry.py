@@ -124,6 +124,9 @@ QUERIES: list[QueryDef] = [
              "binary payload + Arrow mapInPandas features"),
     QueryDef("q_embedding_topk_lsh", llm_q.q_embedding_topk_lsh, None,
              "ANN top-k via hyperplane LSH (recall<1 -> rows-only check)"),
+    QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
+             llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
+             "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
     QueryDef("q_chunking", llm_q.q_chunking, llm_q.Q_CHUNKING_SQL,
              "fixed-size token chunks with overlap (training-data prep)"),
     QueryDef("q_vocabulary", llm_q.q_vocabulary, llm_q.Q_VOCABULARY_SQL,
