@@ -474,3 +474,25 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
         for r in topk_ivf(df, q, k=5, nprobe=1).collect()
     }
     assert len(exact & got) / len(exact) == 1.0
+
+
+def test_pii_redaction_patterns(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io and 192.168.1.254 then +33 (0)6-12-34-56"),
+            (2, "no pii here at all"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in df.select(
+        "id", redact_pii("text").alias("red"), *pii_counts("text")
+    ).collect()}
+    assert out[1]["red"] == "mail <EMAIL> and <IP> then <PHONE>"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)

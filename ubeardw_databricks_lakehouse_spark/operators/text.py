@@ -103,3 +103,37 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# --- PII scrubbing -------------------------------------------------------
+# Training corpora scrub contact info before anything else sees the
+# text. Patterns stick to syntax Java regex and RE2/DuckDB agree on
+# (no lookarounds, no backrefs) so the scrub is oracle-reproducible;
+# order matters — emails before phones (the phone pattern would eat
+# digit runs inside an address), IPs before phones (dotted quads parse
+# as the phone charset).
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phones/IPs with typed placeholder tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One ``n_{kind}`` count column per PII pattern (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    cur = c
+    for kind, pat, token in PII_PATTERNS:
+        out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)  # count on the scrubbed rest
+    return out

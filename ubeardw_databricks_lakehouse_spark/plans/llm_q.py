@@ -731,3 +731,64 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE query_id <> neighbor_id
 ) WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redaction: scrub emails/IPs/phones. Deterministic PII is
+# injected per doc_id so the scrub demonstrably fires on every row; the
+# oracle replays injection + the same ordered regex passes.
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.md5(redact_pii("text")).alias("redacted_fp"),
+        *pii_counts("text"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]"
+
+Q_PII_REDACTION_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+  FROM documents
+), pass1 AS (
+  SELECT doc_id, text,
+    LEN(REGEXP_EXTRACT_ALL(text, '{_PII_EMAIL}')) AS n_email,
+    REGEXP_REPLACE(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM injected
+), pass2 AS (
+  SELECT doc_id, n_email,
+    LEN(REGEXP_EXTRACT_ALL(t1, '{_PII_IP}')) AS n_ip,
+    REGEXP_REPLACE(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM pass1
+)
+SELECT doc_id, md5(REGEXP_REPLACE(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp,
+  n_email, n_ip,
+  LEN(REGEXP_EXTRACT_ALL(t2, '{_PII_PHONE}')) AS n_phone
+FROM pass2
+"""

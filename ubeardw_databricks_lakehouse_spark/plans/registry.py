@@ -149,6 +149,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_sample_per_source", llm_q.q_sample_per_source,
              llm_q.Q_SAMPLE_PER_SOURCE_SQL,
              "exactly-k deterministic reservoir per source"),
+    QueryDef("q_pii_redaction", llm_q.q_pii_redaction,
+             llm_q.Q_PII_REDACTION_SQL,
+             "email/IP/phone scrub with per-kind counts"),
 ]
 
 
