@@ -39,8 +39,11 @@ HEADLINE = [
     "q_exact_dedup",
     "q_neardup_verified",
     "q_embedding_topk",
+    "q_embedding_topk_ivf",
     "q_embedding_neardup",
     "q_text_profile",
+    "q_pii_redaction",
+    "q_corpus_splits",
     "q_streaming_event_counts",
 ]
 
