@@ -496,3 +496,25 @@ def test_pii_redaction_patterns(spark):
     assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
     assert out[2]["red"] == "no pii here at all"
     assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_asof_join_semantics(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "k long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r_eq"), (1, 150, "r_mid"), (2, 60, "r_late")],
+        "k long, ts long, tag string",
+    )
+    out = {r["pid"]: r["tag"] for r in asof_join(left, right, on=["k"]).collect()}
+    # equal-ts right row matches; latest prior wins; nothing matches
+    # before the first right row
+    assert out == {"p1": "r_eq", "p2": "r_mid", "p3": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(left, right.withColumnRenamed("tag", "pid"), on=["k"])

@@ -408,3 +408,49 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_asof_attribution: as-of join — each purchase attributed to the
+# user's most recent click at-or-before purchase time. DuckDB's native
+# ASOF JOIN is the oracle for the union+window Spark plan.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), "ts"
+    )
+    # dedupe clicks at identical (user, ts) so the carried row is
+    # deterministic in both engines (keep max event_id)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("click_ts", F.col("ts"))  # carried payload copy
+    )
+    joined = asof_join(purchases, clicks, on=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "micros_since_click"
+        ),
+    )
+
+
+Q_ASOF_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, c.click_event_id,
+  CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS micros_since_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""

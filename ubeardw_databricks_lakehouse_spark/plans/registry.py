@@ -91,6 +91,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_streaming_event_counts", events_q.q_streaming_event_counts,
              events_q.Q_STREAMING_EVENT_COUNTS_SQL,
              "Structured Streaming availableNow agg == batch (ST1/ST2)"),
+    QueryDef("q_asof_attribution", events_q.q_asof_attribution,
+             events_q.Q_ASOF_ATTRIBUTION_SQL,
+             "as-of join: purchase -> latest prior click (union+window)"),
     # --- static dims (F9-F11) ---
     QueryDef("q_dim_date", dims_q.q_dim_date, dims_q.Q_DIM_DATE_SQL,
              "sequence/explode calendar generator"),
