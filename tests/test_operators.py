@@ -518,3 +518,22 @@ def test_asof_join_semantics(spark):
 
     with _pytest.raises(ValueError, match="collides"):
         asof_join(left, right.withColumnRenamed("tag", "pid"), on=["k"])
+
+
+def test_range_join_binned_boundaries(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.rangejoin import (
+        range_join_binned,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 25), (4, 99)], "pid long, x long"
+    )
+    ivs = spark.createDataFrame(
+        # [5,10] inclusive both ends; [8,26] crosses two bin borders at w=10
+        [(100, 5, 10), (200, 8, 26)], "iid long, lo long, hi long"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pts, ivs, "x", "lo", "hi", bin_width=10).collect()
+    }
+    assert got == {(1, 100), (2, 100), (2, 200), (3, 200)}

@@ -454,3 +454,103 @@ SELECT p.event_id, p.user_id, c.click_event_id,
   CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS micros_since_click
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_windowed_counts (ST4): tumbling 1-day windows under a
+# 1-hour watermark, APPEND mode — only watermark-finalized windows
+# emit. The oracle replicates the emission rule (window_end <=
+# max_event_ts - delay), so the watermark semantics themselves are
+# what gets checked.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    ensure_read_confs(spark)
+    ev_schema = spark.read.parquet(src).schema
+    sink = f"stream_windows_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream_dir = os.path.join(ckpt, "stream_src")
+        os.makedirs(stream_dir)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+Q_STREAMING_WINDOWED_COUNTS_SQL = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+  COUNT(*) AS n_events
+FROM events, wm
+WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_error_after_purchase: range join — error events landing within 6h
+# after a purchase by the same user (binned equi-join, no cross
+# product). The oracle states it as the plain BETWEEN join.
+# ---------------------------------------------------------------------------
+
+
+def q_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_binned
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.unix_micros("ts").alias("err_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("p_lo"),
+        (F.unix_micros("ts") + F.lit(21_600_000_000)).alias("p_hi"),
+    )
+    joined = range_join_binned(
+        errors,
+        purchases,
+        point_col="err_us",
+        lo_col="p_lo",
+        hi_col="p_hi",
+        bin_width=21_600_000_000,
+        extra_on=["user_id"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_event_id",
+        "error_event_id",
+        (F.col("err_us") - F.col("p_lo")).alias("micros_after_purchase"),
+    )
+
+
+Q_ERROR_AFTER_PURCHASE_SQL = """
+SELECT e.user_id, p.event_id AS purchase_event_id,
+  e.event_id AS error_event_id,
+  epoch_us(e.ts) - epoch_us(p.ts) AS micros_after_purchase
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + 21600000000
+"""

@@ -91,9 +91,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_streaming_event_counts", events_q.q_streaming_event_counts,
              events_q.Q_STREAMING_EVENT_COUNTS_SQL,
              "Structured Streaming availableNow agg == batch (ST1/ST2)"),
+    QueryDef("q_streaming_windowed_counts", events_q.q_streaming_windowed_counts,
+             events_q.Q_STREAMING_WINDOWED_COUNTS_SQL,
+             "watermarked tumbling windows, append mode (ST4) — oracle "
+             "replays the emission rule"),
     QueryDef("q_asof_attribution", events_q.q_asof_attribution,
              events_q.Q_ASOF_ATTRIBUTION_SQL,
              "as-of join: purchase -> latest prior click (union+window)"),
+    QueryDef("q_error_after_purchase", events_q.q_error_after_purchase,
+             events_q.Q_ERROR_AFTER_PURCHASE_SQL,
+             "range join via interval binning (errors within 60s of purchase)"),
     # --- static dims (F9-F11) ---
     QueryDef("q_dim_date", dims_q.q_dim_date, dims_q.Q_DIM_DATE_SQL,
              "sequence/explode calendar generator"),
