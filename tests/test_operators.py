@@ -537,3 +537,33 @@ def test_range_join_binned_boundaries(spark):
         for r in range_join_binned(pts, ivs, "x", "lo", "hi", bin_width=10).collect()
     }
     assert got == {(1, 100), (2, 100), (2, 200), (3, 200)}
+
+
+def test_salted_join_matches_plain_and_spreads(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.skew import salted_join
+
+    # 90% of fact rows hit one hot key
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, i * 10) for i in range(200)],
+        "row_id long, k long, v long",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, tag string")
+    salted = salted_join(fact, dim, on=["k"], salt_from="row_id", n_salts=4)
+    plain = fact.join(dim, "k")
+    assert salted.count() == plain.count() == 200
+    a = {tuple(r) for r in salted.select("row_id", "tag").collect()}
+    b = {tuple(r) for r in plain.select("row_id", "tag").collect()}
+    assert a == b
+    # the hot key's rows actually spread across multiple salts
+    from pyspark.sql import functions as FF
+
+    spread = (
+        fact.withColumn(
+            "_salt", FF.pmod(FF.xxhash64("row_id"), FF.lit(4)).cast("int")
+        )
+        .filter("k = 1")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 4

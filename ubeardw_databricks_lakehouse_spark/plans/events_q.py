@@ -554,3 +554,45 @@ FROM events e JOIN events p
  AND e.event_type = 'error' AND p.event_type = 'purchase'
  AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + 21600000000
 """
+
+
+# ---------------------------------------------------------------------------
+# q_time_rollup_multires: hypertable-style multi-resolution rollup —
+# hour and day grains materialized in ONE pass via rollup grouping
+# sets (one shuffle, partial aggs shared), not one query per grain.
+# ---------------------------------------------------------------------------
+
+
+def q_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    binned = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    rolled = (
+        binned.rollup("day", "hour")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .filter(F.col("day").isNotNull())  # drop the grand-total row
+    )
+    return rolled.select(
+        F.when(F.col("hour").isNull(), "day").otherwise("hour").alias("grain"),
+        "day",
+        "hour",
+        "n_events",
+        "total_value",
+    )
+
+
+Q_TIME_ROLLUP_MULTIRES_SQL = """
+SELECT
+  CASE WHEN GROUPING(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
+  day, hour, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value
+  FROM events
+)
+GROUP BY GROUPING SETS ((day), (day, hour))
+"""

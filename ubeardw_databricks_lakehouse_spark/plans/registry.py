@@ -66,6 +66,9 @@ QUERIES: list[QueryDef] = [
              "returned-value customers: 4-way join + top-20 (J2,W1)"),
     QueryDef("q_customer_deciles", relational.q_customer_deciles,
              relational.Q_CUSTOMER_DECILES_SQL, "ntile + dense_rank deciles (W2)"),
+    QueryDef("q_salted_brand_revenue", relational.q_salted_brand_revenue,
+             relational.Q_SALTED_BRAND_REVENUE_SQL,
+             "salted skew join == plain join (oracle proves equivalence)"),
     # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
     QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
              events_q.Q_USER_LIFECYCLE_PIVOT_SQL,
@@ -98,6 +101,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_asof_attribution", events_q.q_asof_attribution,
              events_q.Q_ASOF_ATTRIBUTION_SQL,
              "as-of join: purchase -> latest prior click (union+window)"),
+    QueryDef("q_time_rollup_multires", events_q.q_time_rollup_multires,
+             events_q.Q_TIME_ROLLUP_MULTIRES_SQL,
+             "hour+day rollup grains in one grouping-sets pass"),
     QueryDef("q_error_after_purchase", events_q.q_error_after_purchase,
              events_q.Q_ERROR_AFTER_PURCHASE_SQL,
              "range join via interval binning (errors within 60s of purchase)"),

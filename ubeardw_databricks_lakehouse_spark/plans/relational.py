@@ -686,3 +686,39 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
               WHERE l_orderkey = o_orderkey AND l_linenumber >= 3)
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# q_salted_brand_revenue: the skew recipe — lineitem x part joined on a
+# salted key (dim exploded over 8 salts, fact salted by row hash). The
+# salt is a pure partitioning artifact, so the oracle is the PLAIN
+# join: matching hashes prove salting never changes results.
+# ---------------------------------------------------------------------------
+
+
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li,
+        part.withColumnRenamed("p_partkey", "l_partkey"),
+        on=["l_partkey"],
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice", "brand_revenue"),
+    )
+
+
+Q_SALTED_BRAND_REVENUE_SQL = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+  {sql_dsum('l_extendedprice', 'brand_revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
