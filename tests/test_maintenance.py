@@ -78,3 +78,29 @@ def test_validation_detects_corruption(spark, gold_lake, tmp_path):
     assert summary["status"] == "FAIL"
     with pytest.raises(AssertionError):
         validate_gold(lake2, raise_on_failure=True)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with no Exchange
+    (the co-located join the 100 TB layout relies on); result equals
+    the plain join."""
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    lake.overwrite_bucketed("bkt_left", left, ["k"], 4, sort_cols=["k"])
+    lake.overwrite_bucketed("bkt_right", right, ["k"], 4, sort_cols=["k"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        row = joined.filter("k = 7").first()
+        assert (row["a"], row["b"]) == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

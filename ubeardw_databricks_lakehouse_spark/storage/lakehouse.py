@@ -101,6 +101,33 @@ class Lakehouse:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(name))
 
+    def overwrite_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Catalog-registered bucketed table (hash-bucketed files).
+
+        Two tables bucketed the same way on their join key co-locate:
+        the join (and groupBy on the key) runs with NO Exchange — the
+        100 TB recipe for a fact table repeatedly joined on the same
+        key. Requires the session catalog (bucket metadata lives
+        there, not in parquet), so the table is addressed by name in
+        SQL, and ``read`` of the raw path ignores bucketing.
+        """
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+
     # -- merge semantics ---------------------------------------------------
 
     def upsert(
