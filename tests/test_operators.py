@@ -567,3 +567,25 @@ def test_salted_join_matches_plain_and_spreads(spark):
         .count()
     )
     assert spread == 4
+
+
+def test_sentence_split_udtf(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.udtf_ops import (
+        SentenceSplit,
+    )
+
+    spark.udtf.register("sentence_split_t", SentenceSplit)
+    spark.createDataFrame(
+        [(1, "First one. Second two words! Third?  "), (2, None), (3, "...")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_sent_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.* FROM _sent_docs d, "
+        "LATERAL sentence_split_t(d.text) s"
+    ).collect()
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"], r["n_words"]) for r in rows]
+    assert got == [
+        (1, 0, "First one.", 2),
+        (1, 1, "Second two words!", 3),
+        (1, 2, "Third?", 1),
+    ]  # NULL text and terminator-only text expand to nothing

@@ -792,3 +792,43 @@ SELECT doc_id, md5(REGEXP_REPLACE(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS redact
   LEN(REGEXP_EXTRACT_ALL(t2, '{_PII_PHONE}')) AS n_phone
 FROM pass2
 """
+
+
+# ---------------------------------------------------------------------------
+# q_sentence_split: Python UDTF (Spark 4) lateral join — imperative
+# row expansion. The oracle is the declarative regexp/unnest twin,
+# proving the UDTF path computes exactly what explode would.
+# ---------------------------------------------------------------------------
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udtf_ops import SentenceSplit
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM _docs_for_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+Q_SENTENCE_SPLIT_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]?') AS arr
+  FROM documents
+), raw AS (
+  SELECT doc_id, arr[g.i] AS piece, g.i AS ord
+  FROM arrs, UNNEST(GENERATE_SERIES(1, LEN(arr))) AS g(i)
+), cleaned AS (
+  SELECT doc_id, ord, TRIM(piece, ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+  FROM raw
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INTEGER) AS sent_idx,
+  sentence,
+  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(sentence, '\s+'), x -> x <> '')) AS INTEGER) AS n_words
+FROM cleaned
+WHERE sentence <> ''
+"""

@@ -165,6 +165,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_sample_per_source", llm_q.q_sample_per_source,
              llm_q.Q_SAMPLE_PER_SOURCE_SQL,
              "exactly-k deterministic reservoir per source"),
+    QueryDef("q_sentence_split", llm_q.q_sentence_split,
+             llm_q.Q_SENTENCE_SPLIT_SQL,
+             "Python UDTF lateral join == declarative unnest twin"),
     QueryDef("q_pii_redaction", llm_q.q_pii_redaction,
              llm_q.Q_PII_REDACTION_SQL,
              "email/IP/phone scrub with per-kind counts"),
