@@ -1,0 +1,117 @@
+"""Physical-plan regression guards for the scale claims in SCALING.md.
+
+These tests pin the plan *shape*, not timings: filter pushdown reaches
+the parquet scan, column pruning shrinks ReadSchema, dims broadcast
+(no sort-merge join in the headline relational queries), top-k plans
+as TakeOrderedAndProject (no single-partition global window), and the
+sampling filters compile into the scan. A regression here is a 100 TB
+incident that no correctness test would catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q01_pricing_summary,
+    )
+
+    f = _formatted(q01_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in f
+    # projection pruning: the scan must not read all 16 lineitem cols
+    read_schema = [l for l in f.splitlines() if "ReadSchema" in l][0]
+    assert read_schema.count(",") <= 7, read_schema
+
+
+def test_q03_broadcasts_dims_no_sort_merge(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q03_shipping_priority,
+    )
+
+    p = _plan(q03_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q03_shipping_priority", "q10_returned_items", "q_top_purchasers"],
+)
+def test_topk_is_take_ordered_not_global_window(spark, qname):
+    """Round-1 VERDICT #5: global row_number() funnels the aggregate
+    through one task; these queries must plan as TakeOrderedAndProject."""
+    from ubeardw_databricks_lakehouse_spark.plans import events_q, relational
+
+    fn = getattr(relational, qname, None) or getattr(events_q, qname)
+    p = _plan(fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    # a rank window may exist, but only ABOVE the TakeOrdered (i.e. over
+    # the k surviving rows) — never under it on the full aggregate
+    if "Window" in p:
+        assert p.index("Window") < p.index("TakeOrderedAndProject"), p
+
+
+def test_hash_sample_filter_reaches_scan(spark):
+    """The sampling predicate is a pure function of the key column, so
+    it must compile into the scan stage (single codegen'd filter, no
+    shuffle, no Python)."""
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(hash_sample(docs, "doc_id", 0.2, seed="s"))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(1) Filter" in p  # codegen'd single-stage filter
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    """The LSH band join must stay an equi-join — a cartesian/nested-
+    loop here is the O(n^2) failure the banding exists to prevent."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=2)
+    p = _plan(lsh_candidate_pairs(sigs, n_hashes=8, band_size=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned range join exists to avoid BroadcastNestedLoopJoin —
+    pin that the bin key actually makes it a hash/sort-merge join."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.rangejoin import (
+        range_join_binned,
+    )
+
+    pts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") * 7).alias("x"))
+    ivs = spark.range(500).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 11).alias("lo"),
+        (F.col("id") * 11 + 20).alias("hi"),
+    )
+    p = _plan(range_join_binned(pts, ivs, "x", "lo", "hi", bin_width=100))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
