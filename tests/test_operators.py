@@ -589,3 +589,32 @@ def test_sentence_split_udtf(spark):
         (1, 1, "Second two words!", 3),
         (1, 2, "Third?", 1),
     ]  # NULL text and terminator-only text expand to nothing
+
+
+def test_approx_profile_error_bounds(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.sketches import (
+        approx_profile,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in approx_profile(
+            ev, ["event_type"], distinct_col="user_id", quantile_col="value"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("d"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("q"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        g = got[et]
+        # HLL++ at rsd=0.05: allow 3 sigma
+        assert abs(g["approx_distinct_user_id"] - e["d"]) <= 0.15 * e["d"]
+        for approx_q, exact_q in zip(g["approx_quantiles_value"], e["q"]):
+            assert abs(approx_q - exact_q) <= 0.05 * max(abs(exact_q), 1.0)

@@ -596,3 +596,20 @@ FROM (
 )
 GROUP BY GROUPING SETS ((day), (day, hour))
 """
+
+
+# ---------------------------------------------------------------------------
+# q_approx_profile: sketch aggregates (HLL distinct + quantile sketch).
+# Rows-only BY DESIGN: sketch estimates are implementation-defined, so
+# no engine-portable hash exists; error bounds vs exact answers are
+# pytest-verified (tests/test_operators.py).
+# ---------------------------------------------------------------------------
+
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import approx_profile
+
+    ev = t(spark, sf_dir, "events")
+    return approx_profile(
+        ev, ["event_type"], distinct_col="user_id", quantile_col="value"
+    )

@@ -101,6 +101,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_asof_attribution", events_q.q_asof_attribution,
              events_q.Q_ASOF_ATTRIBUTION_SQL,
              "as-of join: purchase -> latest prior click (union+window)"),
+    QueryDef("q_approx_profile", events_q.q_approx_profile, None,
+             "HLL distinct + quantile sketches (estimates are "
+             "implementation-defined -> rows-only; bounds pytest-checked)"),
     QueryDef("q_time_rollup_multires", events_q.q_time_rollup_multires,
              events_q.Q_TIME_ROLLUP_MULTIRES_SQL,
              "hour+day rollup grains in one grouping-sets pass"),
