@@ -618,3 +618,83 @@ def test_approx_profile_error_bounds(spark):
         assert abs(g["approx_distinct_user_id"] - e["d"]) <= 0.15 * e["d"]
         for approx_q, exact_q in zip(g["approx_quantiles_value"], e["q"]):
             assert abs(approx_q - exact_q) <= 0.05 * max(abs(exact_q), 1.0)
+
+
+def test_contamination_report_known_overlap(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            # shares the eval doc's full text -> every 3-gram collides
+            (1, "alpha beta gamma delta epsilon"),
+            # shares a 3-word window with eval doc 100
+            (2, "x y alpha beta gamma z w"),
+            # clean
+            (3, "one two three four five six"),
+            # too short for any 3-gram -> absent from the report
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_report(train, evalset, n=3).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # doc 4 has no 3-grams
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] == 3
+    assert rows[2]["contaminated"] and rows[2]["n_overlap"] == 1
+    assert rows[2]["n_eval_docs"] == 1
+    assert not rows[3]["contaminated"] and rows[3]["n_overlap"] == 0
+
+
+def test_ngram_doc_frequency_counts_repeats(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        ngram_doc_frequency,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # "a b" x3, "b a" x2 within one doc
+            (2, "a b c"),
+            (3, "c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {
+        r["ngram"]: r for r in ngram_doc_frequency(df, n=2, min_doc_freq=2).collect()
+    }
+    assert set(stats) == {"a b"}  # only bigram present in >= 2 docs
+    assert stats["a b"]["doc_freq"] == 2
+    assert stats["a b"]["total_occurrences"] == 4  # 3 in doc1 + 1 in doc2
+
+
+def test_gopher_quality_flags_rules(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    # 40 distinct-ish words incl. "the" -> top_word_frac 1/40, every rule green
+    long_ok = "the " + " ".join(f"word{i}" for i in range(39))
+    no_stop = " ".join(["zig zag quux blorp fnord"] * 8)  # 40 words, no stopword
+    repeated = "the " + " ".join(["dup"] * 40)  # top_word_frac ~ 40/41
+    short = "the quick brown fox"
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(
+                [(1, long_ok), (2, no_stop), (3, repeated), (4, short)],
+                ["doc_id", "text"],
+            )
+        ).collect()
+    }
+    assert rows[1]["keep"]
+    assert not rows[2]["keep"] and not rows[2]["has_stopword"]
+    assert not rows[3]["keep"] and rows[3]["top_word_frac"] > 0.9
+    assert not rows[4]["keep"] and rows[4]["n_words"] == 4
+    # dup_bigram_frac: "a b a b" repetition detected
+    assert rows[3]["dup_bigram_frac"] > 0.9

@@ -1,0 +1,203 @@
+"""Corpus-curation operators — decontamination, boilerplate detection,
+composite quality rules (Gopher-style).
+
+These are the corpus-level gates an LLM training-data pipeline runs
+after per-document scoring (`operators/text.py`) and before dedup
+sampling (`operators/sampling.py`):
+
+- **decontamination**: flag training documents that share any word
+  n-gram with an evaluation/benchmark set (the GPT-3/PaLM "13-gram
+  collision" method, public in Brown et al. 2020 §C). At 100 TB the
+  eval side is tiny (benchmarks are MBs) — broadcast its n-gram set
+  and the whole check is one map-side join plus a per-doc groupBy;
+  the train corpus is never shuffled by anything wider than doc_id.
+- **boilerplate n-gram stats**: corpus-wide n-gram document frequency
+  (the CCNet/C4 signal for boilerplate stripping). Two-level
+  aggregation — (ngram, doc) partial counts, then ngram totals — so
+  the map-side combine absorbs per-doc repetition before the wide
+  shuffle; the final shuffle key is the ngram itself, skew handled by
+  AQE (common n-grams are exactly the skewed keys).
+- **quality rules**: Rae et al. 2021 (Gopher §A1.1) style keep/drop
+  rule battery: word count bounds, mean word length, symbol ratio,
+  stopword evidence, top-word concentration, duplicate-bigram
+  fraction. All but top-word-fraction are pure per-row expressions;
+  top-word-fraction is an explode + two-level agg + 1:1 join back on
+  doc_id.
+
+Everything is oracle-checkable: md5 is the only hash, counts and
+int/int double divisions are bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_from_tokens
+from .text import tokens
+
+
+def _doc_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, out: str = "ngram"
+) -> DataFrame:
+    """(id, ngram) exploded rows, ngrams DISTINCT per document."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias(out)
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-train-document n-gram collisions against an eval set.
+
+    Returns one row per train document:
+      (doc_id, n_ngrams, n_overlap, n_eval_docs, contaminated)
+
+    Scale shape: eval n-grams are broadcast (benchmarks are small by
+    construction); the only wide shuffle is the per-doc groupBy, keyed
+    by doc_id — no skew (each doc contributes its own distinct grams).
+    """
+    train_g = _doc_ngrams(train, id_col, text_col, n)
+    eval_g = (
+        _doc_ngrams(evalset, id_col, text_col, n)
+        .withColumnRenamed(id_col, "_eval_id")
+        .distinct()
+    )
+    hits = (
+        train_g.join(F.broadcast(eval_g), "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("ngram").alias("n_overlap"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+    totals = train_g.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def ngram_doc_frequency(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide n-gram stats: (ngram, doc_freq, total_occurrences).
+
+    Boilerplate phrases surface as high doc_freq. Occurrences are
+    counted with repetition (non-distinct n-grams); doc_freq counts
+    each document once.
+
+    Two-level agg: (ngram, doc) partials combine map-side, then the
+    ngram-level rollup shuffles once on the ngram key.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    m = F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(0))
+    parts = [F.slice(F.col("_toks"), i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    all_grams = toked.select(id_col, F.explode(acc).alias("ngram"))
+    per_doc = all_grams.groupBy(id_col, "ngram").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("c").alias("total_occurrences"),
+        )
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+# Gopher-style rule thresholds (public: Rae et al. 2021, §A1.1),
+# adapted to word-level signals computable identically in two engines.
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.10
+MAX_TOP_WORD_FRAC = 0.15
+MAX_DUP_BIGRAM_FRAC = 0.50
+STOPWORDS = ("the", "and", "with", "that", "for")
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite keep/drop rule battery per document.
+
+    Returns (doc_id, n_words, mean_word_len, symbol_ratio,
+    top_word_frac, dup_bigram_frac, has_stopword, keep) — the numeric
+    signals are exposed so downstream thresholds can be re-tuned
+    without recomputing the corpus pass.
+    """
+    c = F.col(text_col)
+    toked = df.select(F.col(id_col), c.alias("_text"), tokens(text_col).alias("_toks"))
+    base = toked.select(
+        id_col,
+        F.size("_toks").alias("n_words"),
+        # total non-whitespace chars / words — identical to averaging
+        # per-token lengths because tokens are the non-space runs
+        (
+            F.length(F.regexp_replace("_text", r"\s+", "")).cast("double")
+            / F.greatest(F.size("_toks"), F.lit(1))
+        ).alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace("_text", r"[A-Za-z0-9\s]", "")).cast("double")
+            / F.greatest(F.length("_text"), F.lit(1))
+        ).alias("symbol_ratio"),
+        F.when(F.size("_toks") < 2, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.size(shingles_from_tokens(F.col("_toks"), 2)).cast("double")
+            / (F.size("_toks") - 1)
+        )
+        .alias("dup_bigram_frac"),
+        F.arrays_overlap(
+            F.transform(F.col("_toks"), lambda x: F.lower(x)),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        ).alias("has_stopword"),
+    )
+    word_counts = (
+        toked.select(id_col, F.explode("_toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+        )
+    )
+    out = base.join(word_counts, id_col)
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("top_word_frac") <= MAX_TOP_WORD_FRAC)
+        & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC)
+        & F.col("has_stopword")
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "top_word_frac",
+        "dup_bigram_frac",
+        "has_stopword",
+        keep.alias("keep"),
+    )

@@ -1,0 +1,154 @@
+"""Corpus-curation queries — decontamination, boilerplate n-grams,
+Gopher-style quality rules — with DuckDB oracles.
+
+These extend the reference's surface with the corpus-level gates a
+training-data pipeline needs (BASELINE.json north star; public
+methods: Brown et al. 2020 §C n-gram decontamination, Rae et al. 2021
+§A1.1 quality rules, CCNet boilerplate stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    contamination_report,
+    gopher_quality_flags,
+    ngram_doc_frequency,
+)
+from .common import t
+
+# Shared DuckDB fragment: whitespace tokens per document.
+_DUCK_WORDS = r"""
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+"""
+
+
+def _duck_ngrams(n: int, distinct: bool) -> str:
+    """n-gram explosion over the _DUCK_WORDS CTE (expects it as ``w``)."""
+    inner = (
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(words)-{n - 1}, 0)), "
+        f"i -> ARRAY_TO_STRING(words[i:i+{n - 1}], ' '))"
+    )
+    if distinct:
+        inner = f"LIST_DISTINCT({inner})"
+    return f"SELECT doc_id, UNNEST({inner}) AS ngram FROM w"
+
+
+# ---------------------------------------------------------------------------
+# q_contamination: 8-gram collision check of the training split against a
+# held-out eval split (doc_id % 50 == 0 plays the benchmark set).
+# ---------------------------------------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_report(train, evalset, n=8)
+
+
+Q_CONTAMINATION_SQL = f"""
+WITH w AS ({_DUCK_WORDS}),
+g AS ({_duck_ngrams(8, distinct=True)}),
+train AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+ev AS (SELECT DISTINCT doc_id AS eval_id, ngram FROM g WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT t.doc_id,
+    COUNT(DISTINCT t.ngram) AS n_overlap,
+    COUNT(DISTINCT e.eval_id) AS n_eval_docs
+  FROM train t JOIN ev e USING (ngram)
+  GROUP BY t.doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY doc_id)
+SELECT totals.doc_id, n_ngrams,
+  COALESCE(n_overlap, 0) AS n_overlap,
+  COALESCE(n_eval_docs, 0) AS n_eval_docs,
+  COALESCE(n_overlap, 0) > 0 AS contaminated
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_ngrams: corpus-wide trigram doc-frequency, top 50 under a
+# total order (doc_freq, total_occurrences, ngram) — TakeOrderedAndProject,
+# no single-partition window.
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    stats = ngram_doc_frequency(docs, n=3, min_doc_freq=2)
+    return stats.orderBy(
+        F.desc("doc_freq"), F.desc("total_occurrences"), F.asc("ngram")
+    ).limit(50)
+
+
+Q_BOILERPLATE_NGRAMS_SQL = f"""
+WITH w AS ({_DUCK_WORDS}),
+g AS ({_duck_ngrams(3, distinct=False)}),
+pd AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT ngram, COUNT(*) AS doc_freq,
+  CAST(SUM(c) AS BIGINT) AS total_occurrences
+FROM pd GROUP BY ngram HAVING COUNT(*) >= 2
+ORDER BY doc_freq DESC, total_occurrences DESC, ngram
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_quality_rules: composite Gopher-style keep/drop battery per document.
+# All ratios are int/int double divisions — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
+
+
+Q_QUALITY_RULES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    LEN(words) AS n_words,
+    LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) * 1.0
+      / GREATEST(LEN(words), 1) AS mean_word_len,
+    LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+      / GREATEST(LENGTH(text), 1) AS symbol_ratio,
+    CASE WHEN LEN(words) < 2 THEN 0.0
+         ELSE 1.0 - LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                GENERATE_SERIES(1, LEN(words) - 1),
+                i -> words[i] || ' ' || words[i+1]))) * 1.0
+              / (LEN(words) - 1)
+    END AS dup_bigram_frac,
+    LEN(LIST_INTERSECT(LIST_TRANSFORM(words, x -> LOWER(x)),
+        ['the', 'and', 'with', 'that', 'for'])) > 0 AS has_stopword
+  FROM w
+),
+wc AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_word_frac
+  FROM (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(words) AS word FROM w)
+    GROUP BY doc_id, word
+  )
+  GROUP BY doc_id
+)
+SELECT base.doc_id, n_words, mean_word_len, symbol_ratio, top_word_frac,
+  dup_bigram_frac, has_stopword,
+  (n_words BETWEEN 30 AND 100000
+   AND mean_word_len BETWEEN 2.0 AND 10.0
+   AND symbol_ratio <= 0.10
+   AND top_word_frac <= 0.15
+   AND dup_bigram_frac <= 0.50
+   AND has_stopword) AS keep
+FROM base JOIN wc ON base.doc_id = wc.doc_id
+"""

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dims_q, events_q, llm_q, relational
+from . import curation_q, dims_q, events_q, llm_q, relational
 
 
 @dataclass(frozen=True)
@@ -174,6 +174,15 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_pii_redaction", llm_q.q_pii_redaction,
              llm_q.Q_PII_REDACTION_SQL,
              "email/IP/phone scrub with per-kind counts"),
+    QueryDef("q_contamination", curation_q.q_contamination,
+             curation_q.Q_CONTAMINATION_SQL,
+             "8-gram eval-set decontamination (broadcast eval grams)"),
+    QueryDef("q_boilerplate_ngrams", curation_q.q_boilerplate_ngrams,
+             curation_q.Q_BOILERPLATE_NGRAMS_SQL,
+             "corpus trigram doc-frequency top-50 (boilerplate signal)"),
+    QueryDef("q_quality_rules", curation_q.q_quality_rules,
+             curation_q.Q_QUALITY_RULES_SQL,
+             "Gopher-style composite keep/drop rule battery"),
 ]
 
 
