@@ -69,6 +69,26 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_salted_brand_revenue", relational.q_salted_brand_revenue,
              relational.Q_SALTED_BRAND_REVENUE_SQL,
              "salted skew join == plain join (oracle proves equivalence)"),
+    QueryDef("q07_nation_volume", relational.q07_nation_volume,
+             relational.Q07_SQL, "two-nation volume, broadcast dims (J2,F9)"),
+    QueryDef("q08_market_share", relational.q08_market_share,
+             relational.Q08_SQL, "market-share ratio of conditional sums (A3)"),
+    QueryDef("q09_product_profit", relational.q09_product_profit,
+             relational.Q09_SQL, "profit by nation/year, LIKE-pruned parts"),
+    QueryDef("q13_customer_distribution", relational.q13_customer_distribution,
+             relational.Q13_SQL, "outer-join count-of-counts histogram (J,A)"),
+    QueryDef("q15_top_supplier", relational.q15_top_supplier,
+             relational.Q15_SQL, "agg-view max via 1-row broadcast join"),
+    QueryDef("q17_small_qty_revenue", relational.q17_small_qty_revenue,
+             relational.Q17_SQL, "decorrelated scalar subquery (agg+join)"),
+    QueryDef("q18_large_orders", relational.q18_large_orders,
+             relational.Q18_SQL, "HAVING semi join + TakeOrdered top-100"),
+    QueryDef("q19_disjunctive_revenue", relational.q19_disjunctive_revenue,
+             relational.Q19_SQL, "OR-of-conjunction predicates (P4 stress)"),
+    QueryDef("q21_waiting_supplier", relational.q21_waiting_supplier,
+             relational.Q21_SQL, "EXISTS/NOT-EXISTS decorrelated to aggs"),
+    QueryDef("q22_idle_customers", relational.q22_idle_customers,
+             relational.Q22_SQL, "global-avg scalar broadcast + anti join"),
     # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
     QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
              events_q.Q_USER_LIFECYCLE_PIVOT_SQL,

@@ -722,3 +722,529 @@ SELECT p_brand, COUNT(*) AS n_items,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# q07 nation volume (J2 multi-way, F9): revenue flow between two nations in
+# both directions. supplier/nation broadcast; the one wide shuffle is the
+# lineitem-orders join (both sides keyed on orderkey); the group-by keys are
+# tiny (2 nations x 2 years). Classic TPC-H Q7 on the driver's schema.
+# ---------------------------------------------------------------------------
+
+
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    n_s = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == n_s.s_nk)
+        .join(F.broadcast(n_c), cust.c_nationkey == n_c.c_nk)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+Q07_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 market share (A3 ratio-of-conditional-aggregates): NATION_3's share of
+# PROMO-part revenue delivered into EUROPE, by order year. Share is a
+# ratio of two exact decimal sums surfaced as doubles — the q14 discipline.
+# ---------------------------------------------------------------------------
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n_c = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n_s = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q08_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 product profit (adapted Q9 — no partsupp table, so unit cost is a
+# fixed 0.6 fraction of p_retailprice, kept exact in decimals): profit by
+# supplier nation x order year for '%red%' parts. LIKE filter prunes the
+# broadcast part side before the fact join.
+# ---------------------------------------------------------------------------
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(4,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(vol - cost).cast("double").alias("sum_profit"))
+    )
+
+
+Q09_SQL = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1))
+           * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 customer distribution (J-outer + two-level agg): orders-per-customer
+# histogram including zero-order customers — the left outer join the
+# reference's validation suite uses, shaped as count-of-counts.
+# ---------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 top supplier (scalar-subquery max against an aggregate view): Q1-1996
+# revenue per supplier, keep the max. The max is a 1-row broadcast join, not
+# a window — no single-partition Exchange.
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(vol).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 small-quantity revenue (correlated scalar subquery -> agg+join):
+# lineitems under 20% of their part's average quantity, for one brand's
+# small parts (p_container surrogate: p_size < 15). The per-part average is
+# a narrow agg joined back on partkey — the standard decorrelation.
+# ---------------------------------------------------------------------------
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    pa = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avgq = pa.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("_avg_qty")
+    )
+    return (
+        pa.join(avgq, pa.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_size < 15
+), avgq AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity)
+      AS avg_qty
+  FROM pa GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM pa JOIN avgq ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 large orders (semi join on a grouped HAVING + parallel top-k): orders
+# whose total quantity exceeds 250, top 100 by price. The qualifying-keys
+# set is an aggregate, joined (not collected); top-k is TakeOrdered.
+# ---------------------------------------------------------------------------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM big
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 disjunctive predicates (P4 OR-of-conjunctions): three (brand, size,
+# quantity) windows OR'd together — the predicate-pushdown stress test.
+# Part side broadcasts pre-filtered to the union of brands.
+# ---------------------------------------------------------------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 waiting supplier (adapted Q21 — no commit/receipt dates in this
+# schema, so "late" is shipping >90 days after order date): suppliers who
+# were the ONLY late supplier on a multi-supplier order. The classic
+# EXISTS / NOT EXISTS pair decorrelates into per-order aggregates joined
+# back — no correlated subquery, no cartesian.
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        li.l_orderkey,
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("late")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    qual = per_os.filter(F.col("late") == 1).join(
+        per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+        per_os.l_orderkey == F.col("_ok"),
+    )
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, numwait FROM (
+  SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s_name) AS rn
+  FROM lo
+  JOIN per_o ON lo.l_orderkey = per_o.l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE late = 1 AND n_supp > 1 AND n_late = 1
+  GROUP BY s_name
+)
+WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 idle wealthy customers (adapted Q22 — nation names play the phone
+# country codes): customers in 7 nations with above-average positive
+# balance and no orders at all. Global average is a 1-row broadcast;
+# "no orders" is a left-anti join.
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = [f"NATION_{i}" for i in (1, 3, 5, 7, 9, 11, 13)]
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    # "idle" = no orders in/after 1999 (every customer in this data has
+    # at least one lifetime order, so the classic no-orders-ever form
+    # would be vacuous)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(_Q22_NATIONS))
+    cust_n = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    avgbal = cust_n.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("_avg_bal")
+    )
+    wealthy = cust_n.join(F.broadcast(avgbal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = wealthy.join(orders, wealthy.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.col("n_name").alias("cntry")).agg(
+        F.count("*").alias("numcust"),
+        dsum("c_acctbal", "totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+WITH cust_n AS (
+  SELECT c_custkey, c_acctbal, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ({", ".join(f"'{n}'" for n in _Q22_NATIONS)})
+)
+SELECT n_name AS cntry, COUNT(*) AS numcust,
+  {sql_dsum('c_acctbal', 'totacctbal')}
+FROM cust_n
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+    FROM cust_n WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n_name
+"""
