@@ -115,3 +115,65 @@ def test_range_join_binned_is_equi_join(spark):
     p = _plan(range_join_binned(pts, ivs, "x", "lo", "hi", bin_width=100))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_q21_topk_take_ordered(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q18_large_orders,
+        q21_waiting_supplier,
+    )
+
+    for fn in (q18_large_orders, q21_waiting_supplier):
+        p = _plan(fn(spark, SF))
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange SinglePartition" not in p
+
+
+def test_q19_part_side_prunes_to_brands(spark):
+    """The mixed OR can't auto-push to the part scan; the explicit
+    part-only weakening must appear as pushed Or filters."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q19_disjunctive_revenue,
+    )
+
+    f = _formatted(q19_disjunctive_revenue(spark, SF))
+    pushed = [l for l in f.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l and "p_brand" in l for l in pushed), pushed
+
+
+def test_new_tpch_no_cartesian_no_single_partition(spark):
+    """Grouped queries must never funnel rows through one partition.
+    Scalar-aggregate queries (q15's max, q17/q19's global sum) DO emit
+    an Exchange SinglePartition, but it only merges per-partition
+    partials — O(partitions) rows — which is fine; they're asserted
+    separately to have no single-partition *sort* (the actual killer)."""
+    from ubeardw_databricks_lakehouse_spark.plans import relational as R
+
+    for fn in (
+        R.q07_nation_volume, R.q08_market_share, R.q09_product_profit,
+        R.q13_customer_distribution,
+    ):
+        p = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "Exchange SinglePartition" not in p, fn.__name__
+    for fn in (R.q15_top_supplier, R.q17_small_qty_revenue,
+               R.q19_disjunctive_revenue):
+        p = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in p, fn.__name__
+        # the single-partition exchange may only feed the final scalar
+        # agg merge — a global Sort there would mean real data funneled
+        for i, line in enumerate(p.splitlines()):
+            if "Exchange SinglePartition" in line:
+                above = p.splitlines()[max(0, i - 3):i]
+                assert any("HashAggregate" in l for l in above), (fn.__name__, above)
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval n-gram set must broadcast — shipping the train corpus
+    to a shuffle keyed by ngram would be the 100 TB mistake."""
+    from ubeardw_databricks_lakehouse_spark.plans.curation_q import (
+        q_contamination,
+    )
+
+    p = _plan(q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in p

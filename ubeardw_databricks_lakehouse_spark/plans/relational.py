@@ -1092,7 +1092,14 @@ WHERE rn <= 100
 
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part")
+    # part-only weakening of the disjunction, applied before the join —
+    # Catalyst can't derive it from the mixed OR (it references lineitem
+    # columns too), so state it explicitly and the scan prunes to 3 brands
+    part = t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
     vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
