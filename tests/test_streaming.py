@@ -124,3 +124,67 @@ def test_streaming_sessionizer_matches_batch(spark, tmp_path):
     assert len(got_counts) > 0
     for key, n in got_counts.items():
         assert batch_by_user_session.get(key) == n, f"mismatch at {key}"
+
+
+def test_stream_stream_join_carries_watermarks_and_matches_batch(spark, tmp_path):
+    """Inner stream-stream interval join: result equals the batch join;
+    both sides carry event-time watermarks (what bounds join state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.plans.common import t
+    from ubeardw_databricks_lakehouse_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = t(spark, sf, "events")
+
+    def side(df, kind, ts_name, id_name):
+        return df.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_name),
+            F.col("ts").alias(ts_name),
+        )
+
+    batch = stream_stream_interval_join(
+        side(ev, "view", "view_ts", "view_id"),
+        side(ev, "click", "click_ts", "click_id"),
+        key="user_id", left_ts="view_ts", right_ts="click_ts",
+        horizon="1 hour",
+    )
+    n_batch = batch.count()
+
+    src = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "src"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "events.parquet")
+
+    def stream_side(kind, ts_name, id_name):
+        raw = spark.readStream.schema(schema).parquet(str(stream_dir))
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return side(raw, kind, ts_name, id_name)
+
+    joined = stream_stream_interval_join(
+        stream_side("view", "view_ts", "view_id"),
+        stream_side("click", "click_ts", "click_id"),
+        key="user_id", left_ts="view_ts", right_ts="click_ts",
+        horizon="1 hour", watermark="2 hours",
+    )
+    # both event-time columns carry the 2h watermark delay marker
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("-T7200000ms") >= 2, analyzed.splitlines()[0]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ss_join_test")
+    assert got.count() == n_batch
+    assert sorted(c for c in got.columns) == sorted(batch.columns)

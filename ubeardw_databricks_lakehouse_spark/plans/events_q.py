@@ -507,6 +507,72 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q_stream_attribution (ST extension): watermarked STREAM-STREAM interval
+# join — clicks attributed to views by the same user within 1 hour. Inner
+# stream-stream joins emit matches eagerly (watermarks only bound state),
+# so with availableNow over a finite source the result equals the batch
+# interval join — which is exactly what the oracle states.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ensure_read_confs(spark)
+    ev_schema = spark.read.parquet(src).schema
+    sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream_dir = os.path.join(ckpt, "stream_src")
+        os.makedirs(stream_dir)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+        def _typed(kind: str, ts_name: str, id_name: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev_schema)
+                .parquet(stream_dir)
+                .filter(F.col("event_type") == kind)
+                .select(
+                    F.col("user_id"),
+                    F.col("event_id").alias(id_name),
+                    F.timestamp_micros(F.expr("ts div 1000")).alias(ts_name),
+                )
+            )
+
+        views = _typed("view", "view_ts", "view_id")
+        clicks = _typed("click", "click_ts", "click_id")
+        joined = stream_stream_interval_join(
+            views, clicks,
+            key="user_id", left_ts="view_ts", right_ts="click_ts",
+            horizon="1 hour", watermark="2 hours",
+        )
+        out = joined.select(
+            "user_id", "view_id", "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+Q_STREAM_ATTRIBUTION_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+  AND v.event_type = 'view' AND c.event_type = 'click'
+  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_error_after_purchase: range join — error events landing within 6h
 # after a purchase by the same user (binned equi-join, no cross
 # product). The oracle states it as the plain BETWEEN join.

@@ -194,6 +194,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_pii_redaction", llm_q.q_pii_redaction,
              llm_q.Q_PII_REDACTION_SQL,
              "email/IP/phone scrub with per-kind counts"),
+    QueryDef("q_stream_attribution", events_q.q_stream_attribution,
+             events_q.Q_STREAM_ATTRIBUTION_SQL,
+             "watermarked stream-stream interval join (click attribution)"),
     QueryDef("q_contamination", curation_q.q_contamination,
              curation_q.Q_CONTAMINATION_SQL,
              "8-gram eval-set decontamination (broadcast eval grams)"),
