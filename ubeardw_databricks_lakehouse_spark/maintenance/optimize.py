@@ -104,3 +104,42 @@ def analyze_table(lake: Lakehouse, table: str) -> None:
     df = lake.read(table)
     # force a full-column scan so the parquet footers/page stats are hot
     df.agg(*[F.count(c) for c in df.columns[:1]]).collect()
+
+
+def vacuum(lake: Lakehouse, retention_hours: float = 168.0) -> list[str]:
+    """Remove aged swap-trash directories (VACUUM parity).
+
+    The parquet backend's crash-safe ``_swap`` renames the previous
+    table directory to ``.trash-<table>-<uuid>`` before promoting the
+    new write (storage/lakehouse.py) — the analogue of Delta's
+    unreferenced files. VACUUM deletes trash older than the retention
+    window; on the delta backend it would defer to ``VACUUM table``
+    (reference: utils/optimize_tables.py maintenance job family).
+
+    Returns the paths removed. Retention guards concurrent readers
+    still holding the old directory open — same contract as Delta's
+    default 7-day retention.
+    """
+    import shutil
+    import time
+
+    if lake.fmt == "delta":  # pragma: no cover — no delta in container
+        removed = []
+        for entry in sorted(os.listdir(lake.root)):
+            if entry.startswith("."):
+                continue
+            lake.spark.sql(
+                f"VACUUM delta.`{lake.path(entry)}` RETAIN {retention_hours} HOURS"
+            )
+            removed.append(lake.path(entry))
+        return removed
+    cutoff = time.time() - retention_hours * 3600.0
+    removed = []
+    for entry in sorted(os.listdir(lake.root)):
+        if not entry.startswith(".trash-"):
+            continue
+        full = os.path.join(lake.root, entry)
+        if os.path.getmtime(full) <= cutoff:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed
