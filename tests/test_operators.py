@@ -698,3 +698,27 @@ def test_gopher_quality_flags_rules(spark):
     assert not rows[4]["keep"] and rows[4]["n_words"] == 4
     # dup_bigram_frac: "a b a b" repetition detected
     assert rows[3]["dup_bigram_frac"] > 0.9
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite(
+        "t",
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+    )
+    evolved = spark.createDataFrame([(2, "b2", 9.5), (3, "c", 7.0)],
+                                    ["k", "v", "score"])
+    # without the flag: explicit error, no silent drop
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="score"):
+        lake.upsert("t", evolved, keys=["k"])
+    lake.upsert("t", evolved, keys=["k"], allow_schema_evolution=True)
+    got = {r["k"]: r for r in lake.read("t").collect()}
+    assert set(lake.read("t").columns) == {"k", "v", "score"}
+    assert got[1]["v"] == "a" and got[1]["score"] is None  # untouched row
+    assert got[2]["v"] == "b2" and got[2]["score"] == 9.5  # updated
+    assert got[3]["v"] == "c" and got[3]["score"] == 7.0   # inserted

@@ -137,12 +137,17 @@ class Lakehouse:
         keys: list[str],
         update_condition: str | None = None,
         partition_by: list[str] | None = None,
+        allow_schema_evolution: bool = False,
     ) -> None:
         """MERGE: update matched (optionally guarded), insert unmatched.
 
         ``update_condition`` is a SQL boolean over ``source.*`` /
         ``target.*`` (e.g. ``source.updated_at > target.updated_at`` —
         the reference's late-data guard, gold_pipeline.py:794).
+
+        ``allow_schema_evolution=True`` admits source-only columns into
+        the table (existing rows get NULL) — Delta's
+        ``schema.autoMerge`` contract; without it they are an error.
         """
         if not self.exists(name):
             self.overwrite(name, source, partition_by)
@@ -150,6 +155,10 @@ class Lakehouse:
         if self.fmt == "delta":
             from delta.tables import DeltaTable  # pragma: no cover
 
+            if allow_schema_evolution:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             cond = " AND ".join(f"target.{k} = source.{k}" for k in keys)
             m = (
                 DeltaTable.forPath(self.spark, self.path(name))
@@ -182,7 +191,7 @@ class Lakehouse:
         target_cols = [c for c in target.columns if c != "_tgt"]
         source_set = {c for c in source.columns}
         extra = source_set - set(target_cols)
-        if extra:
+        if extra and not allow_schema_evolution:
             raise ValueError(
                 f"upsert source has columns not in target {name}: {sorted(extra)}"
             )
@@ -200,6 +209,15 @@ class Lakehouse:
             else:
                 # target-only column: kept on update, NULL on fresh insert
                 out_cols.append(F.col(f"target.{c}").alias(c))
+        for c in source.columns:
+            if c not in set(target_cols):
+                # evolved column: source value where the source row wins,
+                # NULL for untouched target rows (Delta autoMerge shape)
+                out_cols.append(
+                    F.when(take_source, F.col(f"source.{c}"))
+                    .otherwise(F.lit(None))
+                    .alias(c)
+                )
         self._swap(name, joined.select(*out_cols), partition_by)
 
     def update_where(
