@@ -44,6 +44,9 @@ HEADLINE = [
     "q_text_profile",
     "q_pii_redaction",
     "q_corpus_splits",
+    "q_contamination",
+    "q_quality_rules",
+    "q18_large_orders",
     "q_streaming_event_counts",
 ]
 

@@ -722,3 +722,35 @@ def test_upsert_schema_evolution(spark, tmp_path):
     assert got[1]["v"] == "a" and got[1]["score"] is None  # untouched row
     assert got[2]["v"] == "b2" and got[2]["score"] == 9.5  # updated
     assert got[3]["v"] == "c" and got[3]["score"] == 7.0   # inserted
+
+
+def test_curate_corpus_stage_attribution(spark):
+    """Planted casualties: each pipeline stage claims the right doc."""
+    from ubeardw_databricks_lakehouse_spark.pipelines.curation import (
+        curate_corpus,
+    )
+
+    base = "the " + " ".join(f"tok{i}" for i in range(49))  # 50 words, clean
+    alt = "the " + " ".join(f"alt{i}" for i in range(49))
+    near = "the " + " ".join(f"tok{i}" for i in range(48)) + " tail"  # ~near-dup of base
+    docs = spark.createDataFrame(
+        [
+            (0, alt),                      # eval holdout (0 % 50 == 0)
+            (1, "too short"),              # fails quality (n_words < 30)
+            (2, alt),                      # shares 8-grams with eval doc 0
+            (3, base),                     # survivor (canonical)
+            (4, base),                     # exact dup of 3
+            (5, near),                     # near-dup of 3 (jaccard > .5)
+            (6, "the " + " ".join(f"z{i}" for i in range(60))),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert got[0]["status"] == "eval_holdout"
+    assert got[1]["status"] == "dropped_quality"
+    assert got[2]["status"] == "dropped_contaminated"
+    assert got[3]["status"] == "kept" and got[3]["n_chunks"] >= 1
+    assert got[4]["status"] == "dropped_exact_dup"
+    assert got[5]["status"] == "dropped_near_dup"
+    assert got[6]["status"] == "kept"
+    assert got[1]["n_chunks"] == 0 and got[4]["n_chunks"] == 0

@@ -152,3 +152,165 @@ SELECT base.doc_id, n_words, mean_word_len, symbol_ratio, top_word_frac,
    AND has_stopword) AS keep
 FROM base JOIN wc ON base.doc_id = wc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_curated_corpus: the END-TO-END curation pipeline — quality rules ->
+# eval decontamination -> exact dedup -> LSH near-dup clusters -> chunking
+# — as one audited flow. The oracle replays every stage in SQL (the
+# recursive CTE does the connected components), so the full pipeline
+# composition, not just each operator, is hash-checked.
+# ---------------------------------------------------------------------------
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.curation import curate_corpus
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate_corpus(docs)
+
+
+def _build_curated_corpus_sql() -> str:
+    from .llm_q import _BAND_SELECTS, _SIG_COLS
+
+    bands_on_sh = _BAND_SELECTS
+    return rf"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, text,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tw AS (SELECT * FROM w WHERE doc_id % 50 <> 0),
+base AS (
+  SELECT doc_id,
+    LEN(words) AS n_words,
+    LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) * 1.0
+      / GREATEST(LEN(words), 1) AS mean_word_len,
+    LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+      / GREATEST(LENGTH(text), 1) AS symbol_ratio,
+    CASE WHEN LEN(words) < 2 THEN 0.0
+         ELSE 1.0 - LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                GENERATE_SERIES(1, LEN(words) - 1),
+                i -> words[i] || ' ' || words[i+1]))) * 1.0
+              / (LEN(words) - 1)
+    END AS dup_bigram_frac,
+    LEN(LIST_INTERSECT(LIST_TRANSFORM(words, x -> LOWER(x)),
+        ['the', 'and', 'with', 'that', 'for'])) > 0 AS has_stopword
+  FROM tw
+),
+twc AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_word_frac
+  FROM (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(words) AS word FROM tw)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+),
+qual AS (
+  SELECT base.doc_id,
+    (n_words BETWEEN 30 AND 100000
+     AND mean_word_len BETWEEN 2.0 AND 10.0
+     AND symbol_ratio <= 0.10
+     AND top_word_frac <= 0.15
+     AND dup_bigram_frac <= 0.50
+     AND has_stopword) AS keep
+  FROM base JOIN twc ON base.doc_id = twc.doc_id
+),
+q_surv AS (SELECT tw.* FROM tw JOIN qual ON tw.doc_id = qual.doc_id WHERE keep),
+g8 AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      GENERATE_SERIES(1, GREATEST(LEN(words)-7, 0)),
+      i -> ARRAY_TO_STRING(words[i:i+7], ' ')))) AS ngram
+  FROM w
+),
+ev AS (SELECT DISTINCT ngram FROM g8 WHERE doc_id % 50 = 0),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT g8.* FROM g8 JOIN q_surv ON g8.doc_id = q_surv.doc_id) s
+  JOIN ev ON s.ngram = ev.ngram
+),
+c_surv AS (
+  SELECT q_surv.* FROM q_surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+fp AS (
+  SELECT doc_id, text, words,
+    MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS f
+  FROM c_surv
+),
+es AS (SELECT f, MIN(doc_id) AS surv FROM fp GROUP BY f),
+e_surv AS (
+  SELECT fp.doc_id, fp.text, fp.words
+  FROM fp JOIN es ON fp.f = es.f AND fp.doc_id = es.surv
+),
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      GENERATE_SERIES(1, GREATEST(LEN(words) - 1, 0)),
+      i -> words[i] || ' ' || words[i+1])) AS s
+  FROM e_surv
+),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{bands_on_sh}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+        / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))) > 0.5
+),
+sym AS (
+  SELECT id_a AS v, id_b AS u FROM verified
+  UNION ALL
+  SELECT id_b AS v, id_a AS u FROM verified
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM e_surv
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+n_surv AS (
+  SELECT e_surv.* FROM e_surv JOIN comp ON e_surv.doc_id = comp.doc_id
+  WHERE e_surv.doc_id = comp.cluster_id
+),
+chunks AS (
+  SELECT doc_id,
+    CASE WHEN LEN(words) <= 0 THEN 0
+         WHEN LEN(words) <= 32 THEN 1
+         ELSE 1 + CAST(CEIL((LEN(words) - 32) / 24.0) AS INTEGER)
+    END AS n_chunks
+  FROM n_surv
+)
+SELECT d.doc_id,
+  CASE
+    WHEN d.doc_id % 50 = 0 THEN 'eval_holdout'
+    WHEN q_surv.doc_id IS NULL THEN 'dropped_quality'
+    WHEN contam.doc_id IS NOT NULL THEN 'dropped_contaminated'
+    WHEN e_surv.doc_id IS NULL THEN 'dropped_exact_dup'
+    WHEN n_surv.doc_id IS NULL THEN 'dropped_near_dup'
+    ELSE 'kept'
+  END AS status,
+  CAST(CASE WHEN d.doc_id % 50 <> 0 AND n_surv.doc_id IS NOT NULL
+       THEN COALESCE(chunks.n_chunks, 0) ELSE 0 END AS BIGINT) AS n_chunks
+FROM documents d
+LEFT JOIN q_surv ON d.doc_id = q_surv.doc_id
+LEFT JOIN contam ON d.doc_id = contam.doc_id
+LEFT JOIN e_surv ON d.doc_id = e_surv.doc_id
+LEFT JOIN n_surv ON d.doc_id = n_surv.doc_id
+LEFT JOIN chunks ON d.doc_id = chunks.doc_id
+"""
+
+
+Q_CURATED_CORPUS_SQL = _build_curated_corpus_sql()

@@ -206,6 +206,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_quality_rules", curation_q.q_quality_rules,
              curation_q.Q_QUALITY_RULES_SQL,
              "Gopher-style composite keep/drop rule battery"),
+    QueryDef("q_curated_corpus", curation_q.q_curated_corpus,
+             curation_q.Q_CURATED_CORPUS_SQL,
+             "END-TO-END curation: quality -> decontam -> exact dedup -> "
+             "LSH near-dup -> chunking, full-pipeline oracle replay"),
 ]
 
 
