@@ -314,3 +314,50 @@ LEFT JOIN chunks ON d.doc_id = chunks.doc_id
 
 
 Q_CURATED_CORPUS_SQL = _build_curated_corpus_sql()
+
+
+# ---------------------------------------------------------------------------
+# q_doc_top_terms: characteristic terms per document — rank terms by
+# (tf DESC, df ASC, term ASC): the tf-idf ordering with the idf made
+# integer-exact (rarer term wins tf ties), so the whole result is
+# hash-checkable with no transcendental math in either engine.
+# Per-doc window rank (partitioned by doc_id — parallel, never global).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+Q_DOC_TOP_TERMS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+)
+WHERE rank <= 3
+"""

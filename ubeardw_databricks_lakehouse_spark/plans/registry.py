@@ -89,6 +89,9 @@ QUERIES: list[QueryDef] = [
              relational.Q21_SQL, "EXISTS/NOT-EXISTS decorrelated to aggs"),
     QueryDef("q22_idle_customers", relational.q22_idle_customers,
              relational.Q22_SQL, "global-avg scalar broadcast + anti join"),
+    QueryDef("q_unpivot_balances", relational.q_unpivot_balances,
+             relational.Q_UNPIVOT_BALANCES_SQL,
+             "native unpivot/melt == ANSI UNPIVOT (inverse of A4 pivot)"),
     # --- events / medallion idioms (SURVEY §2.4-2.5, §2.8) ---
     QueryDef("q_user_lifecycle_pivot", events_q.q_user_lifecycle_pivot,
              events_q.Q_USER_LIFECYCLE_PIVOT_SQL,
@@ -206,6 +209,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_quality_rules", curation_q.q_quality_rules,
              curation_q.Q_QUALITY_RULES_SQL,
              "Gopher-style composite keep/drop rule battery"),
+    QueryDef("q_doc_top_terms", curation_q.q_doc_top_terms,
+             curation_q.Q_DOC_TOP_TERMS_SQL,
+             "characteristic terms per doc: integer-exact tf-idf ordering, "
+             "per-doc window rank"),
     QueryDef("q_curated_corpus", curation_q.q_curated_corpus,
              curation_q.Q_CURATED_CORPUS_SQL,
              "END-TO-END curation: quality -> decontam -> exact dedup -> "

@@ -1255,3 +1255,46 @@ WHERE c_acctbal > (
                   AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# q_unpivot_balances: wide->long UNPIVOT/melt surface (the inverse of the
+# A4 pivot): per-nation aggregate columns melted into (metric, value)
+# rows. Spark's native unpivot == ANSI UNPIVOT — per-row expansion, no
+# shuffle beyond the feeding aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+            F.max(F.col("c_acctbal")).alias("max_balance"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "total_balance", "max_balance"],
+        "metric",
+        "value",
+    )
+
+
+Q_UNPIVOT_BALANCES_SQL = f"""
+WITH wide AS (
+  SELECT n_name,
+    CAST(COUNT(*) AS DOUBLE) AS n_customers,
+    {sql_dsum('c_acctbal', 'total_balance')},
+    MAX(c_acctbal) AS max_balance
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_customers, total_balance, max_balance))
+"""
