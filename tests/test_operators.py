@@ -754,3 +754,25 @@ def test_curate_corpus_stage_attribution(spark):
     assert got[5]["status"] == "dropped_near_dup"
     assert got[6]["status"] == "kept"
     assert got[1]["n_chunks"] == 0 and got[4]["n_chunks"] == 0
+
+
+def test_sqrt_mixing_flattens_source_skew(spark):
+    """p ~ sqrt(n): the dominant source's kept share shrinks versus its
+    corpus share; small sources keep (close to) everything."""
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import (
+        sqrt_mixing_sample,
+        sqrt_mixing_thresholds,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    th = {r["source"]: r for r in sqrt_mixing_thresholds(df, "source").collect()}
+    # small source: rate capped at 1.0 -> threshold 10000
+    assert th["small"]["bucket_thresh"] == 10000
+    assert th["big"]["bucket_thresh"] < 5000  # big source down-weighted
+    kept = sqrt_mixing_sample(df, "doc_id", "source").groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    assert got["small"] == 100
+    big_share_before = 0.9
+    big_share_after = got["big"] / (got["big"] + got["small"])
+    assert big_share_after < big_share_before

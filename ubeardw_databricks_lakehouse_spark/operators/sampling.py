@@ -107,3 +107,61 @@ def top_k_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def sqrt_mixing_thresholds(
+    df: DataFrame, strata_col: str, target_frac: float = 0.5
+) -> DataFrame:
+    """Square-root temperature mixing rates per stratum (the public
+    GPT-3/multilingual-corpus reweighting p_i ∝ n_i^α with α = 0.5):
+    big sources are down-weighted, small sources up-weighted, scaled so
+    the expected kept volume is ``target_frac`` of the corpus.
+
+    Exactness discipline: sqrt is IEEE-correctly-rounded (identical in
+    every engine), and it is immediately floored to integer
+    milliweights, so every downstream quantity — total weight, per-row
+    budget, bucket threshold — is a ratio of exact integers and the
+    sampling decision reproduces bit-for-bit cross-engine.
+
+    Returns (stratum, n_rows, bucket_thresh): keep a row when
+    ``hash_bucket(key) < bucket_thresh``.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    weighted = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_rows")) * 1000).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("_w").alias("_w_total"), F.sum("n_rows").alias("_n_total")
+    )
+    budget = F.floor(F.lit(target_frac) * F.col("_n_total")).cast("long")
+    rate = F.least(
+        F.lit(1.0),
+        (budget * F.col("_w")).cast("double")
+        / (F.col("_w_total") * F.col("n_rows")),
+    )
+    return (
+        weighted.join(F.broadcast(totals))
+        .select(
+            strata_col,
+            "n_rows",
+            F.floor(rate * N_BUCKETS).cast("int").alias("bucket_thresh"),
+        )
+    )
+
+
+def sqrt_mixing_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_frac: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Apply sqrt-temperature mixing: per-stratum thresholds broadcast
+    back onto the corpus; the keep decision stays a codegen'd filter."""
+    thresholds = sqrt_mixing_thresholds(df, strata_col, target_frac)
+    return (
+        df.join(F.broadcast(thresholds.select(strata_col, "bucket_thresh")),
+                strata_col)
+        .filter(hash_bucket(key, seed) < F.col("bucket_thresh"))
+        .drop("bucket_thresh")
+    )

@@ -832,3 +832,61 @@ SELECT doc_id,
 FROM cleaned
 WHERE sentence <> ''
 """
+
+
+# ---------------------------------------------------------------------------
+# q_source_mixing: sqrt-temperature corpus mixing (p_i ~ n_i^0.5) — rates
+# derived from integer milliweights so the whole reweighting is exact in
+# both engines; result = per-source kept volumes after hash sampling.
+# ---------------------------------------------------------------------------
+
+
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sqrt_mixing_sample, sqrt_mixing_thresholds
+
+    docs = t(spark, sf_dir, "documents")
+    kept = (
+        sqrt_mixing_sample(docs, "doc_id", "source", target_frac=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        sqrt_mixing_thresholds(docs, "source", target_frac=0.5)
+        .join(kept, "source", "left")
+        .select(
+            "source", "n_rows", "bucket_thresh",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+Q_SOURCE_MIXING_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_rows,
+    CAST(FLOOR(SQRT(n_rows) * 1000) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS w_total, CAST(SUM(n_rows) AS BIGINT) AS n_total
+  FROM weighted
+),
+rates AS (
+  SELECT source, n_rows,
+    CAST(FLOOR(LEAST(1.0,
+      CAST(CAST(FLOOR(0.5 * n_total) AS BIGINT) * w AS DOUBLE)
+        / (w_total * n_rows)) * 10000) AS INTEGER) AS bucket_thresh
+  FROM weighted, tot
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 10000 < r.bucket_thresh
+  GROUP BY d.source
+)
+SELECT rates.source, n_rows, bucket_thresh, COALESCE(n_kept, 0) AS n_kept
+FROM rates LEFT JOIN kept ON rates.source = kept.source
+"""

@@ -188,6 +188,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_stratified_sample", llm_q.q_stratified_sample,
              llm_q.Q_STRATIFIED_SAMPLE_SQL,
              "per-language hash-sampling rates (corpus mixing)"),
+    QueryDef("q_source_mixing", llm_q.q_source_mixing,
+             llm_q.Q_SOURCE_MIXING_SQL,
+             "sqrt-temperature corpus mixing (integer-exact rates)"),
     QueryDef("q_sample_per_source", llm_q.q_sample_per_source,
              llm_q.Q_SAMPLE_PER_SOURCE_SQL,
              "exactly-k deterministic reservoir per source"),
