@@ -776,3 +776,42 @@ def test_sqrt_mixing_flattens_source_skew(spark):
     big_share_before = 0.9
     big_share_after = got["big"] / (got["big"] + got["small"])
     assert big_share_after < big_share_before
+
+
+def test_quantized_embeddings_roundtrip_and_recall(spark, emb):
+    """Dequantization error <= scale/2 per element; cosine top-5 over
+    dequantized vectors keeps high recall vs exact float top-5."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+        topk_brute_force,
+    )
+
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        "vec_id", "embedding", "q_scale",
+        dequantize_expr(F.col("qvec"), F.col("q_min"), F.col("q_scale")).alias("deq"),
+    )
+    err = joined.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding", "deq",
+                    lambda a, b: F.abs(a.cast("double") - b.cast("double"))
+                    / F.greatest(F.col("q_scale"), F.lit(1e-12)),
+                )
+            )
+        ).alias("max_err_in_scales")
+    ).first()
+    # |x - deq(q(x))| <= scale/2 (+ float32 storage noise)
+    assert err["max_err_in_scales"] <= 0.51, err
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, queries, k=5)
+    deq_corpus = joined.select("vec_id", F.col("deq").alias("embedding"))
+    deq_queries = deq_corpus.filter(F.col("vec_id") < 10)
+    approx = topk_brute_force(deq_corpus, deq_queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

