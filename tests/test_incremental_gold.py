@@ -93,3 +93,84 @@ def test_incremental_fact_converges_to_batch(spark, tmp_path):
         assert f.total_amount == b.total_amount
         assert f.updated_at == b.updated_at
         assert f.region_partition == b.region_partition
+
+
+def test_incremental_scd2_matches_batch_history(spark, tmp_path):
+    """CDC waves folded through foreachBatch SCD2 == batch apply_scd2
+    applied snapshot-by-snapshot: same versions, currency, end dates."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.scd2 import apply_scd2
+    from ubeardw_databricks_lakehouse_spark.streaming.incremental_gold import (
+        start_incremental_scd2,
+    )
+
+    schema = "id int, name string, city string, cdc_ts string"
+    def ts(df):
+        return df.withColumn(
+            "cdc_timestamp", F.to_timestamp("cdc_ts")
+        ).drop("cdc_ts")
+
+    wave1 = spark.createDataFrame(
+        [
+            (1, "alice", "paris", "2024-01-01 10:00:00"),
+            (1, "alice", "lyon", "2024-01-01 11:00:00"),  # intra-batch: latest wins
+            (2, "bob", "nice", "2024-01-01 10:30:00"),
+        ],
+        schema,
+    )
+    wave1 = ts(wave1)
+    wave2 = spark.createDataFrame(
+        [
+            (1, "alice", "marseille", "2024-01-02 09:00:00"),
+            (3, "carol", "toulouse", "2024-01-02 09:30:00"),
+        ],
+        schema,
+    )
+    wave2 = ts(wave2)
+
+    def run_wave(df, n, lake):
+        src = tmp_path / f"scd_w{n}"
+        df.write.parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        q = start_incremental_scd2(
+            spark, stream, lake, "dim_stream", ["id"], ["name", "city"],
+            checkpoint=str(tmp_path / f"scd_ck{n}"),
+        )
+        q.awaitTermination()
+
+    stream_lake = __import__(
+        "ubeardw_databricks_lakehouse_spark.storage.lakehouse",
+        fromlist=["Lakehouse"],
+    ).Lakehouse(spark, str(tmp_path / "stream_gold"))
+    run_wave(wave1, 1, stream_lake)
+    run_wave(wave2, 2, stream_lake)
+
+    batch_lake = __import__(
+        "ubeardw_databricks_lakehouse_spark.storage.lakehouse",
+        fromlist=["Lakehouse"],
+    ).Lakehouse(spark, str(tmp_path / "batch_gold"))
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy("id").orderBy(F.col("cdc_timestamp").desc())
+    )
+    for df, eff in [(wave1, "2024-01-01 11:00:00"), (wave2, "2024-01-02 09:30:00")]:
+        snap = df.withColumn("_rn", w).where("_rn = 1").drop("_rn", "cdc_timestamp")
+        apply_scd2(batch_lake, "dim_stream", snap, ["id"], ["name", "city"],
+                   surrogate_name="sk", effective_ts=eff)
+
+    cols = ["id", "name", "city", "version_number", "is_current",
+            "effective_start_date", "effective_end_date"]
+    got = sorted(
+        stream_lake.read("dim_stream").select(cols).collect(),
+        key=lambda r: (r["id"], r["version_number"]),
+    )
+    want = sorted(
+        batch_lake.read("dim_stream").select(cols).collect(),
+        key=lambda r: (r["id"], r["version_number"]),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # intra-batch latest-wins: wave1 left alice at lyon, v1
+    alice = {r["version_number"]: r for r in got if r["id"] == 1}
+    assert alice[1]["city"] == "lyon" and alice[2]["city"] == "marseille"
+    assert not alice[1]["is_current"] and alice[2]["is_current"]

@@ -65,3 +65,56 @@ def start_incremental_trip_fact(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_scd2(
+    spark: SparkSession,
+    entity_stream: DataFrame,
+    lake: Lakehouse,
+    table: str,
+    business_keys: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "cdc_timestamp",
+    checkpoint: str = "",
+    surrogate_name: str | None = "sk",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous SCD2: each micro-batch of entity CDC rows folds into
+    the dimension through the same ``apply_scd2`` engine the daily
+    batch uses — history identical to batch at every quiescent point.
+
+    Per batch: latest-wins per business key (a key changing twice
+    within one micro-batch contributes its final state, matching the
+    reference's daily-snapshot semantics), effective-dated at the
+    batch's max CDC timestamp. Work per batch is O(changed keys):
+    apply_scd2 short-circuits unchanged rows on row_hash.
+    """
+    from ..operators.scd2 import apply_scd2
+    from pyspark.sql.window import Window
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*business_keys).orderBy(F.col(ts_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        eff = latest.agg(F.max(ts_col).alias("m")).first()["m"]
+        apply_scd2(
+            lake,
+            table,
+            latest.drop(ts_col),
+            business_keys,
+            tracked_cols,
+            surrogate_name=surrogate_name,
+            effective_ts=str(eff),
+        )
+
+    writer = entity_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
