@@ -177,3 +177,20 @@ def test_contamination_broadcasts_eval_side(spark):
 
     p = _plan(q_contamination(spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's join-strategy control surface: hints
+    override the planner's default choice (the escape hatch when stats
+    mislead at warehouse scale)."""
+    from ubeardw_databricks_lakehouse_spark.plans.common import t
+
+    li = t(spark, SF, "lineitem")
+    orders = t(spark, SF, "orders")
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in _plan(merged)
+    shuffled = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    p = _plan(shuffled)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p

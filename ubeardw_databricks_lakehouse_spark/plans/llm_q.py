@@ -922,3 +922,33 @@ SELECT vec_id,
     / 255.0 AS q_scale
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# q_frame_sampling: multimodal frame-sample plumbing — every 10th fixed-
+# size frame of the binary payload via Arrow mapInPandas; md5-of-slice
+# makes the stub codec oracle-checkable (payload bytes are the UTF-8 text,
+# which is ASCII here, so byte slices == char slices in SQL).
+# ---------------------------------------------------------------------------
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, sample_video_frames
+
+    docs = t(spark, sf_dir, "documents")
+    return sample_video_frames(attach_binary_payload(docs), every_n=10)
+
+
+Q_FRAME_SAMPLING_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+    UNNEST(GENERATE_SERIES(0,
+      CAST(OCTET_LENGTH(ENCODE(text)) // 32 AS INTEGER) - 1, 10)) AS frame_idx
+  FROM documents
+  WHERE OCTET_LENGTH(ENCODE(text)) >= 32
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(frame_idx * 32 AS BIGINT) AS byte_offset,
+  MD5(SUBSTRING(text, frame_idx * 32 + 1, 32)) AS frame_md5
+FROM f
+"""

@@ -164,6 +164,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_multimodal_features", llm_q.q_multimodal_features,
              llm_q.Q_MULTIMODAL_FEATURES_SQL,
              "binary payload + Arrow mapInPandas features"),
+    QueryDef("q_frame_sampling", llm_q.q_frame_sampling,
+             llm_q.Q_FRAME_SAMPLING_SQL,
+             "video frame-sample plumbing: every-Nth fixed-size frame via "
+             "Arrow mapInPandas, md5-of-slice oracle"),
     QueryDef("q_embedding_topk_lsh", llm_q.q_embedding_topk_lsh, None,
              "ANN top-k via hyperplane LSH (recall<1 -> rows-only check)"),
     QueryDef("q_embedding_quantized", llm_q.q_embedding_quantized,
