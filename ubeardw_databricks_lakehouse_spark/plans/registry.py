@@ -89,6 +89,9 @@ QUERIES: list[QueryDef] = [
              relational.Q21_SQL, "EXISTS/NOT-EXISTS decorrelated to aggs"),
     QueryDef("q22_idle_customers", relational.q22_idle_customers,
              relational.Q22_SQL, "global-avg scalar broadcast + anti join"),
+    QueryDef("q_cohort_set_ops", relational.q_cohort_set_ops,
+             relational.Q_COHORT_SET_OPS_SQL,
+             "INTERSECT/EXCEPT cohort tagging (SO extension)"),
     QueryDef("q_unpivot_balances", relational.q_unpivot_balances,
              relational.Q_UNPIVOT_BALANCES_SQL,
              "native unpivot/melt == ANSI UNPIVOT (inverse of A4 pivot)"),

@@ -1298,3 +1298,49 @@ SELECT n_name, metric, value
 FROM wide
 UNPIVOT (value FOR metric IN (n_customers, total_balance, max_balance))
 """
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_set_ops (SO extension): INTERSECT / EXCEPT surface — 1996 vs
+# 1997 purchase cohorts tagged retained/churned/new. Distinct-set
+# semantics in both engines; each set op is one shuffle on the key.
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    y96, y97 = cohort(1996), cohort(1997)
+    return (
+        y96.intersect(y97).select("custkey", F.lit("retained").alias("cohort"))
+        .unionAll(
+            y96.subtract(y97).select("custkey", F.lit("churned").alias("cohort"))
+        )
+        .unionAll(
+            y97.subtract(y96).select("custkey", F.lit("new").alias("cohort"))
+        )
+    )
+
+
+Q_COHORT_SET_OPS_SQL = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+),
+y97 AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+)
+SELECT custkey, 'retained' AS cohort FROM (SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y97)
+UNION ALL
+SELECT custkey, 'churned' AS cohort FROM (SELECT custkey FROM y96 EXCEPT SELECT custkey FROM y97)
+UNION ALL
+SELECT custkey, 'new' AS cohort FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y96)
+"""
