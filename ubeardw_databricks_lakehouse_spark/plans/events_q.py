@@ -679,3 +679,115 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_profile(
         ev, ["event_type"], distinct_col="user_id", quantile_col="value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_funnel: ordered-step funnel (signup -> view -> click -> purchase).
+# Each step's timestamp must FOLLOW the previous step's — computed as a
+# chain of per-user conditional mins, each a narrow agg + user-keyed
+# join (the standard decorrelation; no window over the whole event log).
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, step: str, prev_col: str, out: str) -> DataFrame:
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+        return prev.join(nxt, "user_id", "left")
+
+    t1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    chain = first_after(t1, "view", "t_signup", "t_view")
+    chain = first_after(chain, "click", "t_view", "t_click")
+    chain = first_after(chain, "purchase", "t_click", "t_purchase")
+    return chain.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t_signup
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t_view
+  GROUP BY e.user_id
+),
+t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(t1.user_id) AS n_signup,
+  COUNT(t2.user_id) AS n_view,
+  COUNT(t3.user_id) AS n_click,
+  COUNT(t4.user_id) AS n_purchase
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+LEFT JOIN t4 ON t1.user_id = t4.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_retention_cohorts: weekly retention matrix — users bucketed by first-
+# seen week, counted per weeks-since-cohort. Two narrow aggs + one
+# user-keyed join; integer week arithmetic, engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort_week,
+  CAST((week - cohort_week) // 7 AS INTEGER) AS weeks_since,
+  COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first_seen USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""

@@ -124,6 +124,12 @@ QUERIES: list[QueryDef] = [
              events_q.Q_STREAMING_WINDOWED_COUNTS_SQL,
              "watermarked tumbling windows, append mode (ST4) — oracle "
              "replays the emission rule"),
+    QueryDef("q_funnel", events_q.q_funnel,
+             events_q.Q_FUNNEL_SQL,
+             "ordered-step funnel via chained conditional mins"),
+    QueryDef("q_retention_cohorts", events_q.q_retention_cohorts,
+             events_q.Q_RETENTION_COHORTS_SQL,
+             "weekly retention matrix (first-seen cohorts)"),
     QueryDef("q_asof_attribution", events_q.q_asof_attribution,
              events_q.Q_ASOF_ATTRIBUTION_SQL,
              "as-of join: purchase -> latest prior click (union+window)"),
