@@ -952,3 +952,57 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
   MD5(SUBSTRING(text, frame_idx * 32 + 1, 32)) AS frame_md5
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# q_editdist_verify: edit-distance verification of LSH candidate pairs —
+# the character-level complement to Jaccard verification (catches
+# reorder-insensitive shingle false-positives). levenshtein is integer-
+# exact and native in both engines; computed only on the candidate set
+# (never all pairs), prefix-bounded to keep the DP cost per pair fixed.
+# ---------------------------------------------------------------------------
+
+
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=2)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, 64).alias("_pref")
+    )
+    return (
+        cands.join(
+            pref.select(F.col("doc_id").alias("id_a"), F.col("_pref").alias("pa")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col("doc_id").alias("id_b"), F.col("_pref").alias("pb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit_dist"),
+        )
+    )
+
+
+Q_EDITDIST_VERIFY_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  LEVENSHTEIN(SUBSTRING(da.text, 1, 64), SUBSTRING(db.text, 1, 64))
+    AS prefix_edit_dist
+FROM cands
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+"""

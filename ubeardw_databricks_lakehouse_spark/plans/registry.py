@@ -160,6 +160,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_MINHASH_SIGNATURES_SQL, "md5 MinHash signatures (8 hashes)"),
     QueryDef("q_lsh_candidates", llm_q.q_lsh_candidates,
              llm_q.Q_LSH_CANDIDATES_SQL, "LSH banding candidate pairs"),
+    QueryDef("q_editdist_verify", llm_q.q_editdist_verify,
+             llm_q.Q_EDITDIST_VERIFY_SQL,
+             "edit-distance verification of LSH candidates (native "
+             "levenshtein, prefix-bounded)"),
     QueryDef("q_neardup_verified", llm_q.q_neardup_verified,
              llm_q.Q_NEARDUP_VERIFIED_SQL,
              "MinHash->LSH->exact-Jaccard verified near-dup pipeline"),
