@@ -815,3 +815,41 @@ def test_quantized_embeddings_roundtrip_and_recall(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_upsert_with_cdf_records_changes(spark, tmp_path):
+    """Parquet CDF twin: inserts/updates captured with Delta's change-row
+    vocabulary; unchanged rows emit nothing; since_ts filters commits."""
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import (
+        Lakehouse,
+        read_changes,
+        upsert_with_cdf,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_with_cdf(lake, "t", v1, keys=["k"], batch_ts="2024-01-01 00:00:00")
+    # first commit: both rows are inserts
+    c1 = read_changes(lake, "t").collect()
+    assert sorted((r["k"], r["_change_type"]) for r in c1) == [
+        (1, "insert"), (2, "insert"),
+    ]
+
+    v2 = spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"])
+    upsert_with_cdf(lake, "t", v2, keys=["k"], batch_ts="2024-01-02 00:00:00")
+    c2 = read_changes(lake, "t", since_ts="2024-01-01 12:00:00").collect()
+    assert sorted((r["k"], r["_change_type"]) for r in c2) == [
+        (2, "update_postimage"), (2, "update_preimage"), (3, "insert"),
+    ]
+    pre = [r for r in c2 if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in c2 if r["_change_type"] == "update_postimage"][0]
+    assert pre["v"] == "b" and post["v"] == "b2"
+
+    # no-op upsert (identical rows) emits NO change rows
+    upsert_with_cdf(lake, "t", v2, keys=["k"], batch_ts="2024-01-03 00:00:00")
+    c3 = read_changes(lake, "t", since_ts="2024-01-02 12:00:00").collect()
+    assert c3 == []
+    # the table itself is the merged state
+    assert {r["k"]: r["v"] for r in lake.read("t").collect()} == {
+        1: "a", 2: "b2", 3: "c",
+    }

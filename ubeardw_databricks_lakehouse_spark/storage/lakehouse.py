@@ -267,3 +267,77 @@ class Lakehouse:
         os.rename(tmp, final)
         if os.path.isdir(trash):
             shutil.rmtree(trash)
+
+
+def upsert_with_cdf(
+    lake: "Lakehouse",
+    name: str,
+    source: DataFrame,
+    keys: list[str],
+    update_condition: str | None = None,
+    batch_ts: str | None = None,
+) -> None:
+    """MERGE with a Change Data Feed twin on the parquet backend.
+
+    Delta's CDF (``delta.enableChangeDataFeed``) records per-commit
+    inserts/updates/deletes; this mirrors the contract for parquet:
+    the pre-merge state is diffed against the source and change rows
+    append to ``<name>__cdf`` with ``_change_type`` in
+    {insert, update_preimage, update_postimage} plus a commit
+    timestamp — the same row vocabulary Delta emits, so a consumer
+    (e.g. a downstream incremental job) reads either backend alike.
+
+    Scale: the diff is one keyed join of source against target
+    (co-partitioned with the merge's own join), and the CDF table is
+    append-only partitioned by commit — no rewrite amplification.
+    """
+    import uuid as _uuid
+
+    commit = batch_ts or "1970-01-01 00:00:00"
+    commit_col = F.lit(commit).cast("timestamp")
+    key_cond = None
+    for k in keys:
+        c = F.col(f"s.{k}") == F.col(f"t.{k}")
+        key_cond = c if key_cond is None else key_cond & c
+
+    if lake.exists(name):
+        target = lake.read(name).alias("t")
+        src = source.alias("s")
+        joined = src.join(target, key_cond, "left")
+        t_first = target.columns[0]
+        is_new = F.col(f"t.{t_first}").isNull() & F.lit(True)
+        # a row is an update only when some tracked column changed
+        changed = F.lit(False)
+        for c in source.columns:
+            if c not in keys and c in target.columns:
+                changed = changed | ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+        inserts = joined.where(is_new).select("s.*").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        pre = joined.where(~is_new & changed).select("t.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = joined.where(~is_new & changed).select("s.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        changes = inserts.unionByName(pre).unionByName(post)
+    else:
+        changes = source.withColumn("_change_type", F.lit("insert"))
+    changes = changes.withColumn("_commit_timestamp", commit_col).withColumn(
+        "_commit_id", F.lit(_uuid.uuid4().hex[:12])
+    )
+    cdf_name = f"{name}__cdf"
+    if lake.exists(cdf_name):
+        lake.append(cdf_name, changes)
+    else:
+        lake.overwrite(cdf_name, changes)
+    lake.upsert(name, source, keys, update_condition=update_condition)
+
+
+def read_changes(lake: "Lakehouse", name: str, since_ts: str | None = None) -> DataFrame:
+    """Read the CDF table, optionally only commits after ``since_ts``
+    (Delta's ``startingTimestamp`` contract)."""
+    df = lake.read(f"{name}__cdf")
+    if since_ts is not None:
+        df = df.where(F.col("_commit_timestamp") > F.lit(since_ts).cast("timestamp"))
+    return df
