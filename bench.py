@@ -40,6 +40,7 @@ HEADLINE = [
     "q_neardup_verified",
     "q_embedding_topk",
     "q_embedding_topk_ivf",
+    "q_embedding_topk_ivf_fast",
     "q_embedding_neardup",
     "q_text_profile",
     "q_pii_redaction",

@@ -218,6 +218,32 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert verified == {(1, 2)}
 
 
+def test_neardup_with_persisted_signatures(spark, tmp_path):
+    # warehouse pattern: materialize the signature table once, feed it
+    # to the dedup pass — result must equal the one-shot pipeline
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    one_shot = {
+        tuple(r)
+        for r in neardup_verified_pairs(df, threshold=0.4).collect()
+    }
+
+    sig_path = str(tmp_path / "signatures.parquet")
+    minhash_signatures(df, n_hashes=8, shingle_n=2).write.parquet(sig_path)
+    persisted = {
+        tuple(r)
+        for r in neardup_verified_pairs(
+            df, threshold=0.4, signatures=spark.read.parquet(sig_path)
+        ).collect()
+    }
+    assert persisted == one_shot and one_shot
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
@@ -474,6 +500,41 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
         for r in topk_ivf(df, q, k=5, nprobe=1).collect()
     }
     assert len(exact & got) / len(exact) == 1.0
+
+
+def test_ivf_fast_centroids_match_exact(spark, emb):
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        _centroids,
+        _centroids_fast,
+        topk_ivf,
+    )
+
+    exact = {
+        r["cell"]: r["cvec"]
+        for r in _centroids(emb, "embedding", "label", 64).collect()
+    }
+    fast = {
+        r["cell"]: r["cvec"]
+        for r in _centroids_fast(emb, "embedding", "label", 64).collect()
+    }
+    assert set(exact) == set(fast)
+    for cell, v in exact.items():
+        w = fast[cell]
+        assert len(v) == len(w) == 64
+        assert max(abs(a - b) for a, b in zip(v, w)) < 1e-9
+
+    # with centroids equal to 1e-9, the production search path finds
+    # the same neighbors (ties at that tolerance would be a data fluke)
+    q = emb.filter(F.col("vec_id") < 5)
+    e = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, q, k=3, nprobe=2).collect()
+    }
+    f = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, q, k=3, nprobe=2, exact_centroids=False).collect()
+    }
+    assert len(e & f) / len(e) >= 0.9
 
 
 def test_pii_redaction_patterns(spark):

@@ -163,8 +163,10 @@ def test_stream_stream_join_carries_watermarks_and_matches_batch(spark, tmp_path
     os.symlink(src, stream_dir / "events.parquet")
 
     def stream_side(kind, ts_name, id_name):
+        from ubeardw_databricks_lakehouse_spark.plans.common import event_ts_expr
+
         raw = spark.readStream.schema(schema).parquet(str(stream_dir))
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.withColumn("ts", event_ts_expr(schema))
         return side(raw, kind, ts_name, id_name)
 
     joined = stream_stream_interval_join(

@@ -279,6 +279,7 @@ def neardup_verified_pairs(
     band_size: int = 2,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash -> LSH candidates ->
     exact Jaccard verification. Never forms the O(n^2) cross product;
@@ -287,15 +288,25 @@ def neardup_verified_pairs(
 
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common) for
     verified pairs — all integers, exactly engine-portable.
+
+    ``signatures``: a previously materialized ``minhash_signatures``
+    table (columns ``id_col, sig_0..sig_{n-1}``). A warehouse run
+    computes signatures once per corpus snapshot and feeds them to
+    every subsequent dedup pass instead of re-hashing 100 TB of text;
+    must have been built with the same n_hashes/shingle_n or the
+    banding math silently changes recall.
     """
     # shingles are derived twice (here and inside minhash_signatures);
     # measured: caching the shingle DF is SLOWER locally (array
-    # serialization dominates). At warehouse scale, persist the
-    # signature table instead of recomputing per run.
+    # serialization dominates). At warehouse scale, pass ``signatures``.
     sh = with_shingles(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_id"), F.col("_sh")
     )
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    )
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
     joined = (
         cands.join(

@@ -38,9 +38,14 @@ def with_global_row_number(
 
     ``order_by`` must be a total order (include a unique tiebreak key)
     or the numbering is non-deterministic. Emits two Spark jobs (the
-    partition-count pass and the main pass); persist upstream if the
-    input is expensive to recompute. With ``with_total`` returns
-    (df, n_rows) — the total falls out of the offset pass for free.
+    partition-count pass and the main pass) over ONE persisted
+    range-partitioning: repartitionByRange samples its boundaries, so
+    without the persist the two jobs could place rows differently and
+    the broadcast offsets would silently mis-number rows. The persisted
+    frame stays cached for the downstream read; callers running many
+    rankings can spark.catalog.clearCache() between them. With
+    ``with_total`` returns (df, n_rows) — the total falls out of the
+    offset pass for free.
     """
     import pandas as pd
 
@@ -52,6 +57,7 @@ def with_global_row_number(
         df.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
 
     out_schema = ", ".join(

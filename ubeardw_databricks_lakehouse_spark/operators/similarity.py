@@ -231,6 +231,53 @@ def _centroids(
     )
 
 
+def _centroids_fast(
+    corpus: DataFrame, vec_col: str, cell_col: str, dim: int
+) -> DataFrame:
+    """Float-path per-cell mean vectors — the production twin of
+    ``_centroids``.
+
+    The DECIMAL path posexplodes every vector component (an N×D-row
+    shuffle) purely so DuckDB can rebuild bit-identical centroids; at
+    100 TB that is the heaviest shape in the repo. Here one Arrow
+    mapInPandas pass emits per-(batch, cell) partial sums — at most
+    K rows per batch — and a tiny groupBy folds them, so the shuffle
+    carries O(batches × K) rows regardless of corpus size. Float sums
+    are order-sensitive in the last bits, hence not oracle-hashable;
+    pytest pins it to the exact path within 1e-9 per component.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_c, out_s, out_n = [], [], []
+            for cell, g in pdf.groupby(cell_col):
+                m = np.stack(g[vec_col].to_numpy()).astype("float64")
+                out_c.append(cell)
+                out_s.append(np.round(m, 6).sum(axis=0).tolist())
+                out_n.append(len(g))
+            yield pd.DataFrame({"cell": out_c, "psum": out_s, "n": out_n})
+
+    parts = corpus.select(
+        F.col(cell_col).cast("long").alias(cell_col), F.col(vec_col)
+    ).mapInPandas(partials, "cell long, psum array<double>, n long")
+    zero = F.array_repeat(F.lit(0.0), dim)
+    folded = parts.groupBy("cell").agg(
+        F.aggregate(
+            F.collect_list("psum"),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("sumvec"),
+        F.sum("n").alias("n"),
+    )
+    return folded.select(
+        "cell", F.transform("sumvec", lambda s: s / F.col("n")).alias("cvec")
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -268,6 +315,7 @@ def topk_ivf(
     dim: int = 64,
     k: int = 5,
     nprobe: int = 2,
+    exact_centroids: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k: coarse-quantize the corpus into centroid cells,
     probe each query's ``nprobe`` nearest cells, exact-rank inside.
@@ -279,8 +327,13 @@ def topk_ivf(
     k-means iterations at scale — the search path is identical).
     Recall < 1 only when a true neighbor hides in an unprobed cell;
     raising nprobe trades cost for recall exactly like IVF-PQ systems.
+
+    ``exact_centroids=False`` trains centroids via float partial sums
+    (``_centroids_fast``) — the production path: no N×D posexplode
+    shuffle, at the cost of DuckDB-hashability of the training step.
     """
-    cents = _centroids(corpus, vec_col, cell_col, dim)
+    builder = _centroids if exact_centroids else _centroids_fast
+    cents = builder(corpus, vec_col, cell_col, dim)
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),

@@ -694,4 +694,8 @@ def run_gold_job(
             F.lit(name).alias("t"), F.lit(1).alias("one")
         ).groupBy("t").agg(F.count("*").alias("n"))
         unioned = c if unioned is None else unioned.unionByName(c)
-    return {r["t"]: r["n"] for r in unioned.collect()}
+    # seed with zeros: an empty table contributes no groupBy row, but
+    # callers expect counts[name] == 0, not KeyError
+    counts = {name: 0 for name in tables}
+    counts.update({r["t"]: r["n"] for r in unioned.collect()})
+    return counts

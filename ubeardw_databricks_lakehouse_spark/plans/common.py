@@ -49,6 +49,9 @@ def ensure_read_confs(spark) -> None:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ→LTZ normalization below is only cross-engine-stable when
+        # the session renders instants in UTC (DuckDB is tz-naive)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down (never observed) — reads may still work
 
@@ -61,16 +64,38 @@ def t(spark, sf_dir: str, name: str):
     return df
 
 
-def normalize_event_ts(df):
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set
-    in core.session) the column arrives as LongType nanoseconds.
-    Truncate to microseconds — exactly what DuckDB's micro-resolution
-    timestamp does on read, so the engines stay value-identical."""
-    from pyspark.sql.types import LongType
+def event_ts_expr(schema) -> Column:
+    """Column expression normalizing the on-disk events ``ts`` to plain
+    TIMESTAMP, for call sites that work from an explicit schema (the
+    file-stream source) rather than a batch DataFrame. Same cases as
+    normalize_event_ts."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # integer division — double division would lose precision above
-        # 2^53 ns and shift timestamps by a microsecond
+    dt = schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dt, TimestampNTZType):
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
+
+
+def normalize_event_ts(df):
+    """Normalize events.ts to plain TIMESTAMP regardless of how the
+    driver generated the parquet:
+
+    - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong=true →
+      LongType nanoseconds; truncate to micros (integer division —
+      double division would lose precision above 2^53 ns), exactly what
+      DuckDB's micro-resolution timestamp does on read.
+    - timestamp[us] without isAdjustedToUTC → TIMESTAMP_NTZ, which
+      Spark 4 functions like unix_micros reject; reinterpret as UTC
+      (session tz is pinned to UTC in ensure_read_confs, so the cast
+      is value-preserving and matches DuckDB's naive reading)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.event_pivot import event_pivot
-from .common import dsum, ensure_read_confs, t
+from .common import dsum, ensure_read_confs, event_ts_expr, t
 
 EVENT_TYPES = ["signup", "click", "view", "purchase", "error"]
 
@@ -391,8 +391,14 @@ def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reject struct keys, and a lexicographic composite is identical in
     # both engines
     order_key = F.format_string("%020d-%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    # event_types is flattened to a '|'-joined string: the driver's
+    # canonicalizer sorts result columns with pandas, which cannot hash
+    # list cells (r2 harness err). The typed array variant stays
+    # available via operators and pytest.
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set(F.col("event_type"))).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set(F.col("event_type"))), "|").alias(
+            "event_types"
+        ),
         F.min_by(F.col("event_type"), order_key).alias("first_event_type"),
         F.max_by(F.col("event_type"), order_key).alias("last_event_type"),
         F.size(F.sort_array(F.collect_list(F.col("event_type")))).alias("n_events"),
@@ -401,7 +407,7 @@ def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_USER_EVENT_ARRAYS_SQL = """
 SELECT user_id,
-  LIST_SORT(LIST_DISTINCT(LIST(event_type))) AS event_types,
+  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(event_type))), '|') AS event_types,
   ARG_MIN(event_type, PRINTF('%020d-%010d', CAST(EPOCH_US(ts) AS BIGINT), event_id)) AS first_event_type,
   ARG_MAX(event_type, PRINTF('%020d-%010d', CAST(EPOCH_US(ts) AS BIGINT), event_id)) AS last_event_type,
   COUNT(event_type) AS n_events
@@ -477,7 +483,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (
             spark.readStream.schema(ev_schema)
             .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts", event_ts_expr(ev_schema))
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"))
@@ -535,7 +541,7 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     F.col("user_id"),
                     F.col("event_id").alias(id_name),
-                    F.timestamp_micros(F.expr("ts div 1000")).alias(ts_name),
+                    event_ts_expr(ev_schema).alias(ts_name),
                 )
             )
 
@@ -676,8 +682,21 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import approx_profile
 
     ev = t(spark, sf_dir, "events")
-    return approx_profile(
+    prof = approx_profile(
         ev, ["event_type"], distinct_col="user_id", quantile_col="value"
+    )
+    # Stringify the quantile array: even the driver's rows-only check
+    # canonicalizes with pandas sort_values, which dies on list cells
+    # (r2 harness err). Typed-array surface remains on the operator.
+    return prof.withColumn(
+        "approx_quantiles_value",
+        F.array_join(
+            F.transform(
+                F.col("approx_quantiles_value"),
+                lambda x: F.format_string("%.4f", x),
+            ),
+            "|",
+        ),
     )
 
 

@@ -696,6 +696,19 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, queries, k=5, nprobe=2)
 
 
+def q_embedding_topk_ivf_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF path: float partial-sum centroids (no N×D
+    posexplode shuffle). Float centroid training is not DuckDB-hashable
+    (order-sensitive last bits), so this entry is rows-only; pytest
+    pins its centroids to the exact path within 1e-9 and its top-k
+    recall against the exact IVF result."""
+    from ..operators.similarity import topk_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_ivf(emb, queries, k=5, nprobe=2, exact_centroids=False)
+
+
 Q_EMBEDDING_TOPK_IVF_SQL = """
 WITH cent AS (
   SELECT label AS cell, g.i AS pos,

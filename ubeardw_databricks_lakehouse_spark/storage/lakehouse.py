@@ -297,27 +297,36 @@ def upsert_with_cdf(
     commit_col = F.lit(commit).cast("timestamp")
     key_cond = None
     for k in keys:
-        c = F.col(f"s.{k}") == F.col(f"t.{k}")
+        c = F.col(f"source.{k}") == F.col(f"target.{k}")
         key_cond = c if key_cond is None else key_cond & c
 
     if lake.exists(name):
-        target = lake.read(name).alias("t")
-        src = source.alias("s")
+        target = lake.read(name).alias("target")
+        src = source.alias("source")
         joined = src.join(target, key_cond, "left")
-        t_first = target.columns[0]
-        is_new = F.col(f"t.{t_first}").isNull() & F.lit(True)
+        # merge keys are non-null by merge semantics, so a NULL target
+        # key means "matched nothing" — a nullable first data column
+        # would misclassify matched rows as inserts
+        is_new = F.col(f"target.{keys[0]}").isNull()
         # a row is an update only when some tracked column changed
         changed = F.lit(False)
         for c in source.columns:
             if c not in keys and c in target.columns:
-                changed = changed | ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
-        inserts = joined.where(is_new).select("s.*").withColumn(
+                changed = changed | ~F.col(f"source.{c}").eqNullSafe(
+                    F.col(f"target.{c}")
+                )
+        if update_condition:
+            # CDF records only APPLIED changes (Delta's contract): a
+            # guard-rejected late row keeps the target version, so it
+            # must not emit pre/post images
+            changed = changed & F.expr(update_condition)
+        inserts = joined.where(is_new).select("source.*").withColumn(
             "_change_type", F.lit("insert")
         )
-        pre = joined.where(~is_new & changed).select("t.*").withColumn(
+        pre = joined.where(~is_new & changed).select("target.*").withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = joined.where(~is_new & changed).select("s.*").withColumn(
+        post = joined.where(~is_new & changed).select("source.*").withColumn(
             "_change_type", F.lit("update_postimage")
         )
         changes = inserts.unionByName(pre).unionByName(post)
