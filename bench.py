@@ -38,6 +38,7 @@ HEADLINE = [
     "q_rollup_revenue",
     "q_exact_dedup",
     "q_neardup_verified",
+    "q_neardup_verified_fast",
     "q_embedding_topk",
     "q_embedding_topk_ivf",
     "q_embedding_topk_ivf_fast",

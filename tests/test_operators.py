@@ -218,6 +218,32 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert verified == {(1, 2)}
 
 
+def test_neardup_xxhash64_family_same_pairs(spark):
+    # the production hash family must find the same verified pairs on
+    # clearly-separated data (verification is hash-free; only LSH
+    # collision luck can differ, and these pairs are far from the
+    # collision boundary)
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy cat tonight"),
+        (3, "completely unrelated text about catalyst optimizers"),
+        (4, "another unrelated fragment mentioning arrow batches"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in neardup_verified_pairs(df, threshold=0.4).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b)
+        for r in neardup_verified_pairs(
+            df, threshold=0.4, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in xx_pairs
+    assert xx_pairs == md5_pairs
+
+
 def test_neardup_with_persisted_signatures(spark, tmp_path):
     # warehouse pattern: materialize the signature table once, feed it
     # to the dedup pass — result must equal the one-shot pipeline

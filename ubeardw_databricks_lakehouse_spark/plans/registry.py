@@ -77,6 +77,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_neardup_verified_fast", llm_q.q_neardup_verified_fast, None,
+             "near-dup pipeline, xxhash64 MinHash family (production "
+             "path, 6x faster; rows-only — native hash not in DuckDB)"),
     QueryDef("q_embedding_topk_ivf_fast", llm_q.q_embedding_topk_ivf_fast, None,
              "IVF ANN, float partial-sum centroids (production path; "
              "rows-only — float training not oracle-hashable)"),
