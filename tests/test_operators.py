@@ -940,3 +940,39 @@ def test_upsert_with_cdf_records_changes(spark, tmp_path):
     assert {r["k"]: r["v"] for r in lake.read("t").collect()} == {
         1: "a", 2: "b2", 3: "c",
     }
+
+
+def test_upsert_with_cdf_guard_rejected_rows_emit_nothing(spark, tmp_path):
+    """Delta CDF records only APPLIED changes: a late row rejected by
+    the merge guard must keep the target row AND stay out of the CDF
+    (pre-fix it emitted phantom pre/post images)."""
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import (
+        Lakehouse,
+        read_changes,
+        upsert_with_cdf,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path))
+    guard = "source.updated_at > target.updated_at"
+    v1 = spark.createDataFrame([(1, "new", 20), (2, "x", 20)], ["k", "v", "updated_at"])
+    upsert_with_cdf(lake, "t", v1, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-01 00:00:00")
+    # late batch: k=1 is STALE (updated_at 10 < 20) -> guard rejects;
+    # k=3 is a fresh insert (guards never block inserts)
+    v2 = spark.createDataFrame([(1, "stale", 10), (3, "c", 5)], ["k", "v", "updated_at"])
+    upsert_with_cdf(lake, "t", v2, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-02 00:00:00")
+    changes = read_changes(lake, "t", since_ts="2024-01-01 12:00:00").collect()
+    assert sorted((r["k"], r["_change_type"]) for r in changes) == [(3, "insert")]
+    # table state matches: the stale update never applied
+    assert {r["k"]: r["v"] for r in lake.read("t").collect()} == {
+        1: "new", 2: "x", 3: "c",
+    }
+    # nullable first data column must not confuse insert detection
+    v3 = spark.createDataFrame([(2, None, 30)], "k long, v string, updated_at long")
+    upsert_with_cdf(lake, "t", v3, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-03 00:00:00")
+    c3 = read_changes(lake, "t", since_ts="2024-01-02 12:00:00").collect()
+    assert sorted((r["k"], r["_change_type"]) for r in c3) == [
+        (2, "update_postimage"), (2, "update_preimage"),
+    ]

@@ -91,10 +91,29 @@ def test_lsh_candidates_no_cartesian(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=2)
-    p = _plan(lsh_candidate_pairs(sigs, n_hashes=8, band_size=2))
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    for hash_fn in ("md5", "xxhash64"):
+        sigs = minhash_signatures(docs, n_hashes=8, shingle_n=2, hash_fn=hash_fn)
+        p = _plan(
+            lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, hash_fn=hash_fn)
+        )
+        assert "CartesianProduct" not in p, hash_fn
+        assert "BroadcastNestedLoopJoin" not in p, hash_fn
+
+
+def test_ivf_fast_centroids_no_posexplode(spark):
+    """The production IVF path must not contain the N×D posexplode
+    shuffle — partial sums travel as K rows per Arrow batch."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        _centroids,
+        _centroids_fast,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    slow = _plan(_centroids(emb, "embedding", "label", 64))
+    fast = _plan(_centroids_fast(emb, "embedding", "label", 64))
+    assert "Generate posexplode" in slow  # the oracle-exact twin keeps it
+    assert "posexplode" not in fast
+    assert "CartesianProduct" not in fast
 
 
 def test_range_join_binned_is_equi_join(spark):
