@@ -218,6 +218,43 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert verified == {(1, 2)}
 
 
+def test_pack_sequences_density_and_coverage(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    rows = [
+        (1, "a", " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+        (2, "a", " ".join(f"u{i}" for i in range(7))),    # straddles the cut
+        (3, "a", ""),                                      # empty: no packs
+        (4, "b", " ".join(f"v{i}" for i in range(5))),    # separate shard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, shard_col="source", context_len=8).collect()
+    # every doc's slices cover exactly its tokens, in order
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    for doc, slices in by_doc.items():
+        slices.sort(key=lambda r: r["pack_id"])
+        covered = sum(r["slice_len"] for r in slices)
+        assert covered == slices[0]["n_tokens"], doc
+        assert slices[0]["doc_slice_start"] == 0
+    # doc 2 (tokens 10..16 of shard a) straddles pack 1's start at 8:
+    d2 = sorted(by_doc[2], key=lambda r: r["pack_id"])
+    assert [(r["pack_id"], r["slice_len"]) for r in d2] == [(1, 6), (2, 1)]
+    # density: every pack except each shard's last is exactly full
+    packs = {}
+    for r in out:
+        packs.setdefault((r["shard"], r["pack_id"]), 0)
+        packs[(r["shard"], r["pack_id"])] += r["slice_len"]
+    for (shard, pid), total in packs.items():
+        last = max(p for s, p in packs if s == shard)
+        if pid != last:
+            assert total == 8, (shard, pid, total)
+
+
 def test_neardup_xxhash64_family_same_pairs(spark):
     # the production hash family must find the same verified pairs on
     # clearly-separated data (verification is hash-free; only LSH

@@ -416,6 +416,41 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing: per-source token streams cut
+    every 128 tokens; one row per (doc, pack) membership with exact
+    integer sub-ranges. Window is shard-partitioned (no global sort)."""
+    from ..operators.chunking import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(docs, shard_col="source", context_len=128)
+
+
+Q_SEQUENCE_PACKING_SQL = r"""
+WITH toked AS (
+  SELECT source AS shard, doc_id,
+    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> ''))::BIGINT
+      AS n_tokens
+  FROM documents
+), bounds AS (
+  SELECT shard, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+         AS BIGINT) AS s,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM toked
+  WHERE n_tokens > 0
+)
+SELECT shard, doc_id, n_tokens,
+  p AS pack_id,
+  GREATEST(s, p * 128) - s AS doc_slice_start,
+  GREATEST(s, p * 128) - p * 128 AS pack_slice_start,
+  LEAST(e, (p + 1) * 128) - GREATEST(s, p * 128) AS slice_len
+FROM bounds, UNNEST(GENERATE_SERIES(s // 128, (e - 1) // 128)) AS g(p)
+"""
+
+
 Q_CHUNKING_SQL = r"""
 WITH toked AS (
   SELECT doc_id,

@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_sequence_packing", llm_q.q_sequence_packing,
+             llm_q.Q_SEQUENCE_PACKING_SQL,
+             "GPT-style concat-and-split packing into 128-token training "
+             "windows (shard-partitioned cumsum, integer-exact ranges)"),
     QueryDef("q_neardup_verified_fast", llm_q.q_neardup_verified_fast, None,
              "near-dup pipeline, xxhash64 MinHash family (production "
              "path, 6x faster; rows-only — native hash not in DuckDB)"),
