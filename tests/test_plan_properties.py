@@ -100,6 +100,19 @@ def test_lsh_candidates_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p, hash_fn
 
 
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """Packing must never plan a global single-partition window — the
+    cumsum is partitioned by the shard column."""
+    from ubeardw_databricks_lakehouse_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(pack_sequences(docs, shard_col="source", context_len=128))
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(shard" in p
+
+
 def test_ivf_fast_centroids_no_posexplode(spark):
     """The production IVF path must not contain the N×D posexplode
     shuffle — partial sums travel as K rows per Arrow batch."""

@@ -229,7 +229,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # raw on-disk schema (ts is nanos-as-long; unused by this agg)
+    # raw on-disk schema (ts unused by this agg, so no normalization)
     src = os.path.join(sf_dir, "events.parquet")
     ensure_read_confs(spark)
     ev_schema = spark.read.parquet(src).schema
