@@ -964,19 +964,26 @@ def q_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     emb = t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    q = quantize_embeddings(emb)
+    # qvec flattened to a '|'-joined string: the driver's canonicalizer
+    # cannot sort list cells (the r2 q_user_event_arrays failure mode);
+    # the typed array surface stays on quantize_embeddings + pytest
+    return q.withColumn(
+        "qvec", F.array_join(F.transform("qvec", lambda x: x.cast("string")), "|")
+    )
 
 
 Q_EMBEDDING_QUANTIZED_SQL = """
 SELECT vec_id,
-  CASE WHEN LIST_MAX(embedding) = LIST_MIN(embedding)
-       THEN LIST_TRANSFORM(embedding, x -> 0)
-       ELSE LIST_TRANSFORM(embedding, x ->
-         CAST(ROUND((CAST(x AS DOUBLE) - CAST(LIST_MIN(embedding) AS DOUBLE))
-              / ((CAST(LIST_MAX(embedding) AS DOUBLE)
-                  - CAST(LIST_MIN(embedding) AS DOUBLE)) / 255.0))
-              AS INTEGER))
-  END AS qvec,
+  ARRAY_TO_STRING(
+    CASE WHEN LIST_MAX(embedding) = LIST_MIN(embedding)
+         THEN LIST_TRANSFORM(embedding, x -> 0)
+         ELSE LIST_TRANSFORM(embedding, x ->
+           CAST(ROUND((CAST(x AS DOUBLE) - CAST(LIST_MIN(embedding) AS DOUBLE))
+                / ((CAST(LIST_MAX(embedding) AS DOUBLE)
+                    - CAST(LIST_MIN(embedding) AS DOUBLE)) / 255.0))
+                AS INTEGER))
+    END, '|') AS qvec,
   CAST(LIST_MIN(embedding) AS DOUBLE) AS q_min,
   (CAST(LIST_MAX(embedding) AS DOUBLE) - CAST(LIST_MIN(embedding) AS DOUBLE))
     / 255.0 AS q_scale
