@@ -509,3 +509,31 @@ def dedup_clusters(
             (F.col(id_col) == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: cosine near-dup pairs (block-
+    tiled grid, no cross product) -> connected components -> canonical
+    pick. Same keep/drop contract as the text ``dedup_clusters``:
+    (vec_id, cluster_id, cluster_size, is_canonical); filtering to
+    ``is_canonical`` keeps one representative per semantic duplicate
+    group — the embedding-space counterpart of MinHash dedup.
+    """
+    pairs = embedding_neardup_pairs(df, id_col, vec_col, threshold, n_blocks)
+    comp = connected_components(pairs.select("id_a", "id_b"), df, id_col)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -373,6 +373,42 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) > 0.4
 """
 
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop list: embedding near-dup pairs ->
+    connected components -> one canonical vector per semantic cluster.
+    Oracle replays the pair join + a recursive-CTE min-label closure."""
+    from ..operators.dedup import embedding_dedup_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_dedup_clusters(emb, threshold=0.4)
+
+
+Q_EMBEDDING_DEDUP_SQL = """
+WITH RECURSIVE verified AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) > 0.4
+),
+sym AS (
+  SELECT id_a AS v, id_b AS u FROM verified
+  UNION ALL
+  SELECT id_b AS v, id_a AS u FROM verified
+),
+reach(v, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.v
+),
+comp AS (
+  SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT c.vec_id, c.cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+  c.vec_id = c.cluster_id AS is_canonical
+FROM comp c
+"""
+
 # ---------------------------------------------------------------------------
 # q_multimodal_features: binary payload plumbing through Arrow-batched
 # mapInPandas (codec stubbed; byte-level features oracle-checked).

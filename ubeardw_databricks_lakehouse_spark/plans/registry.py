@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_embedding_dedup", llm_q.q_embedding_dedup,
+             llm_q.Q_EMBEDDING_DEDUP_SQL,
+             "SemDeDup-style embedding dedup: cosine pairs -> connected "
+             "components -> canonical keep-list"),
     QueryDef("q_sequence_packing", llm_q.q_sequence_packing,
              llm_q.Q_SEQUENCE_PACKING_SQL,
              "GPT-style concat-and-split packing into 128-token training "
