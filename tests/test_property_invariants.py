@@ -1,0 +1,163 @@
+"""Property-based invariants (hypothesis) for the merge/SCD2/packing
+cores — the operators whose correctness is a CONTRACT over arbitrary
+inputs, not a golden value. Each property runs a Spark job per
+example, so example counts are small and deterministic
+(derandomize=True): these are invariant pins, not fuzzers.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+# --- upsert: parquet MERGE twin must equal a dict-model merge -------------
+
+batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),           # key
+            st.integers(min_value=0, max_value=99),          # value
+            st.integers(min_value=0, max_value=9),           # updated_at
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda r: r[0],                            # one row per key per batch
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@PROP
+@given(batches)
+def test_upsert_guarded_matches_dict_model(spark, tmp_path_factory, seq):
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("lake")))
+    model: dict[int, tuple[int, int]] = {}
+    guard = "source.updated_at > target.updated_at"
+    for batch in seq:
+        df = spark.createDataFrame(batch, "k long, v long, updated_at long")
+        lake.upsert("t", df, keys=["k"], update_condition=guard)
+        for k, v, ts in batch:
+            if k not in model or ts > model[k][1]:
+                model[k] = (v, ts)
+    got = {r["k"]: (r["v"], r["updated_at"]) for r in lake.read("t").collect()}
+    assert got == model
+
+
+# --- SCD2: exactly one current row per key; versions contiguous ----------
+
+snapshots = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),           # business key
+            st.sampled_from(["a", "b", "c"]),                # tracked value
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda r: r[0],
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@PROP
+@given(snapshots)
+def test_scd2_history_invariants(spark, tmp_path_factory, seq):
+    from ubeardw_databricks_lakehouse_spark.operators.scd2 import apply_scd2
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("lake")))
+    latest: dict[int, str] = {}
+    seen: set[int] = set()
+    for i, snap in enumerate(seq):
+        df = spark.createDataFrame(snap, "k long, v string")
+        apply_scd2(
+            lake, "dim", df, ["k"], ["v"],
+            effective_ts=f"2024-01-0{i + 1} 00:00:00",
+        )
+        for k, v in snap:
+            latest[k] = v
+            seen.add(k)
+    rows = lake.read("dim").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == seen
+    for k, history in by_key.items():
+        current = [r for r in history if r["is_current"]]
+        # exactly one current row per key, carrying the latest value
+        assert len(current) == 1, (k, history)
+        assert current[0]["v"] == latest[k]
+        # versions are 1..n with no gaps; exactly the expired rows
+        # carry an end date
+        versions = sorted(r["version_number"] for r in history)
+        assert versions == list(range(1, len(history) + 1)), (k, versions)
+        for r in history:
+            assert (r["effective_end_date"] is None) == bool(r["is_current"])
+
+
+# --- pack_sequences: exact coverage + full-pack density -------------------
+
+corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),                       # shard
+        st.integers(min_value=0, max_value=40),              # token count
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@PROP
+@given(corpora)
+def test_pack_sequences_invariants(spark, docs):
+    from ubeardw_databricks_lakehouse_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    rows = [
+        (i, shard, " ".join(f"t{j}" for j in range(n)))
+        for i, (shard, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, shard_col="source", context_len=16).collect()
+    # coverage: each non-empty doc's slices are contiguous, start at 0,
+    # and sum to its token count
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, (shard, n) in enumerate(docs):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        slices = sorted(by_doc[i], key=lambda r: r["pack_id"])
+        assert slices[0]["doc_slice_start"] == 0
+        assert sum(r["slice_len"] for r in slices) == n
+        # slices chain without gaps across consecutive packs
+        acc = 0
+        for r in slices:
+            assert r["doc_slice_start"] == acc
+            acc += r["slice_len"]
+    # density: every pack but each shard's last is exactly full
+    fill: dict[tuple, int] = {}
+    for r in out:
+        fill[(r["shard"], r["pack_id"])] = (
+            fill.get((r["shard"], r["pack_id"]), 0) + r["slice_len"]
+        )
+    for shard in {s for s, _ in fill}:
+        pids = [p for s, p in fill if s == shard]
+        for p in pids:
+            if p != max(pids):
+                assert fill[(shard, p)] == 16, (shard, p)
