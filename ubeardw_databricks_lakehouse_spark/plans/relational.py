@@ -1344,3 +1344,43 @@ SELECT custkey, 'churned' AS cohort FROM (SELECT custkey FROM y96 EXCEPT SELECT 
 UNION ALL
 SELECT custkey, 'new' AS cohort FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y96)
 """
+
+
+# ---------------------------------------------------------------------------
+# q_row_fingerprints: the SCD2 change-detection hash (F4: sha2-256 over
+# '||'-joined null-coalesced casts — functions/cleaning.row_hash, the
+# reference's gold_pipeline.py:131-134 idiom) plus the epoch<->timestamp
+# round trip (F3), both oracle-exact: DuckDB sha256 and make_timestamp
+# reproduce Spark bit-for-bit under the UTC session policy.
+# ---------------------------------------------------------------------------
+
+
+def q_row_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import row_hash
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        # doubles stringify differently across engines near the
+        # scientific-notation threshold; money hashes over DECIMAL(12,2)
+        # — also the declared DW money type (SURVEY §1.2)
+        "o_totalprice", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    return orders.select(
+        "o_orderkey",
+        row_hash("o_custkey", "o_orderstatus", "o_totalprice").alias("row_hash"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_epoch_us"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("order_ts_roundtrip"),
+    )
+
+
+Q_ROW_FINGERPRINTS_SQL = """
+SELECT o_orderkey,
+  SHA256(CONCAT_WS('||',
+    COALESCE(CAST(o_custkey AS VARCHAR), ''),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), ''),
+    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), ''))) AS row_hash,
+  CAST(EPOCH_US(o_orderdate) AS BIGINT) AS order_epoch_us,
+  MAKE_TIMESTAMP(CAST(EPOCH_US(o_orderdate) AS BIGINT)) AS order_ts_roundtrip
+FROM orders
+"""
