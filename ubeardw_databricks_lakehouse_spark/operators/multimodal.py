@@ -161,3 +161,55 @@ def sample_video_frames(
             )
 
     return df.select("doc_id", blob_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("window_len", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def extract_audio_windows(
+    df: DataFrame, blob_col: str = "media_blob", window_bytes: int = 64
+) -> DataFrame:
+    """Windowed audio feature extraction over opaque payloads: one row
+    per non-overlapping window with its integer energy (sum of byte
+    values — the stub for RMS; a real soundfile/librosa decoder swaps
+    into the same per-batch loop). The tail window is partial, as real
+    frame-level audio pipelines emit it.
+
+    Same 100 TB shape as the other media ops: Arrow-batched
+    ``mapInPandas``, bytes sliced executor-locally, only the small
+    (doc, window, energy) descriptors ever shuffle. Integer energies
+    make the stub oracle-checkable.
+    """
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, energies = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob)
+                for k in range(0, max(len(b) + window_bytes - 1, 0) // window_bytes):
+                    off = k * window_bytes
+                    chunk = b[off:off + window_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    energies.append(int(sum(chunk)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "window_len": pd.Series(lens, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(windows, AUDIO_WINDOW_SCHEMA)

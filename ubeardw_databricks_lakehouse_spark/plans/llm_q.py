@@ -432,6 +432,32 @@ FROM documents
 """
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy plumbing (multimodal audio leg): 64-byte
+    windows over the binary payload via Arrow mapInPandas; integer
+    energies make the codec stub oracle-checkable (payload is the
+    UTF-8 text, ASCII in the testdata, so bytes == chars in SQL)."""
+    from ..operators.multimodal import attach_binary_payload, extract_audio_windows
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_audio_windows(attach_binary_payload(docs), window_bytes=64)
+
+
+Q_AUDIO_WINDOWS_SQL = """
+SELECT doc_id,
+  CAST(g.k AS INTEGER) AS window_idx,
+  CAST(g.k * 64 AS BIGINT) AS byte_offset,
+  CAST(LENGTH(SUBSTRING(text, CAST(g.k * 64 + 1 AS INTEGER), 64)) AS INTEGER)
+    AS window_len,
+  CAST(LIST_SUM(LIST_TRANSFORM(
+    STRING_SPLIT(SUBSTRING(text, CAST(g.k * 64 + 1 AS INTEGER), 64), ''),
+    x -> ASCII(x))) AS BIGINT) AS energy
+FROM documents,
+  UNNEST(GENERATE_SERIES(0,
+    CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) AS BIGINT) - 1)) AS g(k)
+"""
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant — recall<1 by design, so no SQL oracle (rows-only)."""
     emb = t(spark, sf_dir, "embeddings")

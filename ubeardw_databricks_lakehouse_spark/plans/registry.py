@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_audio_windows", llm_q.q_audio_windows,
+             llm_q.Q_AUDIO_WINDOWS_SQL,
+             "multimodal audio leg: windowed byte-energy features over "
+             "binary payloads (Arrow mapInPandas, md5-free integer oracle)"),
     QueryDef("q_row_fingerprints", relational.q_row_fingerprints,
              relational.Q_ROW_FINGERPRINTS_SQL,
              "SCD2 row-hash (F4 sha2 idiom) + epoch/timestamp round trip "
