@@ -1,0 +1,72 @@
+"""Incremental view maintenance: CDF-fed refresh == full recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ubeardw_databricks_lakehouse_spark.storage.ivm import refresh_metric_view
+from ubeardw_databricks_lakehouse_spark.storage.lakehouse import (
+    Lakehouse,
+    upsert_with_cdf,
+)
+
+
+def _full(lake, base):
+    return {
+        r["grp"]: (str(r["sum_value"]), r["n_rows"])
+        for r in lake.read(base)
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+
+
+def _view(lake, view):
+    return {
+        r["grp"]: (str(r["sum_value"]), r["n_rows"])
+        for r in lake.read(view).collect()
+    }
+
+
+def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path))
+    guard = "source.updated_at > target.updated_at"
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "a", 5.0, 1), (3, "b", 7.5, 1)],
+        "k long, grp string, amount double, updated_at long",
+    )
+    upsert_with_cdf(lake, "fact", b1, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-01 00:00:00")
+    refresh_metric_view(lake, "fact_by_grp", "fact", ["grp"], "amount")
+    assert _view(lake, "fact_by_grp") == _full(lake, "fact")
+
+    # wave 2: update k=2 (a: 5 -> 20), insert k=4 into new group c,
+    # stale update of k=3 rejected by the guard (must not move the view)
+    b2 = spark.createDataFrame(
+        [(2, "a", 20.0, 2), (4, "c", 1.25, 1), (3, "b", 99.0, 0)],
+        "k long, grp string, amount double, updated_at long",
+    )
+    upsert_with_cdf(lake, "fact", b2, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-02 00:00:00")
+    refresh_metric_view(lake, "fact_by_grp", "fact", ["grp"], "amount",
+                        since_ts="2024-01-01 12:00:00")
+    assert _view(lake, "fact_by_grp") == _full(lake, "fact")
+
+    # wave 3: group b's only row moves to group a -> b must drop out
+    b3 = spark.createDataFrame(
+        [(3, "a", 7.5, 3)],
+        "k long, grp string, amount double, updated_at long",
+    )
+    upsert_with_cdf(lake, "fact", b3, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-03 00:00:00")
+    refresh_metric_view(lake, "fact_by_grp", "fact", ["grp"], "amount",
+                        since_ts="2024-01-02 12:00:00")
+    got = _view(lake, "fact_by_grp")
+    assert got == _full(lake, "fact")
+    assert "b" not in got
