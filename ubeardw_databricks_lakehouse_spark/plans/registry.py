@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_ivm_refresh", relational.q_ivm_refresh,
+             relational.Q_IVM_REFRESH_SQL,
+             "incremental view maintenance: CDF-fed O(changes) refresh "
+             "hash-equals the full O(table) aggregate"),
     QueryDef("q_audio_windows", llm_q.q_audio_windows,
              llm_q.Q_AUDIO_WINDOWS_SQL,
              "multimodal audio leg: windowed byte-energy features over "

@@ -1384,3 +1384,62 @@ SELECT o_orderkey,
   MAKE_TIMESTAMP(CAST(EPOCH_US(o_orderdate) AS BIGINT)) AS order_ts_roundtrip
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# q_ivm_refresh: incremental view maintenance under the oracle gate.
+# Orders land in two CDC waves (by order year); the metric view is
+# seeded from wave 1 and then refreshed ONLY from wave 2's CDF change
+# rows. The oracle is the plain full aggregate over the whole table —
+# so a hash match proves the O(changes) refresh converges to the
+# O(table) recompute exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..storage.ivm import refresh_metric_view
+    from ..storage.lakehouse import Lakehouse, upsert_with_cdf
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wave1 = orders.join(
+        t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") <= 1995)
+        .select("o_orderkey"),
+        "o_orderkey",
+        "left_semi",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lake = Lakehouse(spark, d)
+        upsert_with_cdf(lake, "orders_base", wave1, keys=["o_orderkey"],
+                        batch_ts="2024-01-01 00:00:00")
+        refresh_metric_view(
+            lake, "orders_by_status", "orders_base",
+            ["o_orderstatus"], "o_totalprice", value_prec="decimal(18,2)",
+        )
+        upsert_with_cdf(lake, "orders_base", orders, keys=["o_orderkey"],
+                        batch_ts="2024-01-02 00:00:00")
+        refresh_metric_view(
+            lake, "orders_by_status", "orders_base",
+            ["o_orderstatus"], "o_totalprice",
+            since_ts="2024-01-01 12:00:00", value_prec="decimal(18,2)",
+        )
+        out = lake.read("orders_by_status").select(
+            "o_orderstatus",
+            F.col("sum_value").cast("double").alias("sum_totalprice"),
+            F.col("n_rows").alias("n_orders"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+Q_IVM_REFRESH_SQL = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
