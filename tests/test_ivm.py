@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from ubeardw_databricks_lakehouse_spark.storage.ivm import refresh_metric_view
 from ubeardw_databricks_lakehouse_spark.storage.lakehouse import (
     Lakehouse,
+    delete_where_with_cdf,
+    read_changes,
     upsert_with_cdf,
 )
 
@@ -70,3 +72,11 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     got = _view(lake, "fact_by_grp")
     assert got == _full(lake, "fact")
     assert "b" not in got
+
+    # wave 4: DELETE with CDF — view follows via delete rows only
+    delete_where_with_cdf(lake, "fact", "k = 2", batch_ts="2024-01-04 00:00:00")
+    dels = read_changes(lake, "fact", since_ts="2024-01-03 12:00:00").collect()
+    assert [(r["k"], r["_change_type"]) for r in dels] == [(2, "delete")]
+    refresh_metric_view(lake, "fact_by_grp", "fact", ["grp"], "amount",
+                        since_ts="2024-01-03 12:00:00")
+    assert _view(lake, "fact_by_grp") == _full(lake, "fact")

@@ -343,6 +343,36 @@ def upsert_with_cdf(
     lake.upsert(name, source, keys, update_condition=update_condition)
 
 
+def delete_where_with_cdf(
+    lake: "Lakehouse",
+    name: str,
+    condition: str,
+    batch_ts: str | None = None,
+) -> None:
+    """DELETE WHERE with the CDF twin: the deleted rows append to
+    ``<name>__cdf`` as ``_change_type='delete'`` (Delta's vocabulary —
+    completing insert/update_preimage/update_postimage/delete), then
+    the table rewrite drops them. Incremental consumers
+    (``storage/ivm``) subtract the deleted rows' contribution instead
+    of rescanning the base."""
+    import uuid as _uuid
+
+    commit = batch_ts or "1970-01-01 00:00:00"
+    deleted = (
+        lake.read(name)
+        .where(F.expr(condition))
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("_commit_timestamp", F.lit(commit).cast("timestamp"))
+        .withColumn("_commit_id", F.lit(_uuid.uuid4().hex[:12]))
+    )
+    cdf_name = f"{name}__cdf"
+    if lake.exists(cdf_name):
+        lake.append(cdf_name, deleted)
+    else:
+        lake.overwrite(cdf_name, deleted)
+    lake.delete_where(name, condition)
+
+
 def read_changes(lake: "Lakehouse", name: str, since_ts: str | None = None) -> DataFrame:
     """Read the CDF table, optionally only commits after ``since_ts``
     (Delta's ``startingTimestamp`` contract)."""
