@@ -80,3 +80,12 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     refresh_metric_view(lake, "fact_by_grp", "fact", ["grp"], "amount",
                         since_ts="2024-01-03 12:00:00")
     assert _view(lake, "fact_by_grp") == _full(lake, "fact")
+
+    # DESCRIBE HISTORY twin: four commits, newest first, counts by op
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import table_history
+
+    hist = table_history(lake, "fact").collect()
+    assert len(hist) == 4
+    assert [
+        (r["n_inserted"], r["n_updated"], r["n_deleted"]) for r in hist
+    ] == [(0, 0, 1), (0, 1, 0), (1, 1, 0), (3, 0, 0)]

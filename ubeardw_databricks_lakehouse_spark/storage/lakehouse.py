@@ -380,3 +380,27 @@ def read_changes(lake: "Lakehouse", name: str, since_ts: str | None = None) -> D
     if since_ts is not None:
         df = df.where(F.col("_commit_timestamp") > F.lit(since_ts).cast("timestamp"))
     return df
+
+
+def table_history(lake: "Lakehouse", name: str) -> DataFrame:
+    """DESCRIBE HISTORY twin from the CDF commit log: one row per
+    commit with per-operation row counts, newest first — the audit
+    surface Delta exposes natively (reference:
+    utils/optimize_tables.py DESCRIBE-family introspection), rebuilt
+    for the parquet backend from the change rows themselves."""
+    ch = lake.read(f"{name}__cdf")
+    return (
+        ch.groupBy("_commit_id", "_commit_timestamp")
+        .agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1)).alias(
+                "n_inserted"
+            ),
+            F.count(
+                F.when(F.col("_change_type") == "update_postimage", 1)
+            ).alias("n_updated"),
+            F.count(F.when(F.col("_change_type") == "delete", 1)).alias(
+                "n_deleted"
+            ),
+        )
+        .orderBy(F.col("_commit_timestamp").desc(), "_commit_id")
+    )
