@@ -382,6 +382,55 @@ def read_changes(lake: "Lakehouse", name: str, since_ts: str | None = None) -> D
     return df
 
 
+def read_as_of(
+    lake: "Lakehouse", name: str, keys: list[str], as_of_ts: str
+) -> DataFrame:
+    """Time travel on the parquet backend: reconstruct the table as of
+    ``as_of_ts`` from the current state plus the CDF (Delta's
+    ``timestampAsOf`` twin).
+
+    For every key mutated after T, its EARLIEST post-T change row
+    pins its state at T exactly:
+
+      insert           -> the key did not exist at T (drop it)
+      update_preimage  -> the preimage IS the row at T (restore it)
+      delete           -> the deleted row IS the row at T (restore it)
+
+    Later changes to the same key are irrelevant — history between T
+    and now replays forward from that first change. Requires every
+    mutation to flow through the *_with_cdf writers (the same contract
+    Delta's own time travel has with its commit log).
+
+    Scale shape: one groupBy over post-T changes (keyed on the merge
+    key, O(changes)), an anti-join to drop changed keys from the
+    current snapshot, and a union of restored rows.
+    """
+    cur = lake.read(name)
+    ch = read_changes(lake, name, since_ts=as_of_ts)
+    w_key = [F.col(k) for k in keys]
+    # total order inside a commit: preimage sorts before postimage so
+    # the earliest row for an updated key is its preimage
+    type_rank = (
+        F.when(F.col("_change_type") == "update_postimage", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*w_key).orderBy(
+        F.col("_commit_timestamp"), type_rank, F.col("_commit_id")
+    )
+    first_change = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changed_keys = first_change.select(*keys)
+    restored = first_change.where(
+        F.col("_change_type").isin("update_preimage", "delete")
+    ).drop("_change_type", "_commit_timestamp", "_commit_id")
+    return cur.join(changed_keys, keys, "left_anti").unionByName(restored)
+
+
 def table_history(lake: "Lakehouse", name: str) -> DataFrame:
     """DESCRIBE HISTORY twin from the CDF commit log: one row per
     commit with per-operation row counts, newest first — the audit
