@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_time_travel", relational.q_time_travel,
+             relational.Q_TIME_TRAVEL_SQL,
+             "timestampAsOf twin: CDF reconstruction of the pre-mutation "
+             "state hash-equals the untouched source"),
     QueryDef("q_ivm_refresh", relational.q_ivm_refresh,
              relational.Q_IVM_REFRESH_SQL,
              "incremental view maintenance: CDF-fed O(changes) refresh "

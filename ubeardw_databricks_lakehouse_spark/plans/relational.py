@@ -1443,3 +1443,59 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# q_time_travel: parquet-backend timestampAsOf under the oracle gate.
+# The whole orders table lands at T1; a later wave mutates prices and
+# deletes the 1992 orders; read_as_of(T1') reconstructs the pre-wave
+# state from the CDF, and its aggregate must hash-equal the plain
+# aggregate over the untouched source table.
+# ---------------------------------------------------------------------------
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..storage.lakehouse import (
+        Lakehouse,
+        delete_where_with_cdf,
+        read_as_of,
+        upsert_with_cdf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lake = Lakehouse(spark, d)
+        upsert_with_cdf(lake, "orders_tt", orders, keys=["o_orderkey"],
+                        batch_ts="2024-01-01 00:00:00")
+        mutated = orders.where(F.col("o_year") >= 1997).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        upsert_with_cdf(lake, "orders_tt", mutated, keys=["o_orderkey"],
+                        batch_ts="2024-01-02 00:00:00")
+        delete_where_with_cdf(lake, "orders_tt", "o_year = 1992",
+                              batch_ts="2024-01-03 00:00:00")
+        as_of = read_as_of(lake, "orders_tt", ["o_orderkey"],
+                           "2024-01-01 12:00:00")
+        out = as_of.groupBy("o_orderstatus", "o_year").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+            F.count("*").alias("n_orders"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+Q_TIME_TRAVEL_SQL = """
+SELECT o_orderstatus,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+"""
