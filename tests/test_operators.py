@@ -218,6 +218,31 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert verified == {(1, 2)}
 
 
+def test_winnow_fingerprint_partial_overlap(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, shared + " unique tail one goes here"),
+        (2, shared + " totally different ending text"),
+        (3, "no overlap with anything else whatsoever in this row"),
+        (4, "short"),  # fewer chars than k -> empty selection
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sel = {
+        r["doc_id"]: set(r["winnow_sel"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    # the shared prefix produces shared selections (partial overlap
+    # visible); the unrelated doc shares ~nothing
+    j12 = len(sel[1] & sel[2]) / len(sel[1] | sel[2])
+    j13 = len(sel[1] & sel[3]) / len(sel[1] | sel[3])
+    assert j12 > 0.4 > j13
+    assert sel[4] == set()
+
+
 def test_pack_sequences_density_and_coverage(spark):
     from ubeardw_databricks_lakehouse_spark.operators.chunking import (
         pack_sequences,

@@ -91,6 +91,58 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(c, WHITESPACE, " ")))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "winnow_sel",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS scheme): hash every character k-gram, slide a w-hash
+    window, keep each window's minimum; the selected set survives
+    partial edits, so shared selections expose partial overlap that a
+    whole-document hash cannot.
+
+    Adds ``out_col``: the sorted distinct selection as an array of
+    fixed-width hash strings. The per-gram hash is the first 15 hex
+    chars of md5 — a rolling (Rabin-Karp) hash computes the same
+    selection O(1) per step; md5 keeps it reproducible in any engine,
+    and min-over-hex == min-over-value at fixed width.
+
+    Two projections on purpose: the k-gram hash array lands as a real
+    column before the window pass references it — inlined into the
+    window lambdas, Catalyst re-derives the whole array per window
+    (no CSE across lambdas; measured O(n²) md5 blowup, ~50x slower).
+    Map-only at corpus scale either way.
+    """
+    c = F.col(text_col)
+    n = F.length(c) - F.lit(k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    hashed = df.withColumn(
+        "_wh",
+        F.when(n >= 1, F.transform(grams, lambda g: F.substring(F.md5(g), 1, 15))),
+    )
+    hs = F.col("_wh")
+    m = F.size(hs)  # -1 for NULL (empty doc)
+    # with fewer grams than the window, one window covers them all
+    n_windows = F.when(m >= w, m - F.lit(w - 1)).when(m >= 1, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    sel = F.when(
+        n_windows >= 1, F.array_sort(F.array_distinct(minima))
+    ).otherwise(F.array().cast("array<string>"))
+    return hashed.withColumn(out_col, sel).drop("_wh")
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set."""
     c = F.col(text_col)

@@ -432,6 +432,45 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash selection) document fingerprints — the
+    MOSS partial-overlap scheme. Registry surface is the digest of the
+    sorted selection (scalar columns for the harness); the typed
+    selection array lives on operators.text.winnow_fingerprint."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(docs, k=8, w=4)
+    return sel.select(
+        "doc_id",
+        F.size("winnow_sel").alias("n_selected"),
+        F.md5(F.array_join("winnow_sel", "|")).alias("winnow_digest"),
+    )
+
+
+Q_WINNOW_FINGERPRINTS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(text) >= 8 THEN
+      LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 7),
+        i -> SUBSTRING(MD5(SUBSTRING(text, CAST(i AS INTEGER), 8)), 1, 15))
+    ELSE [] END AS hs
+  FROM documents
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN LEN(hs) = 0 THEN CAST([] AS VARCHAR[])
+    ELSE LIST_SORT(LIST_DISTINCT(
+      LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(hs) - 3, 1)),
+        i -> LIST_MIN(hs[CAST(i AS BIGINT):CAST(i + 3 AS BIGINT)]))))
+    END AS sel
+  FROM h
+)
+SELECT doc_id, CAST(LEN(sel) AS INTEGER) AS n_selected,
+  MD5(ARRAY_TO_STRING(sel, '|')) AS winnow_digest
+FROM sel
+"""
+
+
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio-energy plumbing (multimodal audio leg): 64-byte
     windows over the binary payload via Arrow mapInPandas; integer

@@ -77,6 +77,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_embedding_topk_ivf", llm_q.q_embedding_topk_ivf,
              llm_q.Q_EMBEDDING_TOPK_IVF_SQL,
              "IVF ANN top-k (label-cell coarse quantizer, nprobe=2)"),
+    QueryDef("q_winnow_fingerprints", llm_q.q_winnow_fingerprints,
+             llm_q.Q_WINNOW_FINGERPRINTS_SQL,
+             "winnowing (rolling-hash selection) fingerprints — MOSS "
+             "partial-overlap scheme, digest oracle-exact"),
     QueryDef("q_time_travel", relational.q_time_travel,
              relational.Q_TIME_TRAVEL_SQL,
              "timestampAsOf twin: CDF reconstruction of the pre-mutation "
