@@ -89,3 +89,42 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     assert [
         (r["n_inserted"], r["n_updated"], r["n_deleted"]) for r in hist
     ] == [(0, 0, 1), (0, 1, 0), (1, 1, 0), (3, 0, 0)]
+
+
+def test_streaming_metric_view_tracks_cdf(spark, tmp_path):
+    """Continuous IVM: the streaming view folds CDF micro-batches and
+    converges to the full recompute after every drain, including a
+    checkpointed restart that must process only NEW change files."""
+    from ubeardw_databricks_lakehouse_spark.streaming.materialized import (
+        stream_metric_view,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    ckpt = str(tmp_path / "ckpt")
+    guard = "source.updated_at > target.updated_at"
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "b", 4.0, 1)],
+        "k long, grp string, amount double, updated_at long",
+    )
+    upsert_with_cdf(lake, "fact", b1, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-01 00:00:00")
+    q = stream_metric_view(spark, lake, "fact_live", "fact", ["grp"],
+                           "amount", ckpt)
+    q.awaitTermination(120)
+    assert _view(lake, "fact_live") == _full(lake, "fact")
+
+    # more change waves, then a fresh stream on the SAME checkpoint
+    b2 = spark.createDataFrame(
+        [(1, "a", 25.0, 2), (3, "a", 1.0, 1)],
+        "k long, grp string, amount double, updated_at long",
+    )
+    upsert_with_cdf(lake, "fact", b2, keys=["k"], update_condition=guard,
+                    batch_ts="2024-01-02 00:00:00")
+    delete_where_with_cdf(lake, "fact", "k = 2", batch_ts="2024-01-03 00:00:00")
+    q2 = stream_metric_view(spark, lake, "fact_live", "fact", ["grp"],
+                            "amount", ckpt)
+    q2.awaitTermination(120)
+    got = _view(lake, "fact_live")
+    assert got == _full(lake, "fact")
+    assert "b" not in got  # deleted group dropped out

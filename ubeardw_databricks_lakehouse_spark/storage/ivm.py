@@ -73,36 +73,24 @@ def metric_deltas(
     )
 
 
-def refresh_metric_view(
+def apply_deltas(
     lake: Lakehouse,
     view_name: str,
-    base_name: str,
+    deltas: DataFrame,
     group_cols: list[str],
-    value_col: str,
-    since_ts: str | None = None,
     value_prec: str = "decimal(18,2)",
 ) -> None:
-    """Fold CDF changes of ``base_name`` (commits after ``since_ts``)
-    into the aggregate view ``(group_cols, sum_value, n_rows)``.
-
-    First call (view absent) seeds from the base table; later calls
-    touch only changed groups: deltas join the view on the group key
-    (co-partitioned with the view's own layout) and groups whose
-    n_rows reaches 0 drop out, matching a full recompute exactly.
-    """
+    """Fold a (group_cols, sum_delta, count_delta) frame into the view:
+    full-outer join on the group key (co-partitioned with the view's
+    own layout); groups whose n_rows reaches 0 drop out."""
     if not lake.exists(view_name):
-        base = lake.read(base_name)
-        seed = base.groupBy(*group_cols).agg(
-            F.sum(F.col(value_col).cast(value_prec)).cast(value_prec).alias(
-                "sum_value"
-            ),
-            F.count("*").alias("n_rows"),
-        )
+        seed = deltas.select(
+            *group_cols,
+            F.col("sum_delta").cast(value_prec).alias("sum_value"),
+            F.col("count_delta").cast("long").alias("n_rows"),
+        ).where(F.col("n_rows") > 0)
         lake.overwrite(view_name, seed)
         return
-    deltas = metric_deltas(
-        read_changes(lake, base_name, since_ts), group_cols, value_col, value_prec
-    )
     view = lake.read(view_name)
     merged = (
         view.alias("v")
@@ -121,3 +109,34 @@ def refresh_metric_view(
         .where(F.col("n_rows") > 0)
     )
     lake.overwrite(view_name, merged)
+
+
+def refresh_metric_view(
+    lake: Lakehouse,
+    view_name: str,
+    base_name: str,
+    group_cols: list[str],
+    value_col: str,
+    since_ts: str | None = None,
+    value_prec: str = "decimal(18,2)",
+) -> None:
+    """Fold CDF changes of ``base_name`` (commits after ``since_ts``)
+    into the aggregate view ``(group_cols, sum_value, n_rows)``.
+
+    First call (view absent) seeds from the base table; later calls
+    touch only changed groups, matching a full recompute exactly.
+    """
+    if not lake.exists(view_name):
+        base = lake.read(base_name)
+        seed = base.groupBy(*group_cols).agg(
+            F.sum(F.col(value_col).cast(value_prec)).cast(value_prec).alias(
+                "sum_value"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        lake.overwrite(view_name, seed)
+        return
+    deltas = metric_deltas(
+        read_changes(lake, base_name, since_ts), group_cols, value_col, value_prec
+    )
+    apply_deltas(lake, view_name, deltas, group_cols, value_prec)
