@@ -218,6 +218,25 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert verified == {(1, 2)}
 
 
+def test_winnow_selections_equal_array_variant(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_selections,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arr = {
+        (r["doc_id"], h)
+        for r in winnow_fingerprints(docs, k=12, w=5).collect()
+        for h in r["winnow_sel"]
+    }
+    rows = {
+        (r["doc_id"], r["h"])
+        for r in winnow_selections(docs, k=12, w=5).collect()
+    }
+    assert rows == arr and rows
+
+
 def test_winnow_fingerprint_partial_overlap(spark):
     from ubeardw_databricks_lakehouse_spark.operators.text import (
         winnow_fingerprints,

@@ -143,6 +143,58 @@ def winnow_fingerprints(
     return hashed.withColumn(out_col, sel).drop("_wh")
 
 
+def winnow_selections(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Winnow selections as ROWS — (id_col, h), distinct.
+
+    Same selection as ``winnow_fingerprints`` but computed with a
+    row-level window-min instead of array lambdas: posexplode the
+    k-gram hashes, ``min(h) OVER (PARTITION BY doc ORDER BY pos ROWS
+    w-1 FOLLOWING)``, keep window-start rows, distinct. This is the
+    join-ready shape (overlap detection equi-joins on ``h``) and the
+    one that composes safely: array-lambda winnowing referenced from
+    several join branches re-inlines the hash derivation into every
+    window lambda (Catalyst has no CSE across lambdas — measured
+    O(n²) md5 blowup); here each hash is computed once per pass and
+    the window is a single per-doc sort.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    n = F.length(c) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.when(
+            n >= 1, F.transform(grams, lambda g: F.substring(F.md5(g), 1, 15))
+        ).alias("_wh"),
+    )
+    ex = hashed.select(
+        id_col,
+        F.size("_wh").alias("_n"),
+        F.posexplode("_wh").alias("_pos", "_h"),
+    )
+    wspec = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        ex.withColumn("_m", F.min("_h").over(wspec))
+        .where(F.col("_pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select(F.col(id_col), F.col("_m").alias("h"))
+        .distinct()
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set."""
     c = F.col(text_col)

@@ -471,6 +471,68 @@ FROM sel
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise partial-overlap candidates from shared winnow
+    selections — the fingerprint's plagiarism/near-dup use: explode
+    selections, drop ubiquitous ones (doc-frequency cap — common
+    k-grams would otherwise form degenerate buckets whose pair count
+    grows quadratically, the same reason boilerplate n-grams get
+    stripped), equi-join on the hash (pairs only form where a rare
+    selection collides), count shared selections per pair. MOSS-scale
+    k: 20-char grams, window 8."""
+    from ..operators.text import winnow_selections
+
+    docs = t(spark, sf_dir, "documents")
+    # persisted: the selection table feeds three plan branches (the
+    # stop-gram aggregate and both sides of the pair join)
+    sel = winnow_selections(docs, k=20, w=8).persist()
+    # anti-join against the FREQUENT set: stop-grams are few (like
+    # stop-words), so that side broadcasts; broadcasting the rare side
+    # would ship nearly the whole hash universe
+    frequent = (
+        sel.groupBy("h").agg(F.count("*").alias("_df")).where(F.col("_df") > 20)
+    )
+    sel = sel.join(F.broadcast(frequent.select("h")), "h", "left_anti")
+    a = sel.select(F.col("doc_id").alias("id_a"), "h")
+    b = sel.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+Q_WINNOW_OVERLAP_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(text) >= 20 THEN
+      LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 19),
+        i -> SUBSTRING(MD5(SUBSTRING(text, CAST(i AS INTEGER), 20)), 1, 15))
+    ELSE [] END AS hs
+  FROM documents
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN LEN(hs) = 0 THEN CAST([] AS VARCHAR[])
+    ELSE LIST_SORT(LIST_DISTINCT(
+      LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(hs) - 7, 1)),
+        i -> LIST_MIN(hs[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)]))))
+    END AS sel
+  FROM h
+), ex AS (
+  SELECT doc_id, UNNEST(sel) AS hh FROM sel
+), rare AS (
+  SELECT hh FROM ex GROUP BY hh HAVING COUNT(*) <= 20
+), fex AS (
+  SELECT doc_id, ex.hh FROM ex JOIN rare USING (hh)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fex a JOIN fex b ON a.hh = b.hh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio-energy plumbing (multimodal audio leg): 64-byte
     windows over the binary payload via Arrow mapInPandas; integer

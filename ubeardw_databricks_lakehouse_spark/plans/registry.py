@@ -81,6 +81,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_WINNOW_FINGERPRINTS_SQL,
              "winnowing (rolling-hash selection) fingerprints — MOSS "
              "partial-overlap scheme, digest oracle-exact"),
+    QueryDef("q_winnow_overlap", llm_q.q_winnow_overlap,
+             llm_q.Q_WINNOW_OVERLAP_SQL,
+             "partial-overlap pairs via shared winnow selections "
+             "(selection-hash equi-join, no cross product)"),
     QueryDef("q_time_travel", relational.q_time_travel,
              relational.Q_TIME_TRAVEL_SQL,
              "timestampAsOf twin: CDF reconstruction of the pre-mutation "
