@@ -471,6 +471,35 @@ FROM sel
 """
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token accounting: whitespace tokens vs the BPE-ish
+    sub-word count (splits on letter->digit boundaries too). DuckDB's
+    RE2 has no lookarounds, so the oracle derives the same count as
+    whitespace tokens + letter->digit transition occurrences — an
+    identity the test pins cross-engine."""
+    from ..operators.text import bpe_ish_token_count, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("n_bpe_tokens"),
+    )
+
+
+Q_TOKEN_STATS_SQL = r"""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')))
+    AS n_ws_tokens,
+  SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> ''))
+      + (LENGTH(REGEXP_REPLACE(text, '[a-z][0-9]', 'XXX', 'g')) - LENGTH(text)))
+    AS n_bpe_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise partial-overlap candidates from shared winnow
     selections — the fingerprint's plagiarism/near-dup use: explode

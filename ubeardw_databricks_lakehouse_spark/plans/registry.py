@@ -81,6 +81,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_WINNOW_FINGERPRINTS_SQL,
              "winnowing (rolling-hash selection) fingerprints — MOSS "
              "partial-overlap scheme, digest oracle-exact"),
+    QueryDef("q_token_stats", llm_q.q_token_stats,
+             llm_q.Q_TOKEN_STATS_SQL,
+             "whitespace vs BPE-ish sub-word token accounting per "
+             "language (lookaround-free oracle identity)"),
     QueryDef("q_winnow_overlap", llm_q.q_winnow_overlap,
              llm_q.Q_WINNOW_OVERLAP_SQL,
              "partial-overlap pairs via shared winnow selections "
