@@ -489,12 +489,12 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOKEN_STATS_SQL = r"""
 SELECT lang,
-  COUNT(*) AS n_docs,
-  SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')))
-    AS n_ws_tokens,
-  SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> ''))
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')))
+    AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> ''))
       + (LENGTH(REGEXP_REPLACE(text, '[a-z][0-9]', 'XXX', 'g')) - LENGTH(text)))
-    AS n_bpe_tokens
+    AS BIGINT) AS n_bpe_tokens
 FROM documents
 GROUP BY lang
 """
