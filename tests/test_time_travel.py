@@ -48,3 +48,27 @@ def test_read_as_of_reconstructs_every_commit(spark, tmp_path):
     for as_of, commit in probes.items():
         got = _state(read_as_of(lake, "t", ["k"], as_of))
         assert got == snapshots[commit], (as_of, got, snapshots[commit])
+
+
+def test_read_as_of_deterministic_under_colliding_timestamps(spark, tmp_path):
+    """Three commits sharing one batch_ts: commit order must come from
+    the monotonic _commit_version, not the random _commit_id — the
+    key's EARLIEST post-T change is its v1 insert, so the key did not
+    exist at T and the reconstruction is empty (any other tie-break
+    could surface a later preimage and resurrect value 'A')."""
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import (
+        Lakehouse,
+        read_as_of,
+        upsert_with_cdf,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path))
+    ts = "2024-01-01 00:00:00"
+    for val in ("A", "B", "C"):
+        df = spark.createDataFrame([(1, val)], "k long, v string")
+        upsert_with_cdf(lake, "t", df, keys=["k"], batch_ts=ts)
+    cdf = lake.read("t__cdf")
+    assert [r[0] for r in cdf.select("_commit_version").distinct().orderBy(
+        "_commit_version").collect()] == [1, 2, 3]
+    got = read_as_of(lake, "t", ["k"], "2023-12-31 00:00:00")
+    assert got.count() == 0

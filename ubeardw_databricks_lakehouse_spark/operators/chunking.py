@@ -104,7 +104,17 @@ def pack_sequences(
         F.col(id_col),
         tokens(text_col).alias("_toks"),
     ).select("shard", id_col, F.size("_toks").cast("long").alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # ROWS frame, not the default RANGE: RANGE gives every ORDER-BY tie
+    # the full tied cumsum, so duplicate ids would yield overlapping
+    # (_start,_end) ranges and break the pack-density invariant. ROWS
+    # matches the oracle's ROWS UNBOUNDED PRECEDING. Contract: id_col
+    # must be unique per shard (doc_id is) — with duplicates the
+    # within-tie order, hence the pack layout, would be nondeterministic.
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     bounds = toked.select(
         "shard",
         id_col,

@@ -79,17 +79,24 @@ def apply_deltas(
     deltas: DataFrame,
     group_cols: list[str],
     value_prec: str = "decimal(18,2)",
+    meta: dict | None = None,
 ) -> None:
     """Fold a (group_cols, sum_delta, count_delta) frame into the view:
     full-outer join on the group key (co-partitioned with the view's
-    own layout); groups whose n_rows reaches 0 drop out."""
+    own layout); groups whose n_rows reaches 0 drop out.
+
+    ``meta`` commits atomically with the rewritten view (merged over
+    any existing sidecar keys) — the transaction-tag channel the
+    refresh watermark and the streaming batch-id ledger ride on."""
+    if meta is not None:
+        meta = {**lake.read_table_meta(view_name), **meta}
     if not lake.exists(view_name):
         seed = deltas.select(
             *group_cols,
             F.col("sum_delta").cast(value_prec).alias("sum_value"),
             F.col("count_delta").cast("long").alias("n_rows"),
         ).where(F.col("n_rows") > 0)
-        lake.overwrite(view_name, seed)
+        lake.overwrite(view_name, seed, meta=meta)
         return
     view = lake.read(view_name)
     merged = (
@@ -108,7 +115,7 @@ def apply_deltas(
         )
         .where(F.col("n_rows") > 0)
     )
-    lake.overwrite(view_name, merged)
+    lake.overwrite(view_name, merged, meta=meta)
 
 
 def refresh_metric_view(
@@ -120,12 +127,20 @@ def refresh_metric_view(
     since_ts: str | None = None,
     value_prec: str = "decimal(18,2)",
 ) -> None:
-    """Fold CDF changes of ``base_name`` (commits after ``since_ts``)
-    into the aggregate view ``(group_cols, sum_value, n_rows)``.
+    """Fold CDF changes of ``base_name`` into the aggregate view
+    ``(group_cols, sum_value, n_rows)``.
 
-    First call (view absent) seeds from the base table; later calls
-    touch only changed groups, matching a full recompute exactly.
+    First call (view absent) seeds from the base table and records the
+    CDF's current ``_commit_version`` as the view's refresh watermark
+    (sidecar meta, committed with the data — every change up to that
+    version is already inside the seed). Later calls fold only commits
+    PAST the watermark and advance it, so calling with defaults is
+    always safe: nothing replays, nothing double-counts. An explicit
+    ``since_ts`` overrides the watermark (caller-managed window — the
+    caller owns dedup across calls); the watermark still advances to
+    the max version actually folded.
     """
+    cdf_name = f"{base_name}__cdf"
     if not lake.exists(view_name):
         base = lake.read(base_name)
         seed = base.groupBy(*group_cols).agg(
@@ -134,9 +149,43 @@ def refresh_metric_view(
             ),
             F.count("*").alias("n_rows"),
         )
-        lake.overwrite(view_name, seed)
+        seeded_version = 0
+        if lake.exists(cdf_name):
+            cdf = lake.read(cdf_name)
+            if "_commit_version" in cdf.columns:
+                seeded_version = int(
+                    cdf.agg(F.max("_commit_version")).first()[0] or 0
+                )
+        lake.overwrite(
+            view_name, seed, meta={"last_commit_version": seeded_version}
+        )
         return
-    deltas = metric_deltas(
-        read_changes(lake, base_name, since_ts), group_cols, value_col, value_prec
+    if since_ts is not None:
+        changes = read_changes(lake, base_name, since_ts=since_ts)
+    else:
+        m = lake.read_table_meta(view_name)
+        if "last_commit_version" not in m:
+            # a view with no recorded watermark (pre-watermark seed, or
+            # maintained by the streaming path) would replay the ENTIRE
+            # CDF history here — the double-count this watermark exists
+            # to prevent. Refuse rather than corrupt.
+            raise ValueError(
+                f"view {view_name!r} has no refresh watermark; pass an "
+                "explicit since_ts or reseed the view"
+            )
+        last_v = int(m["last_commit_version"])
+        changes = read_changes(lake, base_name, since_version=last_v)
+    prev_v = int(lake.read_table_meta(view_name).get("last_commit_version", 0))
+    hi = None
+    if "_commit_version" in changes.columns:
+        hi = changes.agg(F.max("_commit_version")).first()[0]
+    new_v = max(prev_v, int(hi or 0))
+    deltas = metric_deltas(changes, group_cols, value_col, value_prec)
+    apply_deltas(
+        lake,
+        view_name,
+        deltas,
+        group_cols,
+        value_prec,
+        meta={"last_commit_version": new_v},
     )
-    apply_deltas(lake, view_name, deltas, group_cols, value_prec)

@@ -21,6 +21,7 @@ fallback rewrites matched partitions only when ``partition_by`` is set.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -83,9 +84,32 @@ class Lakehouse:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))
 
+    def read_table_meta(self, name: str) -> dict:
+        """Sidecar metadata committed WITH the table (see ``overwrite``
+        meta=). Underscore-prefixed, so file-source reads skip it the
+        same way they skip ``_SUCCESS``. Absent file -> {}."""
+        p = os.path.join(self.path(name), "_graft_meta.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def overwrite(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> None:
+        """Full-table rewrite. With ``meta`` set, the metadata file is
+        written into the staging directory BEFORE the promote rename,
+        so table data and metadata commit in one atomic swap — the
+        parquet twin of Delta's txnAppId/txnVersion transaction tags
+        (the idempotent-foreachBatch pattern). Without meta, a plain
+        overwrite (unchanged fast path)."""
+        if meta is not None:
+            self._swap(name, df, partition_by, meta=meta)
+            return
         writer = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -248,7 +272,11 @@ class Lakehouse:
         self._swap(name, df)
 
     def _swap(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Commit a full-table rewrite atomically-enough for local use."""
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
@@ -257,6 +285,9 @@ class Lakehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(tmp)
+        if meta is not None:
+            with open(os.path.join(tmp, "_graft_meta.json"), "w") as f:
+                json.dump(meta, f)
         final = self.path(name)
         # rename the live table aside before promoting the new write, so
         # a crash between the two renames never leaves the table absent;
@@ -290,6 +321,11 @@ def upsert_with_cdf(
     Scale: the diff is one keyed join of source against target
     (co-partitioned with the merge's own join), and the CDF table is
     append-only partitioned by commit — no rewrite amplification.
+    Every commit also carries a monotonic ``_commit_version`` (Delta's
+    CDF ordering key): timestamps may collide across commits (callers
+    that omit ``batch_ts`` all share the epoch default), the version
+    never does, so change-order-sensitive consumers (``read_as_of``,
+    IVM watermarks) are deterministic.
     """
     import uuid as _uuid
 
@@ -332,10 +368,15 @@ def upsert_with_cdf(
         changes = inserts.unionByName(pre).unionByName(post)
     else:
         changes = source.withColumn("_change_type", F.lit("insert"))
-    changes = changes.withColumn("_commit_timestamp", commit_col).withColumn(
-        "_commit_id", F.lit(_uuid.uuid4().hex[:12])
-    )
     cdf_name = f"{name}__cdf"
+    changes = (
+        changes.withColumn("_commit_timestamp", commit_col)
+        .withColumn("_commit_id", F.lit(_uuid.uuid4().hex[:12]))
+        .withColumn(
+            "_commit_version",
+            F.lit(_next_commit_version(lake, cdf_name)).cast("long"),
+        )
+    )
     if lake.exists(cdf_name):
         lake.append(cdf_name, changes)
     else:
@@ -358,14 +399,18 @@ def delete_where_with_cdf(
     import uuid as _uuid
 
     commit = batch_ts or "1970-01-01 00:00:00"
+    cdf_name = f"{name}__cdf"
     deleted = (
         lake.read(name)
         .where(F.expr(condition))
         .withColumn("_change_type", F.lit("delete"))
         .withColumn("_commit_timestamp", F.lit(commit).cast("timestamp"))
         .withColumn("_commit_id", F.lit(_uuid.uuid4().hex[:12]))
+        .withColumn(
+            "_commit_version",
+            F.lit(_next_commit_version(lake, cdf_name)).cast("long"),
+        )
     )
-    cdf_name = f"{name}__cdf"
     if lake.exists(cdf_name):
         lake.append(cdf_name, deleted)
     else:
@@ -373,12 +418,36 @@ def delete_where_with_cdf(
     lake.delete_where(name, condition)
 
 
-def read_changes(lake: "Lakehouse", name: str, since_ts: str | None = None) -> DataFrame:
+def _next_commit_version(lake: "Lakehouse", cdf_name: str) -> int:
+    """1 + max existing ``_commit_version`` in the CDF table (1 for a
+    fresh table). On the parquet backend this is a scalar max over one
+    pruned column of the append-only CDF; native Delta reads the same
+    number straight from its commit log. Single-writer contract, like
+    the rest of the parquet fallback."""
+    if not lake.exists(cdf_name):
+        return 1
+    df = lake.read(cdf_name)
+    if "_commit_version" not in df.columns:  # pre-versioning CDF rows
+        return 1 + df.select("_commit_id").distinct().count()
+    v = df.agg(F.max("_commit_version")).first()[0]
+    return int(v or 0) + 1
+
+
+def read_changes(
+    lake: "Lakehouse",
+    name: str,
+    since_ts: str | None = None,
+    since_version: int | None = None,
+) -> DataFrame:
     """Read the CDF table, optionally only commits after ``since_ts``
-    (Delta's ``startingTimestamp`` contract)."""
+    (Delta's ``startingTimestamp`` contract) and/or strictly after
+    ``since_version`` (Delta's ``startingVersion`` — the watermark key
+    IVM uses, immune to colliding batch timestamps)."""
     df = lake.read(f"{name}__cdf")
     if since_ts is not None:
         df = df.where(F.col("_commit_timestamp") > F.lit(since_ts).cast("timestamp"))
+    if since_version is not None:
+        df = df.where(F.col("_commit_version") > F.lit(int(since_version)))
     return df
 
 
@@ -416,9 +485,15 @@ def read_as_of(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*w_key).orderBy(
-        F.col("_commit_timestamp"), type_rank, F.col("_commit_id")
-    )
+    # commits order by the monotonic _commit_version (Delta's CDF key):
+    # _commit_timestamp collides whenever writers omit batch_ts, and the
+    # random _commit_id would then break ties arbitrarily. Legacy CDF
+    # tables without the column fall back to the old ordering.
+    if "_commit_version" in ch.columns:
+        commit_order = [F.col("_commit_version"), type_rank]
+    else:
+        commit_order = [F.col("_commit_timestamp"), type_rank, F.col("_commit_id")]
+    w = Window.partitionBy(*w_key).orderBy(*commit_order)
     first_change = (
         ch.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -427,7 +502,7 @@ def read_as_of(
     changed_keys = first_change.select(*keys)
     restored = first_change.where(
         F.col("_change_type").isin("update_preimage", "delete")
-    ).drop("_change_type", "_commit_timestamp", "_commit_id")
+    ).drop("_change_type", "_commit_timestamp", "_commit_id", "_commit_version")
     return cur.join(changed_keys, keys, "left_anti").unionByName(restored)
 
 
@@ -438,8 +513,13 @@ def table_history(lake: "Lakehouse", name: str) -> DataFrame:
     utils/optimize_tables.py DESCRIBE-family introspection), rebuilt
     for the parquet backend from the change rows themselves."""
     ch = lake.read(f"{name}__cdf")
+    group_cols = ["_commit_id", "_commit_timestamp"]
+    order = [F.col("_commit_timestamp").desc(), F.col("_commit_id")]
+    if "_commit_version" in ch.columns:
+        group_cols = ["_commit_version", *group_cols]
+        order = [F.col("_commit_version").desc()]
     return (
-        ch.groupBy("_commit_id", "_commit_timestamp")
+        ch.groupBy(*group_cols)
         .agg(
             F.count(F.when(F.col("_change_type") == "insert", 1)).alias(
                 "n_inserted"
@@ -451,5 +531,5 @@ def table_history(lake: "Lakehouse", name: str) -> DataFrame:
                 "n_deleted"
             ),
         )
-        .orderBy(F.col("_commit_timestamp").desc(), "_commit_id")
+        .orderBy(*order)
     )

@@ -37,17 +37,31 @@ def stream_metric_view(
     Returns the started StreamingQuery (availableNow trigger: drains
     whatever CDF files exist, then stops — the test/batch-catchup
     mode; swap the trigger for processingTime in a live deployment).
-    The foreachBatch body is idempotent per group under Spark's
-    at-least-once batch replay ONLY because apply_deltas rewrites the
-    view transactionally per batch and the checkpoint records batch
-    completion — the standard foreachBatch contract.
+
+    foreachBatch is at-least-once: a crash after the fold but before
+    the checkpoint commit replays the SAME batch_id on restart, and
+    re-applying signed deltas is NOT a no-op — it double-counts. The
+    fold is made exactly-once the way Delta's txnAppId/txnVersion
+    pattern does it: the last applied batch_id is committed atomically
+    WITH the view (sidecar meta in the same directory swap), and a
+    replayed batch_id <= that ledger is skipped.
     """
     cdf_path = lake.path(f"{base_name}__cdf")
     schema = spark.read.parquet(cdf_path).schema
 
     def fold(batch_df, batch_id: int) -> None:
+        last = lake.read_table_meta(view_name).get("last_batch_id", -1)
+        if batch_id <= last:
+            return  # replayed batch already folded — skip, don't double-count
         deltas = metric_deltas(batch_df, group_cols, value_col, value_prec)
-        apply_deltas(lake, view_name, deltas, group_cols, value_prec)
+        apply_deltas(
+            lake,
+            view_name,
+            deltas,
+            group_cols,
+            value_prec,
+            meta={"last_batch_id": batch_id},
+        )
 
     return (
         spark.readStream.schema(schema)
