@@ -1057,3 +1057,50 @@ def test_upsert_with_cdf_guard_rejected_rows_emit_nothing(spark, tmp_path):
     assert sorted((r["k"], r["_change_type"]) for r in c3) == [
         (2, "update_postimage"), (2, "update_preimage"),
     ]
+
+
+def test_clustered_neardup_recall_vs_exact_sf01(spark):
+    """SemDeDup production path: cluster-blocked pairs must recover
+    >= 0.95 of the exact all-pairs tile grid's pairs at sf0.1 with the
+    operator's own defaults (K=32, nprobe=6), and emit zero false
+    positives (within-cell similarity math is identical)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_clustered,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_clustered(emb, threshold=0.4).collect()
+    }
+    assert not got - exact  # no false positives, ever
+    assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_embedding_dedup_fast_contract(spark):
+    """The fast dedup keep-list has the exact twin's shape: every
+    vector labeled once, one canonical per cluster, sizes consistent;
+    missed cross-cell pairs can only SPLIT clusters (more canonicals),
+    never merge them."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        embedding_dedup_clusters,
+        embedding_dedup_clusters_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_dedup_clusters(emb, threshold=0.4).collect()
+    fast = embedding_dedup_clusters_fast(emb, threshold=0.4).collect()
+    assert len(fast) == len(exact) == emb.count()
+    by_cluster = {}
+    for r in fast:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(1 for r in rows if r["is_canonical"]) == 1
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+    # fewer-or-equal merges than the exact twin
+    assert len(by_cluster) >= len({r["cluster_id"] for r in exact})

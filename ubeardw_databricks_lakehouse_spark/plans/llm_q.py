@@ -409,6 +409,20 @@ SELECT c.vec_id, c.cluster_id,
 FROM comp c
 """
 
+
+def q_embedding_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup path: pairs form only within IVF cells
+    (deterministic Lloyd-seeded coarse quantizer + nprobe multi-probe),
+    O(n^2/K) compute instead of the exact twin's all-pairs tile grid.
+    Float centroids aren't DuckDB-reproducible and a cross-cell pair
+    can be missed (recall<1), so rows-only; pytest pins recall >= 0.95
+    against ``q_embedding_dedup``'s exact pair set at sf0.1."""
+    from ..operators.dedup import embedding_dedup_clusters_fast
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_dedup_clusters_fast(emb, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # q_multimodal_features: binary payload plumbing through Arrow-batched
 # mapInPandas (codec stubbed; byte-level features oracle-checked).
