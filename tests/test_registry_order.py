@@ -18,6 +18,20 @@ REPO = Path(__file__).resolve().parents[1]
 DRIVER_WINDOW = 50
 
 
+def _row_ok(row: dict) -> bool:
+    """Green = the strongest check available for this query passed:
+    oracle-paired rows need all three matches; rows-only queries
+    (err == 'no_oracle' by driver convention) are green when they
+    executed cleanly — their value checks live in pytest pins."""
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return (
+        row.get("err") is None
+        and bool(row.get("rows_match"))
+        and (row.get("hash_match") or row.get("hash_match") is None)
+    )
+
+
 def _latest_green() -> set[str]:
     reports = sorted(REPO.glob("CORRECTNESS_r*.json"))
     green: set[str] = set()
@@ -26,12 +40,7 @@ def _latest_green() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ok = (
-                row.get("err") is None
-                and row.get("rows_match")
-                and (row.get("hash_match") or row.get("hash_match") is None)
-            )
-            if ok:
+            if _row_ok(row):
                 green.add(name)
             else:
                 green.discard(name)  # regression: needs re-verification
@@ -76,4 +85,35 @@ def test_unverified_queries_inside_driver_window() -> None:
     assert not outside, (
         f"{len(outside)} queries lack green driver evidence but sit past "
         f"position {DRIVER_WINDOW}: {outside} — reorder plans/registry.py"
+    )
+
+
+def test_no_query_goes_two_rounds_unchecked() -> None:
+    """The rotation ledger, mechanically: a query whose LATEST green
+    evidence predates the last two CORRECTNESS reports would be 2+
+    rounds stale after the coming round — it must sit inside the
+    driver window so the next run refreshes it."""
+    reports = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if len(reports) < 2:
+        return
+    latest_green_round: dict[str, str] = {}
+    for report in reports:
+        data = json.loads(report.read_text())
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if _row_ok(row):
+                latest_green_round[name] = report.name
+    fresh = {r.name for r in reports[-2:]}
+    window = {q.name for q in QUERIES[:DRIVER_WINDOW]}
+    stale = [
+        q.name
+        for q in QUERIES
+        if latest_green_round.get(q.name) is not None
+        and latest_green_round[q.name] not in fresh
+        and q.name not in window
+    ]
+    assert not stale, (
+        f"{len(stale)} queries' newest green evidence is 2+ rounds old "
+        f"and they sit past position {DRIVER_WINDOW}: {stale}"
     )

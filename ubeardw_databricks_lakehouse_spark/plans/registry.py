@@ -6,21 +6,26 @@ Every entry pairs a Spark implementation with its DuckDB oracle SQL
 recall<1 — the driver then records a rows-only check).
 
 ORDERING CONTRACT (evidence rotation): the correctness driver evaluates
-only the FIRST 50 entries each round, so QUERIES is ordered by
-evidence-need, not by theme:
+only the FIRST 50 entries each round. Entries are DEFINED below grouped
+by theme (the r1-r3 tier layout, kept for history), and the effective
+order is set by the explicit ``_WINDOW`` list at the bottom: its 50
+names become positions 1-50 for the next driver run; everything else
+keeps its definition order behind them.
 
-  Tier 1 — never driver-green (r1 hash/env fails + r2 canonicalizer errs)
-  Tier 2 — added in r2/r3, never driver-checked
-  Tier 3 — driver-green in r1 only (stale evidence, unchecked in r2)
-  Tier 4 — rotation slice of the 48 r2-green queries (refresh evidence)
-  Tier 5 — r2-green with evidence on file (CORRECTNESS_r02.json);
-           rotate forward next round
+Rotation rule (enforced by tests/test_registry_order.py): no query may
+go two consecutive rounds unchecked — every entry whose latest green
+evidence is two or more CORRECTNESS reports old, plus every entry with
+no green evidence at all, must be inside the window. Entries whose
+underlying operator code changed in the current round should be
+re-windowed too (judgment call, noted per round below).
 
-Evidence ledger (round -> driver status) is recorded per entry in the
-tier comments. Rule: no query may go two consecutive rounds unchecked —
-each round, move the oldest-evidence tier-5 block into tier 4.
-tests/test_registry_order.py enforces that every entry lacking green
-evidence sits inside the first 50.
+r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
+r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
+q_token_stats was r3's one red row (oracle HUGEINT cast, fixed) -> in.
+q_embedding_dedup_fast is new (cluster-blocked SemDeDup) -> in.
+q_time_travel / q_ivm_refresh / q_sequence_packing are r3-green but
+their operators changed in r4 (CDF _commit_version, IVM watermark,
+ROWS-frame cumsum) -> re-confirm.
 """
 
 from __future__ import annotations
@@ -113,6 +118,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_SEQUENCE_PACKING_SQL,
              "GPT-style concat-and-split packing into 128-token training "
              "windows (shard-partitioned cumsum, integer-exact ranges)"),
+    QueryDef("q_embedding_dedup_fast", llm_q.q_embedding_dedup_fast, None,
+             "cluster-blocked SemDeDup (pairs within IVF cells only, "
+             "O(n^2/K); rows-only — float centroids + recall<1, pytest-"
+             "pinned >=0.95 vs the exact twin)"),
     QueryDef("q_neardup_verified_fast", llm_q.q_neardup_verified_fast, None,
              "near-dup pipeline, xxhash64 MinHash family (production "
              "path, 6x faster; rows-only — native hash not in DuckDB)"),
@@ -315,6 +324,40 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_error_after_purchase", events_q.q_error_after_purchase,
              events_q.Q_ERROR_AFTER_PURCHASE_SQL,
              "range join via interval binning (errors within 6h of purchase)"),
+]
+
+# Driver window for the CURRENT round (see module docstring): these 50
+# names are promoted to positions 1-50, in this order; the remaining
+# entries follow in definition order.
+_WINDOW: list[str] = [
+    # re-confirm lane
+    "q_token_stats",            # r3 red (oracle cast fixed this round)
+    "q_embedding_dedup_fast",   # new in r4, never checked (rows-only)
+    "q_time_travel",            # r3-green, CDF ordering code changed in r4
+    "q_ivm_refresh",            # r3-green, watermark code changed in r4
+    "q_sequence_packing",       # r3-green, cumsum frame changed in r4
+    # r2-evidence block (r3 tier 5, unchecked in r3 — 2 rounds stale)
+    "q_sessionization", "q_scd2_history", "q_streaming_event_counts",
+    "q_streaming_windowed_counts", "q_funnel", "q_retention_cohorts",
+    "q_asof_attribution", "q_cohort_set_ops", "q_salted_brand_revenue",
+    "q_unpivot_balances", "q_dim_date", "q05_region_revenue",
+    "q06_forecast_revenue", "q_market_segment", "q_top_customers",
+    "q_order_gaps", "q_union_entities", "q_customers_no_orders",
+    "q_priority_filters", "q_customer_tiers", "q_rollup_revenue",
+    "q_cube_orders", "q_part_stats", "q12_late_shipments",
+    "q14_promo_revenue", "q04_priority_semi", "q10_returned_items",
+    "q_customer_deciles", "q07_nation_volume", "q08_market_share",
+    "q09_product_profit", "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_waiting_supplier", "q22_idle_customers", "q_props_json",
+    "q_moving_value", "q_daily_timeseries", "q_top_purchasers",
+    "q_event_quantiles", "q_time_rollup_multires", "q_error_after_purchase",
+]
+
+_by_name = {q.name: q for q in QUERIES}
+assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
+QUERIES = [_by_name[n] for n in _WINDOW] + [
+    q for q in QUERIES if q.name not in set(_WINDOW)
 ]
 
 
