@@ -1104,3 +1104,65 @@ def test_embedding_dedup_fast_contract(spark):
         assert all(r["cluster_size"] == len(rows) for r in rows)
     # fewer-or-equal merges than the exact twin
     assert len(by_cluster) >= len({r["cluster_id"] for r in exact})
+
+
+def test_repetition_profile_planted(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "same line" 3x -> dup_line_frac 2/4; grams repeat
+            (1, "same line\nsame line\nsame line\nunique tail"),
+            # no repetition at all
+            (2, "all words here are different ones entirely"),
+            # empty doc
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(docs, n=2).collect()}
+    assert out[1]["n_lines"] == 4
+    assert abs(out[1]["dup_line_frac"] - 0.5) < 1e-9
+    # 27 chars in duplicated lines ("same line" x3) / 38 total line chars
+    assert abs(out[1]["dup_line_char_frac"] - 27 / 38) < 1e-6
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_char_frac"] == 0.0
+
+
+def test_unigram_lm_orders_common_before_rare(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most common token only
+            (2, "the zyzzyva qoph xylem"),   # mostly hapaxes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bits_per_token"] for r in
+           unigram_logprob_score(docs).collect()}
+    assert out[1] < out[2]  # common-word doc is "more likely" under the LM
+
+
+def test_dsir_importance_prefers_target_like(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        dsir_importance,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(20):  # target domain: english-ish bigrams
+        rows.append((i, "en", "the quick brown fox jumps over the lazy dog"))
+    for i in range(20, 40):  # source-only domain
+        rows.append((i, "xx", "lorem ipsum dolor sit amet consectetur adipiscing"))
+    # held-out docs, one per domain
+    rows.append((100, "xx", "the quick brown fox jumps over the lazy dog"))
+    rows.append((101, "en", "lorem ipsum dolor sit amet consectetur adipiscing"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["importance"] for r in
+           dsir_importance(docs, F.col("lang") == "en").collect()}
+    # target-looking text scores high regardless of its own label
+    assert out[100] > out[101]

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles_from_tokens
-from .text import tokens
+from .text import ngram_list, tokens
 
 
 def _doc_ngrams(
@@ -200,4 +200,107 @@ def gopher_quality_flags(
         "dup_bigram_frac",
         "has_stopword",
         keep.alias("keep"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020),
+    with the corpus's own unigram distribution standing in for the
+    pretrained KenLM this container can't ship: per document, the mean
+    negative log2-probability of its tokens under corpus unigram
+    frequencies — natural prose scores low (common words), gibberish
+    and codes score high. Downstream: keep the head/middle of the
+    per-language score distribution, like CCNet's head/middle/tail.
+
+    Shapes at 100 TB: the vocabulary is one token groupBy (map-side
+    combined), the scoring join is a token equi-join against that
+    vocab (AQE broadcasts it when small), and the per-doc fold is a
+    groupBy on the doc key. Cross-engine determinism: each token's
+    log2 rounds to 6 decimals and sums as DECIMAL — the plans/common
+    policy — so DuckDB reproduces the score bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    scored = toks.join(vocab, "w").crossJoin(F.broadcast(total)).select(
+        id_col,
+        F.round(
+            -F.log2(F.col("c").cast("double") / F.col("t").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("nlp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        (F.sum("nlp").cast("double") / F.count("*"))
+        .alias("bits_per_token"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by how target-domain-like its hashed n-gram
+    profile is, for selecting pretraining data that matches a target
+    distribution (here ``target_cond`` marks the target rows, e.g.
+    ``F.col('lang') == 'en'``).
+
+    Features are word-``ngram_n``-grams hashed into ``n_buckets``
+    (md5 -> bucket, the cross-engine idiom). Bucket weight is the
+    add-one-smoothed log-likelihood ratio
+    ``log2((t_b+1)/(T+B)) - log2((s_b+1)/(S+B))`` of target vs source
+    (non-target) counts; a document's importance is the mean weight of
+    its n-grams. Resampling = keep the top-k / sample proportional to
+    exp(score) downstream.
+
+    Shapes: two bucket-level groupBys (B=4096 rows each — broadcast
+    back), one explode-join per doc n-gram, one per-doc fold. No
+    all-pairs anything; the bucket table is tiny by construction.
+    Same DECIMAL-rounding determinism policy as the other scores.
+    """
+    grams = df.select(
+        F.col(id_col),
+        target_cond.alias("_is_target"),
+        F.explode(ngram_list(tokens(text_col), ngram_n)).alias("g"),
+    ).withColumn(
+        "b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_b"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("s_b"),
+    )
+    totals = counts.agg(
+        F.sum("t_b").alias("T"), F.sum("s_b").alias("S")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log2((F.col("t_b") + 1).cast("double") / (F.col("T") + n_buckets).cast("double"))
+            - F.log2((F.col("s_b") + 1).cast("double") / (F.col("S") + n_buckets).cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_b"),
+    )
+    return (
+        grams.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            (F.sum("w_b").cast("double") / F.count("*")).alias("importance"),
+        )
     )

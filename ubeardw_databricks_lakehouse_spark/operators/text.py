@@ -241,3 +241,81 @@ def pii_counts(col: Column | str) -> list[Column]:
         out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, token)  # count on the scrubbed rest
     return out
+
+
+def ngram_list(toks: Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept) — the counting twin
+    of ``dedup.shingles_from_tokens``, same slice+zip construction
+    minus the distinct."""
+    if n == 1:
+        return toks
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Gopher's repetition filters (Rae et al. 2021, §A1.1), the rules
+    ``gopher_quality_flags`` doesn't already cover: machine-generated
+    and boilerplate text repeats itself at the line and n-gram level
+    long before word-frequency stats notice.
+
+    Per document:
+      n_lines            non-empty lines
+      dup_line_frac      fraction of lines that are repeats of an
+                         earlier-seen line (1 - distinct/total)
+      dup_line_char_frac character mass sitting in duplicated lines /
+                         total line characters
+      dup_ngram_frac     fraction of word ``n``-grams that are repeats
+
+    Every metric is a pure per-row column expression (array HOFs over
+    the doc's own lines/grams) — map-only, no shuffle, so the corpus
+    pass is one scan at any scale. The char-mass metric is O(L^2) in
+    lines-per-doc via nested filter, fine for L in the hundreds;
+    explode+groupBy is the fallback if documents ever carry 10k+ lines.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toked = df.select(
+        F.col(id_col),
+        lines.alias("_lines"),
+        ngram_list(tokens(text_col), n).alias("_grams"),
+    )
+    n_lines = F.size("_lines")
+    n_dist = F.size(F.array_distinct("_lines"))
+    line_chars = F.aggregate(
+        F.col("_lines"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct("_lines"),
+        F.lit(0),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(F.col("_lines"), lambda x: x == l)) > 1,
+            F.size(F.filter(F.col("_lines"), lambda x: x == l)) * F.length(l),
+        ).otherwise(F.lit(0)),
+    )
+    n_grams = F.size("_grams")
+    return toked.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - n_dist).cast("double") / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            dup_chars.cast("double") / F.greatest(line_chars, F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            (n_grams - F.size(F.array_distinct("_grams"))).cast("double")
+            / F.greatest(n_grams, F.lit(1)),
+            6,
+        ).alias("dup_ngram_frac"),
+    )

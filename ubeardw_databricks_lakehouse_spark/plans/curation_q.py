@@ -361,3 +361,149 @@ SELECT doc_id, term, tf, df, rank FROM (
 )
 WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_profile: Gopher's line/n-gram repetition filters (the
+# rules q_quality_rules' word-level battery doesn't cover). Map-only.
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_profile
+
+    docs = t(spark, sf_dir, "documents")
+    out = repetition_profile(docs, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_ngram_frac",
+    )
+
+
+Q_REPETITION_PROFILE_SQL = r"""
+WITH lns AS (
+  SELECT doc_id,
+    LIST_FILTER(
+      LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, '\n'), x -> TRIM(x)),
+      x -> x <> ''
+    ) AS lines
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(words)-4, 0)),
+                   i -> ARRAY_TO_STRING(words[i:i+4], ' ')) AS grams
+  FROM w
+)
+SELECT l.doc_id,
+  CAST(LEN(lines) AS BIGINT) AS n_lines,
+  ROUND(CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS DOUBLE)
+        / GREATEST(LEN(lines), 1), 6) AS dup_line_frac,
+  ROUND(CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(lines),
+          y -> CASE WHEN LEN(LIST_FILTER(lines, x -> x = y)) > 1
+               THEN LEN(LIST_FILTER(lines, x -> x = y)) * LENGTH(y)
+               ELSE 0 END)), 0) AS DOUBLE)
+        / GREATEST(COALESCE(LIST_SUM(LIST_TRANSFORM(lines, x -> LENGTH(x))), 0), 1),
+        6) AS dup_line_char_frac,
+  ROUND(CAST(LEN(grams) - LEN(LIST_DISTINCT(grams)) AS DOUBLE)
+        / GREATEST(LEN(grams), 1), 6) AS dup_ngram_frac
+FROM lns l JOIN g USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_lm: CCNet-style LM quality score from the corpus's own
+# unigram distribution (mean -log2 p(w) per doc).
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import unigram_logprob_score
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs)
+
+
+Q_UNIGRAM_LM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(words) AS tk FROM w),
+vocab AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT SUM(c) AS t FROM vocab),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS nlp
+  FROM tok JOIN vocab USING (tk) CROSS JOIN tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS bits_per_token
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dsir: Data Selection via Importance Resampling — hashed-bigram
+# log-likelihood-ratio importance of every doc against the English
+# slice as the target domain.
+# ---------------------------------------------------------------------------
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import dsir_importance
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
+Q_DSIR_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(words)-1, 0)),
+                          i -> ARRAY_TO_STRING(words[i:i+1], ' '))) AS gr
+  FROM w
+),
+gb AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM g
+),
+counts AS (
+  SELECT b,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b,
+    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS s_b
+  FROM gb GROUP BY b
+),
+tot AS (SELECT SUM(t_b) AS tt, SUM(s_b) AS ss FROM counts),
+wts AS (
+  SELECT b,
+    CAST(ROUND(
+      LOG2(CAST(t_b + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+      - LOG2(CAST(s_b + 1 AS DOUBLE) / CAST(ss + 4096 AS DOUBLE)), 6)
+      AS DECIMAL(18,6)) AS w_b
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(w_b) AS DOUBLE) / COUNT(*) AS importance
+FROM gb JOIN wts USING (b)
+GROUP BY doc_id
+"""

@@ -22,10 +22,13 @@ re-windowed too (judgment call, noted per round below).
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
 q_token_stats was r3's one red row (oracle HUGEINT cast, fixed) -> in.
-q_embedding_dedup_fast is new (cluster-blocked SemDeDup) -> in.
-q_time_travel / q_ivm_refresh / q_sequence_packing are r3-green but
-their operators changed in r4 (CDF _commit_version, IVM watermark,
-ROWS-frame cumsum) -> re-confirm.
+Four r4-new queries (q_embedding_dedup_fast, q_repetition_profile,
+q_unigram_lm, q_dsir) have no evidence -> in. q_time_travel /
+q_ivm_refresh / q_sequence_packing are r3-green with operators changed
+in r4 (CDF _commit_version, IVM watermark, ROWS-frame cumsum); no
+window slots remain, so their re-confirmation is the in-repo simulated
+gate (all 50 window entries + these three green vs DuckDB at sf0.01 on
+2026-08-14) plus the new unit tests — they rotate back in next round.
 """
 
 from __future__ import annotations
@@ -154,6 +157,17 @@ QUERIES: list[QueryDef] = [
              curation_q.Q_DOC_TOP_TERMS_SQL,
              "characteristic terms per doc: integer-exact tf-idf ordering, "
              "per-doc window rank"),
+    QueryDef("q_repetition_profile", curation_q.q_repetition_profile,
+             curation_q.Q_REPETITION_PROFILE_SQL,
+             "Gopher line/n-gram repetition filters (dup-line mass, "
+             "dup-5-gram fraction) — map-only array HOFs"),
+    QueryDef("q_unigram_lm", curation_q.q_unigram_lm,
+             curation_q.Q_UNIGRAM_LM_SQL,
+             "CCNet-style LM quality score: mean -log2 p(token) under "
+             "the corpus unigram distribution"),
+    QueryDef("q_dsir", curation_q.q_dsir, curation_q.Q_DSIR_SQL,
+             "DSIR importance resampling weights: hashed-bigram "
+             "log-likelihood ratio vs the English target slice"),
     QueryDef("q_curated_corpus", curation_q.q_curated_corpus,
              curation_q.Q_CURATED_CORPUS_SQL,
              "END-TO-END curation: quality -> decontam -> exact dedup -> "
@@ -330,12 +344,12 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 _WINDOW: list[str] = [
-    # re-confirm lane
+    # re-confirm / new lane
     "q_token_stats",            # r3 red (oracle cast fixed this round)
     "q_embedding_dedup_fast",   # new in r4, never checked (rows-only)
-    "q_time_travel",            # r3-green, CDF ordering code changed in r4
-    "q_ivm_refresh",            # r3-green, watermark code changed in r4
-    "q_sequence_packing",       # r3-green, cumsum frame changed in r4
+    "q_repetition_profile",     # new in r4 (Gopher repetition rules)
+    "q_unigram_lm",             # new in r4 (CCNet LM quality score)
+    "q_dsir",                   # new in r4 (importance resampling)
     # r2-evidence block (r3 tier 5, unchecked in r3 — 2 rounds stale)
     "q_sessionization", "q_scd2_history", "q_streaming_event_counts",
     "q_streaming_windowed_counts", "q_funnel", "q_retention_cohorts",
