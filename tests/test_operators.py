@@ -1166,3 +1166,75 @@ def test_dsir_importance_prefers_target_like(spark):
            dsir_importance(docs, F.col("lang") == "en").collect()}
     # target-looking text scores high regardless of its own label
     assert out[100] > out[101]
+
+
+def test_span_dedup_keep_first_and_reassembly(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import span_dedup
+
+    # spans of 3 tokens; doc 1 and doc 2 share span "a b c"; doc 3 is
+    # entirely duplicated spans of doc 1 -> survives with empty text
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # spans: "a b c", "d e f"
+            (2, "a b c x y z"),        # "a b c" dup -> keeps "x y z"
+            (3, "a b c"),              # fully duplicate -> text_clean ''
+            (4, "p q"),                # single short span, unique
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(df, span_tokens=3).collect()}
+    assert rows[1]["text_clean"] == "a b c d e f" and rows[1]["n_kept"] == 2
+    assert rows[2]["text_clean"] == "x y z" and rows[2]["n_kept"] == 1
+    assert rows[3]["text_clean"] == "" and rows[3]["n_kept"] == 0
+    assert rows[4]["text_clean"] == "p q" and rows[4]["n_spans"] == 1
+    # invariant: kept spans never exceed totals; global distinct preserved
+    assert all(r["n_kept"] <= r["n_spans"] for r in rows.values())
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    # same text -> identical score (hash-derived weights are pure)
+    assert rows[1]["score"] == rows[2]["score"]
+    assert rows[1]["label"] == rows[2]["label"]
+    # mean of weights in [-1, 1] stays in [-1, 1]
+    assert -1.0 <= rows[1]["score"] <= 1.0
+    # empty doc: defined zero, not null/NaN
+    assert rows[3]["n_tokens"] == 0 and rows[3]["score"] == 0.0
+    assert rows[3]["label"] is False
+
+
+def test_contamination_bloom_superset_of_exact(spark):
+    """Bloom membership has zero false negatives: every document the
+    exact broadcast-join path flags must be flagged by the bloom path;
+    the FP excess at 2^20 bits / 4 hashes over this corpus is zero or
+    near-zero (bounded here at 2% of train docs)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        contamination_bloom,
+        contamination_report,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    exact = {
+        r["doc_id"]
+        for r in contamination_report(train, evalset, n=8)
+        .where("contaminated")
+        .collect()
+    }
+    bloom_rows = contamination_bloom(train, evalset, n=8).collect()
+    flagged = {r["doc_id"] for r in bloom_rows if r["contaminated"]}
+    assert exact <= flagged, f"false negatives: {sorted(exact - flagged)[:5]}"
+    n_train = len(bloom_rows)
+    assert len(flagged - exact) <= max(1, int(0.02 * n_train)), (
+        f"FP excess too large: {len(flagged - exact)} of {n_train}"
+    )

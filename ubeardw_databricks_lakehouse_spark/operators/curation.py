@@ -304,3 +304,220 @@ def dsir_importance(
             (F.sum("w_b").cast("double") / F.count("*")).alias("importance"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level exact span dedup (C4 / RefinedWeb line-dedup shape,
+    Lee et al. 2021 "Deduplicating Training Data" at fixed-window
+    granularity): segment every document into consecutive
+    ``span_tokens``-word spans, keep only the FIRST occurrence of each
+    distinct span corpus-wide (first = min (doc, position)), and
+    reassemble the surviving text. Real web corpora split on newlines;
+    the span window is the structure-free equivalent this synthetic
+    corpus supports, and the parameterization is the same operator.
+
+    Returns (id, n_spans, n_kept, text_clean) — documents whose spans
+    are all duplicates survive with ``text_clean = ''`` so the caller
+    can drop or quarantine them.
+
+    100 TB shape: one groupBy-min keyed by the span string (map-side
+    combinable — hot boilerplate spans collapse before the shuffle),
+    one equi-join back on the span, one per-doc reassembly groupBy.
+    Nothing is ever collected; no window over a skewed partition (the
+    first-occurrence pick is an agg, not a ROW_NUMBER over hot spans).
+    """
+    spans_arr = "_spans"
+    n_sp = F.ceil(F.size("_toks") / F.lit(float(span_tokens))).cast("int")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        id_col,
+        F.when(F.size("_toks") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_sp),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("_toks"),
+                        (i - F.lit(1)) * span_tokens + F.lit(1),
+                        F.lit(span_tokens),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        .alias(spans_arr),
+    )
+    sp = toked.select(id_col, F.posexplode(spans_arr).alias("pos", "seg"))
+    firsts = sp.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        sp.join(firsts, "seg")
+        .where(
+            (F.col(id_col) == F.col("_first.d")) & (F.col("pos") == F.col("_first.p"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    totals = sp.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring (Joulin et al.
+    2017): bag-of-words features hashed into ``n_features`` buckets, a
+    per-bucket weight, document score = mean bucket weight, label =
+    score > 0. The container ships no trained model, so bucket weights
+    are hash-derived pseudo-weights in [-1, 1] — the md5 idiom keeps
+    them bit-identical in DuckDB, and swapping in trained weights is a
+    broadcast-join on the bucket id with the identical plan shape.
+
+    Entirely map-only: the feature hash, weight lookup, and mean fold
+    are per-row array HOFs — zero shuffles, embarrassingly parallel at
+    any corpus size. DECIMAL(18,6) weight rounding is the plans/common
+    determinism policy.
+    """
+
+    def _md5_long(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    def _weight(tok: Column) -> Column:
+        bucket = F.pmod(_md5_long(tok), F.lit(n_features))
+        raw = F.pmod(_md5_long(bucket.cast("string")), F.lit(2001)) - 1000
+        return F.round(raw.cast("double") / 1000.0, 6).cast("decimal(18,6)")
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    w_sum = F.aggregate(
+        F.transform(F.col("_toks"), _weight),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x,
+    )
+    n_toks = F.size("_toks")
+    return toked.select(
+        id_col,
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.when(n_toks == 0, F.lit(0.0))
+        .otherwise(w_sum.cast("double") / n_toks)
+        .alias("score"),
+        F.when(n_toks == 0, F.lit(False))
+        .otherwise(w_sum > 0)
+        .alias("label"),
+    )
+
+
+def bloom_bitmap(
+    grams: DataFrame, gram_col: str = "ngram", m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Bloom-filter bitmap of a gram set as (word_idx, bits) rows —
+    ``m_bits`` bits packed into ``m_bits/64`` longs, ``k`` xxhash64
+    probes per gram. Built with one explode + one bit_or groupBy; the
+    result is a table, never a driver-side object, so the filter can be
+    arbitrarily large and still broadcast-join like any small dim
+    (2^30 bits = 16M rows ~ 128 MB: exactly Spark's broadcast sweet
+    spot for a fleet-wide membership gate)."""
+    pos = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(gram_col), F.lit(seed)), F.lit(m_bits))
+                    for seed in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.shiftright("p", 6).alias("word_idx"),
+            # shiftleft needs a literal shift in the Python API; the
+            # column-shift form goes through expr
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def contamination_bloom(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Production-path decontamination: probe train n-grams against a
+    Bloom bitmap of the eval set instead of broadcasting the raw gram
+    strings (`contamination_report`). Zero false negatives by
+    construction — every truly contaminated document is flagged; a
+    tunable false-positive tail over-flags (safe direction for
+    decontamination). At 100 TB the bitmap is ~10 bits/gram vs ~50+
+    bytes/gram of strings: a 1e9-gram eval battery broadcasts as
+    ~1.25 GB of longs instead of an un-broadcastable 50 GB set.
+
+    Returns (doc_id, n_grams, n_flagged, contaminated); xxhash64 is
+    not reproducible in DuckDB, so this is a rows-only query — the
+    pytest pin proves flagged ⊇ exact and bounds the FP excess.
+    """
+    eval_g = _doc_ngrams(evalset, id_col, text_col, n).select("ngram").distinct()
+    bloom = bloom_bitmap(eval_g, m_bits=m_bits, k=k)
+    train_g = _doc_ngrams(train, id_col, text_col, n)
+    probes = train_g.select(
+        id_col,
+        "ngram",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("ngram"), F.lit(seed)), F.lit(m_bits))
+                    for seed in range(k)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        id_col,
+        "ngram",
+        F.shiftright("p", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            id_col,
+            "ngram",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ).alias("bit_set"),
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.min(F.col("bit_set").cast("int")).alias("all_set"))
+    )
+    return hit.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("all_set").cast("bigint").alias("n_flagged"),
+        (F.sum("all_set") > 0).alias("contaminated"),
+    )

@@ -507,3 +507,106 @@ SELECT doc_id,
 FROM gb JOIN wts USING (b)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_span_dedup: corpus-level exact span dedup (C4/RefinedWeb line-dedup
+# shape at 10-token-window granularity) — keep-first, reassemble text.
+# ---------------------------------------------------------------------------
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import span_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=10)
+
+
+Q_SPAN_DEDUP_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    UNNEST(GENERATE_SERIES(1, CAST(CEIL(LEN(words) / 10.0) AS BIGINT))) - 1 AS pos,
+    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(CEIL(LEN(words) / 10.0) AS BIGINT)),
+                          i -> ARRAY_TO_STRING(words[(i-1)*10+1:i*10], ' '))) AS seg
+  FROM w
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM s
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    STRING_AGG(seg, ' ' ORDER BY pos) AS text_clean
+  FROM r WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id)
+SELECT tot.doc_id,
+  CAST(n_spans AS BIGINT) AS n_spans,
+  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+  COALESCE(text_clean, '') AS text_clean
+FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_linear_quality: fastText-style hashed linear classifier scoring —
+# map-only array HOFs, hash-derived pseudo-weights (model stand-in).
+# ---------------------------------------------------------------------------
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hashed_linear_score
+
+    docs = t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, n_features=1024)
+
+
+Q_LINEAR_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(words) AS tk FROM w),
+wts AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      CAST((CAST(('0x' || substr(md5(CAST(
+            CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) % 1024
+          AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE) / 1000.0,
+      6) AS DECIMAL(18,6)) AS wt
+  FROM tok
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS s
+  FROM wts GROUP BY doc_id
+)
+SELECT w.doc_id,
+  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       ELSE CAST(s AS DOUBLE) / n_tokens END AS score,
+  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN FALSE
+       ELSE s > 0 END AS label
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_contamination_bloom: Bloom-bitmap decontamination (production path;
+# xxhash64 bitmap not reproducible in DuckDB -> rows-only; the pytest
+# pin proves flagged >= exact with zero false negatives).
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import contamination_bloom
+
+    docs = t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_bloom(train, evalset, n=8)
