@@ -190,3 +190,42 @@ def test_stream_stream_join_carries_watermarks_and_matches_batch(spark, tmp_path
     got = spark.table("ss_join_test")
     assert got.count() == n_batch
     assert sorted(c for c in got.columns) == sorted(batch.columns)
+
+
+def test_native_session_window_merges_and_splits(spark):
+    """Batch session_window semantics: events within the gap merge into
+    one session (including a bridge event joining two would-be
+    sessions); events past the gap split. Window = [first, last+gap)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # user 1: 10:00, 10:20, 10:40 chain-merge into one session
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:20:00"),
+            (1, "2024-01-01 10:40:00"),
+            # user 1: 12:00 is > 30min after 10:40 -> new session
+            (1, "2024-01-01 12:00:00"),
+            # user 2: single event
+            (2, "2024-01-01 09:00:00"),
+        ],
+        ["user_id", "ts_str"],
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    rows = sorted(
+        (
+            r["user_id"],
+            str(r["w"]["start"]),
+            str(r["w"]["end"]),
+            r["n"],
+        )
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:10:00", 3),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1),
+    ]

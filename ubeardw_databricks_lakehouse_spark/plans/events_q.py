@@ -810,3 +810,78 @@ SELECT cohort_week,
 FROM active a JOIN first_seen USING (user_id)
 GROUP BY cohort_week, weeks_since
 """
+
+
+# ---------------------------------------------------------------------------
+# q_session_windows (ST4 extension): NATIVE session_window aggregation —
+# gap-merged per-user sessions under a watermark, APPEND mode: only
+# watermark-finalized sessions emit. Spark defines a session as
+# [first_ts, last_ts + gap); merges are handled by the streaming state
+# store (the declarative twin of streaming/stateful.streaming_sessionize's
+# applyInPandasWithState). The oracle replays the full semantics:
+# lag/cumsum gap-sessionization + the emission rule
+# (session_end <= max_event_ts - delay), mirroring
+# Q_STREAMING_WINDOWED_COUNTS_SQL's convention.
+# ---------------------------------------------------------------------------
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    ensure_read_confs(spark)
+    ev_schema = spark.read.parquet(src).schema
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream_dir = os.path.join(ckpt, "stream_src")
+        os.makedirs(stream_dir)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .parquet(stream_dir)
+            .withColumn("ts", event_ts_expr(ev_schema))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+Q_SESSION_WINDOWS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+agg AS (
+  SELECT user_id,
+    MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+    COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT session_start, session_end, user_id, n_events
+FROM agg, wm WHERE session_end <= wm.w
+"""

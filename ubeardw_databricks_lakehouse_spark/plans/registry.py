@@ -196,6 +196,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_contamination_bloom", curation_q.q_contamination_bloom, None,
              "Bloom-bitmap decontamination production path (rows-only: "
              "xxhash64 bitmap; pytest pins flagged >= exact, FP bound)"),
+    QueryDef("q_session_windows", events_q.q_session_windows,
+             events_q.Q_SESSION_WINDOWS_SQL,
+             "NATIVE session_window streaming agg, append mode — oracle "
+             "replays gap-merge + watermark emission rule"),
     # ----------------------------------------------------------------
     # Tier 3 — r1-green, unchecked in r2 (stale evidence).
     # ----------------------------------------------------------------
@@ -391,6 +395,7 @@ _DEFERRED_NEW: list[str] = [
     "q_span_dedup",          # sf0.01 oracle-exact 2026-08-14
     "q_linear_quality",      # sf0.01 oracle-exact 2026-08-14
     "q_contamination_bloom", # rows-only; pytest pins flagged >= exact
+    "q_session_windows",     # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
