@@ -1238,3 +1238,58 @@ def test_contamination_bloom_superset_of_exact(spark):
     assert len(flagged - exact) <= max(1, int(0.02 * n_train)), (
         f"FP excess too large: {len(flagged - exact)} of {n_train}"
     )
+
+
+def test_train_bpe_matches_reference_exactly(spark):
+    """Distributed BPE == pure-Python reference, merge-for-merge, on the
+    sf0.001 corpus (deterministic tie-break: count desc, pair asc)."""
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_reference,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert train_bpe(docs, n_merges=12) == train_bpe_reference(texts, n_merges=12)
+
+
+def test_train_bpe_merge_fold_handles_overlaps(spark):
+    """Greedy left-to-right on runs: 'aaaa' under merge (a,a) becomes
+    [aa, aa], and 'aaa' becomes [aa, a] — the fold must not re-merge a
+    token it just created."""
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_reference,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa ab ab ab")], ["doc_id", "text"]
+    )
+    got = train_bpe(df, n_merges=3)
+    ref = train_bpe_reference(["aaaa aaaa aaa ab ab ab"], n_merges=3)
+    assert got == ref
+    assert got[0][:2] == ("a", "a")  # 'aa' is the most frequent pair
+
+
+def test_bpe_encode_matches_encode_word(spark):
+    """mapInPandas encoder == per-word reference encoder; token counts
+    and previews line up; round-trip of symbols strips to the original
+    word + end marker."""
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        bpe_encode,
+        encode_word,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana"), (3, "")], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, n_merges=4)
+    rank_merges = [(a, b) for a, b, _ in merges]
+    rows = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    exp1 = [s for w in "banana bandana".split() for s in encode_word(w, rank_merges)]
+    assert rows[1]["n_bpe_tokens"] == len(exp1)
+    assert rows[1]["tokens_preview"] == " ".join(exp1[:8])
+    assert rows[3]["n_words"] == 0 and rows[3]["n_bpe_tokens"] == 0
+    # lossless: concatenating symbols reproduces the word + marker
+    assert "".join(encode_word("banana", rank_merges)) == "banana</w>"

@@ -1279,3 +1279,23 @@ FROM cands
 JOIN documents da ON da.doc_id = id_a
 JOIN documents db ON db.doc_id = id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_merges: distributed BPE tokenizer training (Sennrich et al.
+# 2016) — 16 merge rounds over the corpus word vocabulary. Iterative
+# (driver-bounded loop), so not single-SQL-expressible: rows-only for
+# the harness; tests/test_operators.py pins the merge list EXACTLY
+# against a pure-Python reference implementation.
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(i + 1, left, right, n) for i, (left, right, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
+    )

@@ -200,6 +200,10 @@ QUERIES: list[QueryDef] = [
              events_q.Q_SESSION_WINDOWS_SQL,
              "NATIVE session_window streaming agg, append mode — oracle "
              "replays gap-merge + watermark emission rule"),
+    QueryDef("q_bpe_merges", llm_q.q_bpe_merges, None,
+             "distributed BPE tokenizer training, 16 merge rounds "
+             "(iterative -> rows-only; pytest pins merge list exactly "
+             "vs a pure-Python reference)"),
     # ----------------------------------------------------------------
     # Tier 3 — r1-green, unchecked in r2 (stale evidence).
     # ----------------------------------------------------------------
@@ -396,6 +400,7 @@ _DEFERRED_NEW: list[str] = [
     "q_linear_quality",      # sf0.01 oracle-exact 2026-08-14
     "q_contamination_bloom", # rows-only; pytest pins flagged >= exact
     "q_session_windows",     # sf0.01 oracle-exact 2026-08-14
+    "q_bpe_merges",          # rows-only; pytest pins vs reference impl
 ]
 
 _by_name = {q.name: q for q in QUERIES}
