@@ -1293,3 +1293,105 @@ def test_bpe_encode_matches_encode_word(spark):
     assert rows[3]["n_words"] == 0 and rows[3]["n_bpe_tokens"] == 0
     # lossless: concatenating symbols reproduces the word + marker
     assert "".join(encode_word("banana", rank_merges)) == "banana</w>"
+
+
+def _pq_reference_numpy(ids, vecs, m, ksub, n_iter, seed_ids):
+    """Pure-numpy PQ reference mirroring pq_train/pq_encode exactly:
+    seeds = seed_ids' subvectors (in list order), Lloyd assign by L2
+    with tie-break on cell id, centroids = mean of 6-dp-rounded
+    components."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype="float64")
+    dsub = X.shape[1] // m
+    subs = X.reshape(len(ids), m, dsub)
+    id_ix = {v: i for i, v in enumerate(ids)}
+    cents = np.stack([subs[id_ix[s]] for s in seed_ids], axis=1)  # (m? no)
+    # cents shape: (ksub, m, dsub) -> transpose to (m, ksub, dsub)
+    cents = cents.transpose(1, 0, 2).copy()
+    codes = None
+    for _ in range(n_iter):
+        d = ((subs[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(-1)
+        codes = d.argmin(-1)  # ties: argmin picks lowest index = cell id
+        for s in range(m):
+            for c in range(ksub):
+                mask = codes[:, s] == c
+                if mask.any():
+                    cents[s, c] = np.round(subs[mask, s], 6).mean(0)
+    d = ((subs[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(-1)
+    codes = d.argmin(-1)
+    mse = d.min(-1).sum(-1) / X.shape[1]
+    return cents, codes, mse
+
+
+def test_pq_matches_numpy_reference_exact(spark):
+    """On dyadic-exact data (sums are exact in float64), the
+    distributed PQ codebook and codes equal the numpy reference
+    bit-for-bit."""
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    # two tight clusters in each subspace; dim=4, m=2, ksub=2
+    vecs = [
+        (1, [0.0, 0.0, 1.0, 1.0]),
+        (2, [0.25, 0.0, 1.0, 0.75]),
+        (3, [0.0, 0.25, 0.75, 1.0]),
+        (4, [2.0, 2.0, -1.0, -1.0]),
+        (5, [2.25, 2.0, -1.0, -0.75]),
+        (6, [2.0, 2.25, -0.75, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    seed_ids = [1, 4]
+    cents = pq_train(
+        df, m=2, ksub=2, n_iter=2, dim=4, seed_ids=seed_ids
+    )
+    ids = [v[0] for v in vecs]
+    ref_cents, ref_codes, ref_mse = _pq_reference_numpy(
+        ids, [v[1] for v in vecs], 2, 2, 2, seed_ids
+    )
+    got = {
+        (r["sub_id"], r["cell"]): r["cvec"] for r in cents.collect()
+    }
+    for s in range(2):
+        for c in range(2):
+            assert np.allclose(got[(s, c)], ref_cents[s, c], atol=0, rtol=0), (
+                s, c, got[(s, c)], ref_cents[s, c])
+    enc = {r["vec_id"]: r for r in pq_encode(df, cents, m=2, dim=4).collect()}
+    for i, v in enumerate(ids):
+        assert enc[v]["codes"] == " ".join(str(c) for c in ref_codes[i])
+        assert abs(enc[v]["mse"] - ref_mse[i]) < 1e-12
+
+
+def test_pq_invariants_and_monotone_error(spark):
+    """Real corpus: every vector gets m codes in [0, ksub); Lloyd
+    iterations do not increase reconstruction error."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    def avg_mse(n_iter):
+        cents = pq_train(emb, m=8, ksub=16, n_iter=n_iter)
+        enc = pq_encode(emb, cents)
+        assert enc.count() == n
+        bad = enc.where(
+            F.exists(
+                F.split("codes", " "),
+                lambda c: (c.cast("int") < 0) | (c.cast("int") >= 16),
+            )
+        ).count()
+        assert bad == 0
+        assert enc.where(F.size(F.split("codes", " ")) != 8).count() == 0
+        return enc.agg(F.avg("mse")).first()[0]
+
+    e0, e2 = avg_mse(0), avg_mse(2)
+    assert e2 <= e0 + 1e-12, (e0, e2)

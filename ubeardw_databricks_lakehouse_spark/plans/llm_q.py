@@ -1299,3 +1299,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, left, right, n) for i, (left, right, n) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_count bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pq_codes: product-quantization compression of the embedding corpus
+# (Jegou et al. 2011) — 64 floats -> 8 codebook bytes per vector.
+# Float Lloyd training is not oracle-hashable: rows-only; tests pin the
+# codebook + codes bit-for-bit vs a numpy reference on exact data.
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = pq_train(emb, m=8, ksub=16, n_iter=2)
+    return pq_encode(emb, cents)

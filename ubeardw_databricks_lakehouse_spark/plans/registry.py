@@ -204,6 +204,10 @@ QUERIES: list[QueryDef] = [
              "distributed BPE tokenizer training, 16 merge rounds "
              "(iterative -> rows-only; pytest pins merge list exactly "
              "vs a pure-Python reference)"),
+    QueryDef("q_pq_codes", llm_q.q_pq_codes, None,
+             "product-quantization codes (m=8, ksub=16): 64 floats -> "
+             "8 bytes/vector (rows-only; pytest pins codebook+codes "
+             "bit-for-bit vs numpy reference)"),
     # ----------------------------------------------------------------
     # Tier 3 — r1-green, unchecked in r2 (stale evidence).
     # ----------------------------------------------------------------
@@ -401,6 +405,7 @@ _DEFERRED_NEW: list[str] = [
     "q_contamination_bloom", # rows-only; pytest pins flagged >= exact
     "q_session_windows",     # sf0.01 oracle-exact 2026-08-14
     "q_bpe_merges",          # rows-only; pytest pins vs reference impl
+    "q_pq_codes",            # rows-only; pytest pins vs numpy reference
 ]
 
 _by_name = {q.name: q for q in QUERIES}
