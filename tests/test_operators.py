@@ -1395,3 +1395,92 @@ def test_pq_invariants_and_monotone_error(spark):
 
     e0, e2 = avg_mse(0), avg_mse(2)
     assert e2 <= e0 + 1e-12, (e0, e2)
+
+
+def test_connected_components_star_matches_propagation_random(spark):
+    """Star CC == min-label propagation on a random multi-component
+    graph (same labels, since both converge to component minima)."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(7)
+    n = 60
+    edges = []
+    # three ground-truth blobs over ids 0-19, 20-39, 40-59 plus noise inside
+    for base in (0, 20, 40):
+        ids = list(range(base, base + 20))
+        rnd.shuffle(ids)
+        edges += list(zip(ids, ids[1:]))  # spanning chain keeps blob connected
+        edges += [
+            (rnd.choice(ids), rnd.choice(ids)) for _ in range(10)
+        ]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    prop = {r["doc_id"]: r["component"] for r in connected_components(e, v).collect()}
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(e, v).collect()
+    }
+    assert star == prop
+    assert sorted(set(star.values())) == [0, 20, 40]
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 200-node chain (diameter 199): label propagation's bounded
+    25 rounds CANNOT finish it, the star algorithm converges in
+    O(log n) rounds — this is the deep-graph case that makes it the
+    production path."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    star = connected_components_star(e, v)
+    assert star.where("component != 0").count() == 0  # one component, min id 0
+    # the propagation twin with its default cap does NOT converge here
+    prop = connected_components(e, v, max_iter=25)
+    assert prop.where("component != 0").count() > 0
+
+
+def test_connected_components_star_singletons_and_self_loops(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 2), (5, 5)], "id_a long, id_b long"
+    )  # self-loops ignored
+    v = spark.createDataFrame([(i,) for i in (1, 2, 5, 9)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(e, v).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_dedup_clusters_star_engine_equivalent(spark):
+    """dedup_clusters(cc='star') produces identical clusters to the
+    propagation default on the sf0.001 corpus."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(docs).collect()
+    }
+    star = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(docs, cc="star").collect()
+    }
+    assert star == base

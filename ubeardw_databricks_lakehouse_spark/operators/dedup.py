@@ -541,7 +541,8 @@ def connected_components(
     groupBy-min, both on the vertex key — no driver-side state beyond
     the single converged? aggregate. At 100 TB this is the standard
     large-graph CC recipe (GraphX/Pregel does the same message flow);
-    swap in large-star/small-star if components ever get deep.
+    ``connected_components_star`` below is the large-star/small-star
+    twin for deep components (O(log n) rounds, diameter-free).
     """
     sym = edges.select(
         F.col("id_a").alias("v"), F.col("id_b").alias("u")
@@ -570,6 +571,106 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the deep-graph
+    production twin of ``connected_components``.
+
+    Min-label propagation converges in graph-DIAMETER rounds: fine for
+    shallow near-dup graphs (3-4), quadratic wall-clock on chains. The
+    star algorithm alternates two edge rewrites —
+
+    - **large-star**: every node points its strictly-larger neighbors
+      at its local min (``min(neighbors ∪ self)``);
+    - **small-star**: every node rewires its ≤-neighbors and itself to
+      the min of that set —
+
+    and provably converges in O(log n) rounds regardless of diameter,
+    with monotonically non-increasing edge counts. Each half-round is
+    one groupBy-min (map-side combinable) + one equi-join on the node
+    key — the same shuffle shapes as everything else in this module,
+    no driver state beyond a convergence checksum (count + xxhash xor:
+    one tiny agg per round, no edge-set collect).
+
+    Equivalence with the propagation path is pytest-pinned on random
+    graphs and on a 200-node chain the propagation cap can't finish.
+    """
+    e = (
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = _sym(df)
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient every edge large -> small, then rewire each node's
+        # small neighborhood (plus itself) to its min
+        oriented = _sym(df).where(F.col("b") <= F.col("a"))
+        mins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+        rewired = oriented.join(mins, "a").select(
+            F.col("b").alias("a"), F.col("mn").alias("b")
+        )
+        self_edges = mins.select(F.col("a"), F.col("mn").alias("b"))
+        return (
+            rewired.unionByName(self_edges)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _checksum(df: DataFrame):
+        # bit_xor is order-free and cannot overflow under ANSI mode
+        # (edges are distinct, so xor-cancellation cannot collide a
+        # changed set with an unchanged count)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if prev is not None and (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+    # converged edges form stars: component = min(neighbors ∪ self)
+    sym = _sym(e)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(F.col("a").alias("v"), F.least("a", "mn").alias("lbl"))
+    )
+    verts = vertices.select(F.col(id_col).alias("v"))
+    return (
+        verts.join(labels, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("lbl", F.col("v")).alias("component"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -578,6 +679,7 @@ def dedup_clusters(
     band_size: int = 2,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    cc: str = "propagation",
 ) -> DataFrame:
     """Near-duplicate clusters: LSH-verified pairs -> connected
     components -> canonical pick (min id per cluster).
@@ -586,21 +688,16 @@ def dedup_clusters(
     gets (cluster_id, cluster_size, is_canonical); filtering to
     ``is_canonical`` yields the deduplicated corpus with exactly one
     representative per near-dup group.
+
+    ``cc``: "propagation" (default; near-dup graphs are shallow and
+    the oracle replays it) or "star" (large-star/small-star — O(log n)
+    rounds, the choice when components may be deep; identical labels,
+    pytest-pinned).
     """
     pairs = neardup_verified_pairs(
         df, id_col, text_col, n_hashes, band_size, shingle_n, threshold
     )
-    comp = connected_components(pairs, df, id_col)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            id_col,
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-            (F.col(id_col) == F.col("component")).alias("is_canonical"),
-        )
-    )
+    return _clusters_from_pairs(pairs, df, id_col, cc)
 
 
 def embedding_dedup_clusters(
@@ -622,9 +719,10 @@ def embedding_dedup_clusters(
 
 
 def _clusters_from_pairs(
-    pairs: DataFrame, df: DataFrame, id_col: str
+    pairs: DataFrame, df: DataFrame, id_col: str, cc: str = "propagation"
 ) -> DataFrame:
-    comp = connected_components(pairs.select("id_a", "id_b"), df, id_col)
+    cc_fn = connected_components_star if cc == "star" else connected_components
+    comp = cc_fn(pairs.select("id_a", "id_b"), df, id_col)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "component")
@@ -647,6 +745,7 @@ def embedding_dedup_clusters_fast(
     nprobe: int = 6,
     dim: int = 64,
     n_blocks: int = 2,
+    cc: str = "propagation",
 ) -> DataFrame:
     """Production twin of ``embedding_dedup_clusters``: pairs form only
     within coarse cells (``embedding_neardup_pairs_clustered``), so
@@ -659,4 +758,4 @@ def embedding_dedup_clusters_fast(
         cell_col=cell_col, n_cells=n_cells, nprobe=nprobe,
         dim=dim, n_blocks=n_blocks,
     )
-    return _clusters_from_pairs(pairs, df, id_col)
+    return _clusters_from_pairs(pairs, df, id_col, cc)
