@@ -1315,3 +1315,54 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     cents = pq_train(emb, m=8, ksub=16, n_iter=2)
     return pq_encode(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# q_inverted_index: postings-list construction — the search-infra twin
+# of the vocabulary query. Top-50 terms by document frequency with
+# their full ordered posting lists as strings (scalar columns for the
+# harness). Two-level agg: (term, doc) tf partials combine map-side,
+# then one term-keyed shuffle; posting reassembly is collect_list +
+# array_sort (deterministic), never a window over the hot term.
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("doc_freq"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            " ",
+        ).alias("postings"),
+    )
+    return idx.orderBy(F.desc("doc_freq"), F.asc("term")).limit(50)
+
+
+Q_INVERTED_INDEX_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS doc_freq,
+  CAST(SUM(tf) AS BIGINT) AS total_tf,
+  STRING_AGG(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+ORDER BY doc_freq DESC, term ASC
+LIMIT 50
+"""

@@ -204,6 +204,10 @@ QUERIES: list[QueryDef] = [
              "distributed BPE tokenizer training, 16 merge rounds "
              "(iterative -> rows-only; pytest pins merge list exactly "
              "vs a pure-Python reference)"),
+    QueryDef("q_inverted_index", llm_q.q_inverted_index,
+             llm_q.Q_INVERTED_INDEX_SQL,
+             "postings-list construction: top-50 terms by doc_freq with "
+             "ordered posting strings (search-infra surface)"),
     QueryDef("q_pq_codes", llm_q.q_pq_codes, None,
              "product-quantization codes (m=8, ksub=16): 64 floats -> "
              "8 bytes/vector (rows-only; pytest pins codebook+codes "
@@ -405,6 +409,7 @@ _DEFERRED_NEW: list[str] = [
     "q_contamination_bloom", # rows-only; pytest pins flagged >= exact
     "q_session_windows",     # sf0.01 oracle-exact 2026-08-14
     "q_bpe_merges",          # rows-only; pytest pins vs reference impl
+    "q_inverted_index",      # sf0.01 oracle-exact 2026-08-14
     "q_pq_codes",            # rows-only; pytest pins vs numpy reference
 ]
 
