@@ -1,0 +1,102 @@
+"""Training-data export: deterministic sharding + a verifiable
+manifest — the endpoint of the curation pipeline, where the corpus
+leaves the warehouse for the training cluster.
+
+Reference parity: the gold pipeline's partitioned sinks
+(cf. reference/pipelines/gold_pipeline.py partitioned writes); this
+adds what a training loader additionally needs from an export:
+- DETERMINISTIC shard assignment (portable md5 bucket, same idiom as
+  `operators/sampling.hash_bucket`) so re-export lands every doc in
+  the same shard — resumable training and diffable exports;
+- a per-shard MANIFEST (row count, payload bytes, order-insensitive
+  content digest) the loader verifies before touching the data, and
+  that makes two exports comparable without reading the shards.
+
+Scale shape: shard assignment is a map-only column; the physical write
+is `partitionBy(shard)` so each shard is its own directory (loader
+reads are partition-pruned). The manifest digest must not depend on
+row order (writers emit partitions in any order at scale), so it's
+md5(xxhash-free, engine-portable): per-row md5 folds via SUM of a
+60-bit slice — commutative, reorder-proof — rather than an ordered
+string_agg over a 100 TB shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import N_BUCKETS, hash_bucket
+
+
+def assign_shard(
+    df: DataFrame, key: str, n_shards: int, seed: str = "exp1"
+) -> DataFrame:
+    """Add a ``shard`` column in [0, n_shards): portable md5 bucket of
+    the key, folded mod n_shards. Map-only."""
+    return df.withColumn(
+        "shard", F.pmod(hash_bucket(key, seed), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame, key: str, payload_col: str, n_shards: int,
+    seed: str = "exp1",
+) -> DataFrame:
+    """(shard, n_rows, n_payload_chars, content_digest) per shard.
+
+    content_digest sums each row's 60-bit md5(key|payload) slice —
+    commutative fold, so the digest is independent of row and
+    partition order (two exports match iff their row SETS match).
+    One groupBy on the shard key; everything else is map-only. The
+    fold accumulates as DECIMAL(38,0) (a 60-bit addend would overflow
+    BIGINT within a handful of rows — ANSI Spark would throw) and
+    reduces mod 2^60 at the end; DuckDB's HUGEINT sum reproduces it.
+    """
+    sharded = assign_shard(df, key, n_shards, seed)
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(key).cast("string"),
+                    F.col(payload_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.length(F.col(payload_col)))
+            .cast("bigint")
+            .alias("n_payload_chars"),
+            F.pmod(F.sum(row_h), F.lit(2**60).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    n_shards: int,
+    seed: str = "exp1",
+) -> DataFrame:
+    """Write the corpus as ``out_dir/shard=N/*.parquet`` and return the
+    manifest computed over the same frame. Shards are directory
+    partitions — the loader addresses one shard without listing the
+    rest, and a re-export with the same seed is byte-stable at the
+    row-set level (manifest-verifiable)."""
+    sharded = assign_shard(df, key, n_shards, seed)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    payload = [c for c in df.columns if c != key][0]
+    return shard_manifest(df, key, payload, n_shards, seed)

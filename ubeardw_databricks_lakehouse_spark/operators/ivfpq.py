@@ -1,0 +1,142 @@
+"""IVF-PQ approximate nearest neighbor — the billion-scale composition
+of the inverted-file coarse quantizer (`similarity.topk_ivf`) and the
+product-quantization codebook (`pq`): Jégou et al. 2011's IVFADC.
+
+Why this exists as its own tier: IVF alone still stores and scans full
+float vectors inside each probed cell (256 B/vector at D=64); PQ alone
+still scans every vector's codes. IVFADC stores only m-byte codes per
+vector (8 B here) AND restricts scanning to the probed cells — the
+memory×compute reduction that makes 10⁹-vector indexes fit a cluster.
+
+Pipeline (all reused machinery):
+1. coarse centroids per cell — `_centroids_fast` float partial sums
+   (O(batches × K) shuffle rows, corpus never posexploded);
+2. corpus → nearest cell (`assign_cells`, broadcast N×K, no shuffle);
+3. RESIDUALS r = v − centroid(cell) (zip_with, map-only) — PQ on
+   residuals beats PQ on raw vectors because residual energy is what's
+   left after the coarse quantizer explains the cluster structure;
+4. PQ codebook trained on residuals (`pq_train`, bounded Lloyd) and
+   corpus encoded to (id, cell, sub_id, code) — N×m narrow rows, the
+   only corpus-sized shuffle in the index build;
+5. query side: per (query, probed cell) residual, a distance LOOKUP
+   TABLE — ||q_res_sub − codebook[sub][code]||² for every (sub, code)
+   — of |Q|·nprobe·m·ksub rows (thousands), broadcast;
+6. ADC scan: equi-join codes ⋈ LUT on (cell, sub_id, code) — never a
+   cross product — then groupBy(query, neighbor) sums exactly m
+   partial distances (map-side combinable) and a per-query top-k ranks
+   ascending ADC distance.
+
+At 100 TB the scan cost per query is (N·nprobe/K) rows × m tiny
+additions, the codes table is 32× smaller than the float corpus, and
+every join is either broadcast or the (cell, sub_id, code) equi-join.
+
+Float k-means + float LUT distances are not oracle-hashable — the
+registry query is rows-only; pytest pins recall against
+`topk_brute_force` on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .pq import _assign, _l2sq, _subvectors, pq_train
+from .similarity import _centroids_fast, assign_cells
+
+
+def _residuals(
+    assigned: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, rv): vector minus its cell's centroid (map-only;
+    centroid table broadcast)."""
+    return assigned.join(F.broadcast(cents), "cell").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda x, y: x.cast("double") - y,
+        ).alias("rv"),
+    )
+
+
+def topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 1,
+) -> DataFrame:
+    """IVFADC top-k: (query_id, neighbor_id, rank) by ascending
+    asymmetric PQ distance, ties on neighbor id."""
+    dsub = dim // m
+    assert dsub * m == dim, "dim must be divisible by m"
+
+    cents = _centroids_fast(corpus, vec_col, cell_col, dim).localCheckpoint(
+        eager=True
+    )
+
+    # -- index build ----------------------------------------------------
+    corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
+    resid = _residuals(corpus_cells, cents, id_col, vec_col)
+    codebook = pq_train(
+        resid, id_col=id_col, vec_col="rv", m=m, ksub=ksub, n_iter=n_iter,
+        dim=dim,
+    ).select(
+        "sub_id", F.col("cell").alias("code"), F.col("cvec")
+    ).localCheckpoint(eager=True)
+    codes = _assign(
+        _subvectors(resid, id_col, "rv", m, dsub),
+        codebook.select("sub_id", F.col("code").alias("cell"), "cvec"),
+        id_col,
+    ).join(resid.select(id_col, "cell"), id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "sub_id", "code"
+    )
+
+    # -- query side -----------------------------------------------------
+    qcells = assign_cells(queries, cents, id_col, vec_col, nprobe)
+    qres = _residuals(qcells, cents, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cell", "rv"
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice(F.col("rv"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    lut = F.broadcast(
+        qres.select("query_id", "cell", F.inline(entries))
+        .join(codebook, "sub_id")
+        .select(
+            "query_id",
+            "cell",
+            "sub_id",
+            "code",
+            _l2sq(F.col("sv"), F.col("cvec")).alias("d"),
+        )
+    )
+
+    # -- ADC scan -------------------------------------------------------
+    adc = (
+        codes.join(lut, ["cell", "sub_id", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,116 @@
+"""BM25 ranked retrieval over the corpus — the scoring layer on top of
+the inverted index (`plans/llm_q.q_inverted_index`).
+
+Robertson/Spärck Jones BM25 (the Okapi formulation, k1/b):
+
+    score(d, Q) = sum_t idf(t) * tf(t,d) * (k1+1)
+                  / (tf(t,d) + k1 * (1 - b + b * dl(d)/avgdl))
+    idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Reference parity: search/ranking surface of the warehouse's text tier
+(the reference ships tokenize+count text utilities; BM25 is the
+canonical ranked-retrieval composition of those counts — cf. Trino's
+and Lucene's BM25 defaults k1=1.2, b=0.75).
+
+Scale shape (the part that matters at 100 TB):
+- tokens are filtered to the QUERY terms before any shuffle — the
+  (doc, term) tf aggregation only ever carries rows whose term is in
+  the query set, so its cost tracks hits, not corpus size;
+- document lengths come from a map-only `token_count` column — no
+  explode, no shuffle;
+- df/idf and avgdl are tiny aggregates (|Q| rows and 1 row) joined
+  back by broadcast — the corpus is never re-shuffled for them;
+- final score is one groupBy(doc) over the filtered tf rows, then a
+  global top-k that compiles to TakeOrderedAndProject.
+
+Cross-engine determinism: each per-term contribution rounds to 6
+decimals and sums as DECIMAL(18,6) — the `plans/common` policy proven
+for the log2-based queries (unigram LM, DSIR) — so DuckDB reproduces
+the ranking hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count, tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``query_terms``.
+
+    Returns (doc_id, n_terms_hit, bm25) ordered by score desc with a
+    doc-id tie-break; ``bm25`` is DECIMAL(18,6) (deterministic sum of
+    rounded per-term contributions).
+    """
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+
+    # corpus-level stats: N docs, per-doc length, avg length — one
+    # map-only pass plus two scalar aggregates (broadcast back).
+    dl = docs.select(
+        F.col(id_col), token_count(text_col).cast("double").alias("dl")
+    )
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+
+    # hit rows only: explode, keep query terms, then (doc, term) tf.
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .where(F.array_contains(qlit, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = F.broadcast(
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(stats)
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+
+    contrib = (
+        tf.join(idf, "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .select(
+            id_col,
+            F.round(
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        F.sum("c").cast("decimal(18,6)").alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

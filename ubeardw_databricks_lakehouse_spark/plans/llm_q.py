@@ -1366,3 +1366,112 @@ FROM tf GROUP BY term
 ORDER BY doc_freq DESC, term ASC
 LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# q_bm25_search: ranked retrieval — BM25 (Okapi k1=1.2, b=0.75) top-20
+# against a fixed query-term set. The scoring layer over the inverted
+# index; hit-filtered before any shuffle, so tf cost tracks matches,
+# not corpus size. Per-term contributions round to 6 dp and sum as
+# DECIMAL for the cross-engine hash (plans/common policy).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "hash", "join", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+Q_BM25_SEARCH_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(LEN(words) AS DOUBLE) AS dl FROM w),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, LN(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       stats
+),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      idf.idf * tf.tf * (1.2 + 1.0)
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+      AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+  CAST(SUM(c) AS DECIMAL(18,6)) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_topk_ivfpq: IVFADC — IVF coarse cells + product-quantized
+# residual codes + asymmetric-distance scan (Jégou et al. 2011). The
+# billion-scale ANN path: 8-byte codes per vector, probed-cell scan
+# only, LUT broadcast. Float k-means + float LUT are not
+# oracle-hashable -> rows-only; pytest pins recall vs brute force.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivfpq import topk_ivfpq
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_ivfpq(emb, queries, k=5, nprobe=2, m=8, ksub=16, n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# q_export_manifest: training-data export accounting — deterministic
+# md5-bucket shard assignment + per-shard manifest (rows, payload
+# chars, order-insensitive content digest). The digest folds each
+# row's 60-bit md5 slice through a commutative DECIMAL sum mod 2^60,
+# so it is independent of row/partition order — two exports compare
+# equal iff their row SETS match. Oracle-exact (DuckDB HUGEINT sum).
+# ---------------------------------------------------------------------------
+
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.export import shard_manifest
+
+    docs = t(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", "text", n_shards=8)
+
+
+Q_EXPORT_MANIFEST_SQL = r"""
+WITH s AS (
+  SELECT
+    CAST(
+      (CAST(('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        AS BIGINT) % 10000) % 8 AS INTEGER) AS shard,
+    LENGTH(text) AS payload_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+      AS BIGINT) AS row_h
+  FROM documents
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(payload_chars) AS BIGINT) AS n_payload_chars,
+  CAST(SUM(row_h) % 1152921504606846976 AS BIGINT) AS content_digest
+FROM s GROUP BY shard ORDER BY shard
+"""

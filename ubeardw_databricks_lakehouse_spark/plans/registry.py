@@ -366,6 +366,19 @@ QUERIES: list[QueryDef] = [
     QueryDef("q_error_after_purchase", events_q.q_error_after_purchase,
              events_q.Q_ERROR_AFTER_PURCHASE_SQL,
              "range join via interval binning (errors within 6h of purchase)"),
+    # ------------------------------------------------------------------
+    # Tier 7 — added later in r4 (deferred-new lane, see _DEFERRED_NEW).
+    # ------------------------------------------------------------------
+    QueryDef("q_bm25_search", llm_q.q_bm25_search, llm_q.Q_BM25_SEARCH_SQL,
+             "BM25 ranked retrieval (Okapi k1/b) top-20, decimal-exact"),
+    QueryDef("q_export_manifest", llm_q.q_export_manifest,
+             llm_q.Q_EXPORT_MANIFEST_SQL,
+             "training-export shard manifest: md5 shards + "
+             "order-insensitive content digest"),
+    QueryDef("q_embedding_topk_ivfpq", llm_q.q_embedding_topk_ivfpq, None,
+             "IVFADC ANN: IVF cells + PQ residual codes + asymmetric "
+             "distance scan (float k-means -> rows-only; pytest pins "
+             "recall vs brute force)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -411,6 +424,9 @@ _DEFERRED_NEW: list[str] = [
     "q_bpe_merges",          # rows-only; pytest pins vs reference impl
     "q_inverted_index",      # sf0.01 oracle-exact 2026-08-14
     "q_pq_codes",            # rows-only; pytest pins vs numpy reference
+    "q_bm25_search",         # sf0.01 oracle-exact 2026-08-14
+    "q_export_manifest",     # sf0.01 oracle-exact 2026-08-14
+    "q_embedding_topk_ivfpq",  # rows-only; pytest pins recall vs brute force
 ]
 
 _by_name = {q.name: q for q in QUERIES}
