@@ -1,0 +1,175 @@
+"""Gap-fill, PageRank, and file-source (CSV/JSONL) operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ubeardw_databricks_lakehouse_spark.operators.graph import pagerank
+from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+    gapfill_ffill,
+)
+from ubeardw_databricks_lakehouse_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    split_corrupt,
+    write_csv,
+    write_jsonl,
+)
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_fills_gaps_and_flags(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-01 11:00:00", 2.0),
+        (1, "2024-01-03 09:00:00", 1.0),
+        (2, "2024-01-02 00:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = gapfill_ffill(df, "user_id", "ts", "value", step="day")
+    got = {
+        (r["user_id"], str(r["bucket"])[:10]): (
+            r["bucket_value"],
+            float(r["filled_value"]),
+            r["observed"],
+        )
+        for r in out.collect()
+    }
+    # user 1: days 1..3, day 2 is a gap carrying day 1's total
+    assert float(got[(1, "2024-01-01")][0]) == 7.0
+    assert got[(1, "2024-01-02")][0] is None
+    assert got[(1, "2024-01-02")][1] == 7.0 and not got[(1, "2024-01-02")][2]
+    assert got[(1, "2024-01-03")][1] == 1.0 and got[(1, "2024-01-03")][2]
+    # user 2: single-day span, no gap rows invented
+    assert [k for k in got if k[0] == 2] == [(2, "2024-01-02")]
+
+
+def test_gapfill_rejects_unknown_step(spark):
+    df = spark.createDataFrame([(1, "2024-01-01", 1.0)], "a long, ts string, v double")
+    with pytest.raises(ValueError):
+        gapfill_ffill(df, "a", "ts", "v", step="fortnight")
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_two_node_symmetry(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=5).collect()}
+    # perfectly symmetric graph: both nodes hold exactly half the mass
+    assert got["a"] == pytest.approx(0.5, abs=1e-6)
+    assert got["b"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_pagerank_star_center_dominates_and_conserves_mass(spark):
+    leaves = [f"l{i}" for i in range(6)]
+    edges = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=3).collect()}
+    assert all(got["hub"] > got[l] for l in leaves)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+    # leaves are symmetric -> identical ranks
+    assert len({got[l] for l in leaves}) == 1
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Exact replay of the rounded iteration in plain python."""
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"),
+        ("a", "c"), ("c", "d"), ("d", "c"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=3).collect()}
+
+    nodes = sorted({x for p in edges for x in p})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+
+    def rnd(x):  # engine-style HALF_UP at 6 dp
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    ranks = {v: rnd(1.0 / n) for v in nodes}
+    for _ in range(3):
+        mass = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            mass[d] += rnd(ranks[s] / outdeg[s])
+        ranks = {
+            v: rnd((1.0 - 0.85) / n + 0.85 * mass[v]) for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == pytest.approx(ranks[v], abs=1e-9), v
+
+
+# ---------------------------------------------------------------------------
+# file sources
+# ---------------------------------------------------------------------------
+
+_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def test_csv_roundtrip_hostile_content(spark, tmp_path):
+    rows = [
+        (1, 'comma, separated, "quoted"'),
+        (2, "line\nbreak inside"),
+        (3, "unicode: héllo wörld ∑"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    p = str(tmp_path / "csv")
+    write_csv(df, p)
+    back, quarantine = split_corrupt(read_csv(spark, p, _SCHEMA))
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = dict(rows)
+    want[4] = None  # empty string round-trips as null in Spark CSV
+    assert got == want
+
+
+def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "not a number", "text": "type clash"}\n'
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p), _SCHEMA))
+    assert clean.count() == 2
+    bad = [r[0] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert "THIS IS NOT JSON" in bad[0] or "THIS IS NOT JSON" in bad[1]
+
+
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    rows = [(i, f"text {i} with ünïcode and \"quotes\"") for i in range(50)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    p = str(tmp_path / "jsonl")
+    write_jsonl(df, p)
+    back, quarantine = split_corrupt(read_jsonl(spark, p, _SCHEMA))
+    assert quarantine.count() == 0
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == rows

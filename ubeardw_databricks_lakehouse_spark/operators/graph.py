@@ -1,0 +1,90 @@
+"""Graph analytics over warehouse relations: PageRank on the
+customer–supplier trading graph.
+
+Companion to the connected-components engines in `operators/dedup`
+(label propagation, large-star/small-star): CC answers "which rows are
+the same entity", PageRank answers "which entities matter" —
+importance scoring for sampling weights, curation priorities, and
+entity resolution at corpus scale.
+
+Scale shape — the classic Spark iterative pattern done right:
+- one edge table, reused every iteration (cached by the caller or
+  cheap to rescan); ranks are the only thing that changes;
+- each iteration is contribution = rank/out-degree routed over the
+  edge equi-join, then a groupBy-sum per destination — a sparse
+  matrix–vector multiply as two shuffles, NO driver-side state;
+- the driver loop is BOUNDED (fixed ``n_iter``), with
+  ``localCheckpoint`` truncating lineage per round (the CC precedent:
+  `operators/dedup.py` bounded-iteration policy);
+- dangling mass is avoided structurally: edges are symmetrized, so
+  every node with an edge has out-degree ≥ 1.
+
+Cross-engine determinism (oracle-exact, unlike float PageRank):
+divisions and multiplications are IEEE-exact; the ONLY order-sensitive
+step is the contribution sum, so each contribution rounds to 6
+decimals and sums as DECIMAL(18,6) — the plans/common policy — and
+each new rank re-rounds to 6 decimals. DuckDB replays the identical
+iteration bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped iterations from a uniform
+    start. ``edges`` is directed; symmetrize before calling if the
+    relation is mutual. Nodes = every endpoint; rank is DECIMAL-exact.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    base = (1.0 - damping) / n
+
+    # F.round, not Python round(): Python rounds half-to-even, the
+    # engines round half-up — the init must follow the engine rule.
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), 6).alias("rank")
+    )
+    for _ in range(max(0, n_iter)):
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(outdeg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 6)
+                .cast("decimal(18,6)")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("c").cast("double").alias("in_mass")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").cast("decimal(18,6)").alias("rank"))

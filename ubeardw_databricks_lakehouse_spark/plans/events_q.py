@@ -885,3 +885,50 @@ wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
 SELECT session_start, session_end, user_id, n_events
 FROM agg, wm WHERE session_end <= wm.w
 """
+
+
+# ---------------------------------------------------------------------------
+# q_gapfill_daily: time-series regularization — per-user daily value
+# series densified onto the full day grid between each user's first
+# and last event, forward-filling across gap days. Grid generation is
+# sequence()+explode at the executors; the fill is last(ignorenulls)
+# over a KEY-partitioned window; sums are DECIMAL -> oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gapfill_ffill
+
+    ev = t(spark, sf_dir, "events")
+    out = gapfill_ffill(ev, "user_id", "ts", "value", step="day")
+    return out.select(
+        "user_id",
+        F.col("bucket").alias("day"),
+        "bucket_value",
+        "filled_value",
+        "observed",
+    )
+
+
+Q_GAPFILL_DAILY_SQL = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS bucket_value
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM d GROUP BY 1),
+g AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM s
+),
+j AS (
+  SELECT g.user_id, g.day, d.bucket_value
+  FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, day, bucket_value,
+  CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+  ) AS DECIMAL(18,6)) AS filled_value,
+  bucket_value IS NOT NULL AS observed
+FROM j
+"""

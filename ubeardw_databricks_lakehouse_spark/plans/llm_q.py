@@ -1475,3 +1475,93 @@ SELECT shard,
   CAST(SUM(row_h) % 1152921504606846976 AS BIGINT) AS content_digest
 FROM s GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# q_csv_roundtrip / q_jsonl_roundtrip: file-format source coverage.
+# The corpus leaves as CSV / JSON-lines (quoted/escaped) and comes back
+# through the schema-enforced PERMISSIVE readers; the query proves the
+# round trip byte-exact with an order-insensitive per-(lang, source)
+# content digest that the oracle computes over the ORIGINAL table. Any
+# mangled char, lost row, or corrupt-record fallout changes the digest.
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_DIGEST = (
+    lambda: F.pmod(
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), F.col("text")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+        ),
+        F.lit(2**60).cast("decimal(38,0)"),
+    )
+    .cast("bigint")
+    .alias("content_digest")
+)
+
+
+def _roundtrip_summary(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        _ROUNDTRIP_DIGEST(),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import (
+        read_csv,
+        read_jsonl,
+        split_corrupt,
+        write_csv,
+        write_jsonl,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    schema = docs.schema
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/docs_{fmt}"
+        if fmt == "csv":
+            write_csv(docs, path)
+            back = read_csv(spark, path, schema)
+        else:
+            write_jsonl(docs, path)
+            back = read_jsonl(spark, path, schema)
+        clean, quarantine = split_corrupt(back)
+        out = _roundtrip_summary(clean)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        assert quarantine.count() == 0, f"{fmt} round trip corrupted rows"
+    return out
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "jsonl")
+
+
+_ROUNDTRIP_ORACLE = r"""
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+    1, 15)) AS BIGINT)) % 1152921504606846976 AS BIGINT) AS content_digest
+FROM documents GROUP BY lang, source
+"""
+
+Q_CSV_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
+Q_JSONL_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE

@@ -379,6 +379,22 @@ QUERIES: list[QueryDef] = [
              "IVFADC ANN: IVF cells + PQ residual codes + asymmetric "
              "distance scan (float k-means -> rows-only; pytest pins "
              "recall vs brute force)"),
+    QueryDef("q_csv_roundtrip", llm_q.q_csv_roundtrip,
+             llm_q.Q_CSV_ROUNDTRIP_SQL,
+             "CSV source coverage: quoted/escaped write + PERMISSIVE "
+             "schema read, digest-proven byte-exact round trip"),
+    QueryDef("q_jsonl_roundtrip", llm_q.q_jsonl_roundtrip,
+             llm_q.Q_JSONL_ROUNDTRIP_SQL,
+             "JSON-lines source coverage: corrupt-record-quarantine "
+             "read path, digest-proven round trip"),
+    QueryDef("q_gapfill_daily", events_q.q_gapfill_daily,
+             events_q.Q_GAPFILL_DAILY_SQL,
+             "time-series gap fill: dense per-user day grid + "
+             "forward-fill (sequence+explode, key-partitioned window)"),
+    QueryDef("q_pagerank_trading", relational.q_pagerank_trading,
+             relational.Q_PAGERANK_TRADING_SQL,
+             "PageRank (3 damped iterations) on the symmetrized "
+             "customer-supplier graph, DECIMAL-exact iterations"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -427,6 +443,10 @@ _DEFERRED_NEW: list[str] = [
     "q_bm25_search",         # sf0.01 oracle-exact 2026-08-14
     "q_export_manifest",     # sf0.01 oracle-exact 2026-08-14
     "q_embedding_topk_ivfpq",  # rows-only; pytest pins recall vs brute force
+    "q_csv_roundtrip",       # sf0.01 oracle-exact 2026-08-14
+    "q_jsonl_roundtrip",     # sf0.01 oracle-exact 2026-08-14
+    "q_gapfill_daily",       # sf0.01 oracle-exact 2026-08-14
+    "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -1499,3 +1499,84 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 """
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank_trading: damped PageRank (3 iterations, d=0.85) on the
+# symmetrized customer-supplier trading graph from orders x lineitem.
+# The iterative-graph companion to connected components: bounded
+# driver loop, per-iteration localCheckpoint, each iteration a sparse
+# matrix-vector multiply (edge equi-join + groupBy-sum). Contributions
+# round to 6 dp and sum as DECIMAL -> the whole iteration is
+# oracle-exact, which float PageRank never is.
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, n_iter=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
+Q_PAGERANK_TRADING_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS rank FROM nodes, nn),
+c1 AS (
+  SELECT e.dst AS node, CAST(ROUND(r.rank / o.outdeg, 6) AS DECIMAL(18,6)) AS c
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+),
+m1 AS (SELECT node, CAST(SUM(c) AS DOUBLE) AS im FROM c1 GROUP BY node),
+r1 AS (
+  SELECT nodes.node,
+    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      + CAST(0.85 AS DOUBLE) * COALESCE(m1.im, CAST(0 AS DOUBLE)), 6) AS rank
+  FROM nodes LEFT JOIN m1 ON nodes.node = m1.node, nn
+),
+c2 AS (
+  SELECT e.dst AS node, CAST(ROUND(r.rank / o.outdeg, 6) AS DECIMAL(18,6)) AS c
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+),
+m2 AS (SELECT node, CAST(SUM(c) AS DOUBLE) AS im FROM c2 GROUP BY node),
+r2 AS (
+  SELECT nodes.node,
+    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      + CAST(0.85 AS DOUBLE) * COALESCE(m2.im, CAST(0 AS DOUBLE)), 6) AS rank
+  FROM nodes LEFT JOIN m2 ON nodes.node = m2.node, nn
+),
+c3 AS (
+  SELECT e.dst AS node, CAST(ROUND(r.rank / o.outdeg, 6) AS DECIMAL(18,6)) AS c
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+),
+m3 AS (SELECT node, CAST(SUM(c) AS DOUBLE) AS im FROM c3 GROUP BY node),
+r3 AS (
+  SELECT nodes.node,
+    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      + CAST(0.85 AS DOUBLE) * COALESCE(m3.im, CAST(0 AS DOUBLE)), 6) AS rank
+  FROM nodes LEFT JOIN m3 ON nodes.node = m3.node, nn
+)
+SELECT node, CAST(rank AS DECIMAL(18,6)) AS rank FROM r3
+ORDER BY rank DESC, node ASC
+LIMIT 50
+"""
