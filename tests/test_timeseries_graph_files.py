@@ -173,3 +173,17 @@ def test_jsonl_roundtrip_exact(spark, tmp_path):
     back, quarantine = split_corrupt(read_jsonl(spark, p, _SCHEMA))
     assert quarantine.count() == 0
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == rows
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    from ubeardw_databricks_lakehouse_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    rows = [(i, f"orc text {i} — ünïcode") for i in range(40)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p, _SCHEMA)
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == rows

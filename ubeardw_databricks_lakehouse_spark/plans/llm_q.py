@@ -1524,9 +1524,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     from ..sources.files import (
         read_csv,
         read_jsonl,
+        read_orc,
         split_corrupt,
         write_csv,
         write_jsonl,
+        write_orc,
     )
 
     docs = t(spark, sf_dir, "documents")
@@ -1535,14 +1537,17 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         path = f"{d}/docs_{fmt}"
         if fmt == "csv":
             write_csv(docs, path)
-            back = read_csv(spark, path, schema)
-        else:
+            clean, quarantine = split_corrupt(read_csv(spark, path, schema))
+        elif fmt == "jsonl":
             write_jsonl(docs, path)
-            back = read_jsonl(spark, path, schema)
-        clean, quarantine = split_corrupt(back)
+            clean, quarantine = split_corrupt(read_jsonl(spark, path, schema))
+        else:
+            write_orc(docs, path)
+            clean, quarantine = read_orc(spark, path, schema), None
         out = _roundtrip_summary(clean)
         out = spark.createDataFrame(out.collect(), out.schema)
-        assert quarantine.count() == 0, f"{fmt} round trip corrupted rows"
+        if quarantine is not None:
+            assert quarantine.count() == 0, f"{fmt} round trip corrupted rows"
     return out
 
 
@@ -1563,5 +1568,10 @@ SELECT lang, source,
 FROM documents GROUP BY lang, source
 """
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
 Q_CSV_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
 Q_JSONL_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
+Q_ORC_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE

@@ -387,6 +387,9 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_JSONL_ROUNDTRIP_SQL,
              "JSON-lines source coverage: corrupt-record-quarantine "
              "read path, digest-proven round trip"),
+    QueryDef("q_orc_roundtrip", llm_q.q_orc_roundtrip,
+             llm_q.Q_ORC_ROUNDTRIP_SQL,
+             "ORC source/sink coverage, digest-proven round trip"),
     QueryDef("q_gapfill_daily", events_q.q_gapfill_daily,
              events_q.Q_GAPFILL_DAILY_SQL,
              "time-series gap fill: dense per-user day grid + "
@@ -445,6 +448,7 @@ _DEFERRED_NEW: list[str] = [
     "q_embedding_topk_ivfpq",  # rows-only; pytest pins recall vs brute force
     "q_csv_roundtrip",       # sf0.01 oracle-exact 2026-08-14
     "q_jsonl_roundtrip",     # sf0.01 oracle-exact 2026-08-14
+    "q_orc_roundtrip",       # sf0.01 oracle-exact 2026-08-14
     "q_gapfill_daily",       # sf0.01 oracle-exact 2026-08-14
     "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
 ]

@@ -104,3 +104,16 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other JVM-native columnar interchange format
+    (Hive-ecosystem handoff); schema travels in the file."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC read with an enforced schema (projection/pruning work as
+    with parquet; no corrupt-record concept — ORC is self-describing
+    binary, a torn file fails the task rather than a row)."""
+    return spark.read.schema(schema).orc(path)
