@@ -226,3 +226,58 @@ def test_join_strategy_hints_are_honored(spark):
     )
     p = _plan(shuffled)
     assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_bm25_broadcasts_stats_and_prunes_tf(spark):
+    """BM25's corpus-side work must be the hit-filtered tf aggregation:
+    idf and the (N, avgdl) scalar join back by broadcast, the final
+    top-k compiles to TakeOrderedAndProject (never a global sort), and
+    the term filter sits below the first aggregation."""
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import q_bm25_search
+
+    p = _plan(q_bm25_search(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # idf / dl joins
+    assert "array_contains" in p  # hit filter exists pre-shuffle
+
+
+def test_pagerank_iteration_is_equi_join(spark):
+    """Each PageRank iteration must be hash equi-joins over the edge
+    table (sparse mat-vec), never a nested-loop product."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    p = _plan(pagerank(e, n_iter=1))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivfpq_adc_scan_is_equi_join_on_codes(spark):
+    """The ADC scan joins the N×m code rows against the broadcast LUT
+    on (cell, sub_id, code) — an equi-join; the only nested-loop
+    allowed is the K-row centroid broadcast inside assign_cells."""
+    from ubeardw_databricks_lakehouse_spark.operators.ivfpq import topk_ivfpq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 2")
+    df = topk_ivfpq(emb, q, k=2, nprobe=1, m=4, ksub=4, n_iter=0)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gapfill_window_is_key_partitioned(spark):
+    """The forward-fill window must be partitioned by the series key —
+    a global window would serialize the whole grid."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_gapfill_daily,
+    )
+
+    df = q_gapfill_daily(spark, SF)
+    p = _plan(df)
+    assert "Window" in p
+    # the window spec right after the Window operator must carry the key
+    assert "user_id" in p.split("Window")[1][:400]
