@@ -50,6 +50,11 @@ HEADLINE = [
     "q_quality_rules",
     "q18_large_orders",
     "q_streaming_event_counts",
+    # r4 additions (new capabilities; the suite above stays stable for
+    # round-over-round comparison)
+    "q_bm25_search",
+    "q_embedding_topk_ivfpq",
+    "q_pagerank_trading",
 ]
 
 
