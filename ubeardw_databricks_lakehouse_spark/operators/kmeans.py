@@ -1,0 +1,86 @@
+"""Distributed k-means (bounded Lloyd) over full embedding vectors.
+
+The label-free coarse quantizer: `similarity.topk_ivf` and the
+cluster-blocked SemDeDup path (`dedup.embedding_dedup_clusters_fast`)
+use the corpus's `label` column as the cell structure; real corpora
+have no labels. This operator LEARNS the cells with the same machinery
+the PQ codebooks train with (`pq.pq_train` runs this exact loop per
+subspace):
+
+- deterministic seeding: the k vectors with the smallest xxhash64(id)
+  — a reproducible uniform sample, no RNG state (`pq_train`
+  precedent);
+- assignment: `similarity.assign_cells` — broadcast K-row centroid
+  table scored against the corpus, N×K with zero corpus shuffle;
+- update: `similarity._centroids_fast` — Arrow partial sums, at most
+  (batches × k) rows shuffled per round regardless of corpus size;
+- driver loop BOUNDED by ``n_iter``, lineage truncated per round with
+  localCheckpoint (the connected-components policy).
+
+Float means are order-sensitive in the last bits — not
+oracle-hashable; tests pin cluster RECOVERY (planted partitions
+recovered exactly) and centroid values against a numpy replay within
+float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _centroids_fast, assign_cells
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    seed_ids: list | None = None,
+) -> DataFrame:
+    """Learn (cell, cvec) centroids, cells numbered 0..k-1 by seed
+    order. ``seed_ids`` overrides the hash seeding for tests."""
+    if seed_ids is not None:
+        order = F.array_position(
+            F.array(*[F.lit(s) for s in seed_ids]), F.col(id_col)
+        )
+        seeds = df.where(order > 0).select(
+            (order - 1).cast("long").alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+        )
+    else:
+        w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        seeds = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_h", F.xxhash64(F.col(id_col)))
+            .orderBy("_h", id_col)
+            .limit(k)
+            .select(
+                (F.row_number().over(w) - 1).cast("long").alias("cell"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "cvec"
+                ),
+            )
+        )
+    cents = seeds.localCheckpoint(eager=True)
+    for _ in range(max(0, n_iter)):
+        assigned = assign_cells(df, cents, id_col, vec_col, 1)
+        cents = _centroids_fast(assigned, vec_col, "cell", dim).localCheckpoint(
+            eager=True
+        )
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest learned centroid per vector — the
+    label-free drop-in for a `label`-derived cell column."""
+    return assign_cells(df, centroids, id_col, vec_col, 1)

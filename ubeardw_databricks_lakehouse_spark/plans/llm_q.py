@@ -1575,3 +1575,30 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_CSV_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
 Q_JSONL_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
 Q_ORC_ROUNDTRIP_SQL = _ROUNDTRIP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# q_kmeans_clusters: label-free corpus clustering — bounded-Lloyd
+# k-means over the embedding corpus (deterministic xxhash seeding,
+# broadcast assignment, Arrow partial-sum updates). Float means are
+# not oracle-hashable -> rows-only; pytest pins planted-partition
+# recovery and a numpy centroid replay.
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_assign, kmeans_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, n_iter=2)
+    assigned = kmeans_assign(emb, cents).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        .orderBy("cell")
+    )

@@ -398,6 +398,10 @@ QUERIES: list[QueryDef] = [
              relational.Q_PAGERANK_TRADING_SQL,
              "PageRank (3 damped iterations) on the symmetrized "
              "customer-supplier graph, DECIMAL-exact iterations"),
+    QueryDef("q_kmeans_clusters", llm_q.q_kmeans_clusters, None,
+             "label-free bounded-Lloyd k-means corpus clustering "
+             "(float means -> rows-only; pytest pins recovery + numpy "
+             "replay)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -451,6 +455,7 @@ _DEFERRED_NEW: list[str] = [
     "q_orc_roundtrip",       # sf0.01 oracle-exact 2026-08-14
     "q_gapfill_daily",       # sf0.01 oracle-exact 2026-08-14
     "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
+    "q_kmeans_clusters",     # rows-only; pytest pins recovery + numpy replay
 ]
 
 _by_name = {q.name: q for q in QUERIES}
