@@ -161,3 +161,27 @@ def test_pack_sequences_invariants(spark, docs):
         for p in pids:
             if p != max(pids):
                 assert fill[(shard, p)] == 16, (shard, p)
+
+
+def test_pack_sequences_rejects_duplicate_ids(spark):
+    """The uniqueness contract is enforced distributedly: a duplicate
+    (shard, id) pair fails the job instead of silently producing
+    overlapping token ranges."""
+    import pytest as _pytest
+
+    from ubeardw_databricks_lakehouse_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (1, "d e", "s"), (2, "f", "s")],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(Exception, match="duplicate doc_id"):
+        pack_sequences(df, context_len=4).collect()
+    # unique ids still pass with the guard on
+    ok = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e", "s")],
+        "doc_id long, text string, source string",
+    )
+    assert pack_sequences(ok, context_len=4).count() > 0

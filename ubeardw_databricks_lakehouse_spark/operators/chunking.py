@@ -78,6 +78,7 @@ def pack_sequences(
     text_col: str = "text",
     shard_col: str = "source",
     context_len: int = 128,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Assign each document's token range to fixed-length training
     packs: within a shard, documents are ordered by ``id_col``, their
@@ -110,6 +111,22 @@ def pack_sequences(
     # matches the oracle's ROWS UNBOUNDED PRECEDING. Contract: id_col
     # must be unique per shard (doc_id is) — with duplicates the
     # within-tie order, hence the pack layout, would be nondeterministic.
+    # The contract is ENFORCED distributedly (assert_true throws at the
+    # offending row — no driver round trip, no extra action); disable
+    # via check_unique=False only when the key is unique by construction
+    # and the extra (shard, id) window pass matters at scale.
+    if check_unique:
+        wid = Window.partitionBy("shard", id_col)
+        toked = toked.withColumn(
+            "_dup_guard",
+            F.assert_true(
+                F.count("*").over(wid) == 1,
+                F.concat(
+                    F.lit(f"pack_sequences: duplicate {id_col} in shard "),
+                    F.col("shard").cast("string"),
+                ),
+            ),
+        ).drop("_dup_guard")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
