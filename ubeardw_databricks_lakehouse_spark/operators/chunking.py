@@ -114,19 +114,27 @@ def pack_sequences(
     # The contract is ENFORCED distributedly (assert_true throws at the
     # offending row — no driver round trip, no extra action); disable
     # via check_unique=False only when the key is unique by construction
-    # and the extra (shard, id) window pass matters at scale.
+    # and the extra (shard, id) window pass matters at scale. The
+    # assert rides ON the n_tokens column (assert_true is NULL on
+    # success, so the +coalesce is a no-op) — a standalone
+    # then-dropped guard column would be pruned away by Catalyst.
     if check_unique:
         wid = Window.partitionBy("shard", id_col)
-        toked = toked.withColumn(
-            "_dup_guard",
-            F.assert_true(
-                F.count("*").over(wid) == 1,
-                F.concat(
-                    F.lit(f"pack_sequences: duplicate {id_col} in shard "),
-                    F.col("shard").cast("string"),
-                ),
+        guard = F.assert_true(
+            F.count("*").over(wid) == 1,
+            F.concat(
+                F.lit(f"pack_sequences: duplicate {id_col} in shard "),
+                F.col("shard").cast("string"),
             ),
-        ).drop("_dup_guard")
+        )
+        toked = toked.select(
+            "shard",
+            id_col,
+            (
+                F.col("n_tokens")
+                + F.coalesce(guard.cast("long"), F.lit(0))
+            ).alias("n_tokens"),
+        )
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
