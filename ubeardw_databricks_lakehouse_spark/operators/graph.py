@@ -46,6 +46,12 @@ def pagerank(
     start. ``edges`` is directed; symmetrize before calling if the
     relation is mutual. Nodes = every endpoint; rank is DECIMAL-exact.
     """
+    # materialize the edge table ONCE — it is re-joined every
+    # iteration, and callers typically pass a derived frame (join +
+    # distinct) that would otherwise recompute every round. The static
+    # out-degree is folded INTO the edge table here, so the loop joins
+    # one table, not two.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -54,37 +60,47 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    ew = (
+        edges.join(outdeg, src)
+        .select(F.col(src), F.col(dst), F.col("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     base = (1.0 - damping) / n
+    # the rank vector is one row per node — tiny next to the edge set
+    # (a graph with fewer edges than nodes isn't worth iterating on).
+    # Broadcasting it makes each iteration map-only over the edges plus
+    # ONE groupBy shuffle; past ~50M nodes the vector outgrows
+    # broadcast and the plain shuffle join takes over.
+    small = n <= 50_000_000
+    brd = F.broadcast if small else (lambda df: df)
 
     # F.round, not Python round(): Python rounds half-to-even, the
     # engines round half-up — the init must follow the engine rule.
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), 6).alias("rank")
     )
-    for _ in range(max(0, n_iter)):
-        contribs = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(outdeg, src)
-            .select(
-                F.col(dst).alias("node"),
-                F.round(F.col("rank") / F.col("outdeg"), 6)
-                .cast("decimal(18,6)")
-                .alias("c"),
-            )
+    for it in range(max(0, n_iter)):
+        contribs = ew.join(brd(ranks), ew[src] == ranks["node"]).select(
+            F.col(dst).alias("node"),
+            F.round(F.col("rank") / F.col("outdeg"), 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
         )
         summed = contribs.groupBy("node").agg(
             F.sum("c").cast("double").alias("in_mass")
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
-                    6,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                6,
+            ).alias("rank"),
         )
+        # lineage-truncation cadence: a checkpoint per round costs one
+        # materialized job each — for short loops it is pure overhead
+        # (the chained broadcast stages fuse into ONE job), so truncate
+        # only every 5th round to bound plan depth on long runs.
+        if (it + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").cast("decimal(18,6)").alias("rank"))

@@ -1525,9 +1525,11 @@ def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # no distinct after symmetrizing: the C*/S* node namespaces are
+    # disjoint, so a reversed edge can never collide with a forward one
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     ranks = pagerank(edges, n_iter=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
