@@ -155,3 +155,26 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
         "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     ), plan
     assert got.count() == 25
+
+
+def test_append_schema_enforcement_and_evolution(spark, tmp_path):
+    """Delta's schema contract on the parquet twin: appends with new
+    columns are rejected by default; merge_schema=True evolves the
+    table and old rows read the new column as null."""
+    import pytest as _pytest
+
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    with _pytest.raises(ValueError, match="merge_schema=True"):
+        lake.append("t", v2)
+    lake.append("t", v2, merge_schema=True)
+    got = {r["id"]: r for r in lake.read("t", merge_schema=True).collect()}
+    assert got[1]["score"] is None and got[2]["score"] == 9.5
+    # subset appends stay allowed (missing column -> null)
+    lake.append("t", spark.createDataFrame([(3,)], "id long"))
+    back = lake.read("t", merge_schema=True)
+    assert back.count() == 3
+    assert {r["id"] for r in back.select("id").collect()} == {1, 2, 3}

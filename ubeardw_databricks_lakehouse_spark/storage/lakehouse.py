@@ -81,8 +81,14 @@ class Lakehouse:
             for f in os.listdir(p)
         )
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.format(self.fmt).load(self.path(name))
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions column sets across files (the
+        read side of schema evolution; parquet needs it per read, delta
+        resolves from its log)."""
+        r = self.spark.read.format(self.fmt)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.load(self.path(name))
 
     def read_table_meta(self, name: str) -> dict:
         """Sidecar metadata committed WITH the table (see ``overwrite``
@@ -117,9 +123,29 @@ class Lakehouse:
         writer.save(self.path(name))
 
     def append(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
+        """Append with SCHEMA ENFORCEMENT by default (Delta's
+        contract): columns not present in the existing table are
+        rejected unless ``merge_schema=True`` opts into evolution —
+        then new columns land and old rows read as null for them
+        (pair with ``read(..., merge_schema=True)`` on parquet).
+        A subset of columns is always allowed (missing -> null)."""
+        if self.exists(name):
+            existing = set(self.read(name, merge_schema=True).columns)
+            extra = set(df.columns) - existing
+            if extra and not merge_schema:
+                raise ValueError(
+                    f"append to {name!r} adds columns {sorted(extra)}; "
+                    "schema evolution requires merge_schema=True"
+                )
         writer = df.write.format(self.fmt).mode("append")
+        if merge_schema and self.fmt == "delta":
+            writer = writer.option("mergeSchema", "true")
         partition_by = partition_by or self.partitioning(name)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
