@@ -198,3 +198,39 @@ def test_export_writes_partitioned_shards(spark, docs, tmp_path):
         back.groupBy("shard").count().orderBy("shard").collect()
         == sh.groupBy("shard").count().orderBy("shard").collect()
     )
+
+
+def test_incremental_neardup_subset_and_delta_touching(spark):
+    """The incremental batch output must be exactly the delta-touching
+    slice of the full-recompute pair set (signature reuse changes
+    nothing about the pairs themselves)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        neardup_verified_pairs,
+    )
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        q_incremental_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_verified_pairs(
+            docs, n_hashes=8, band_size=2, threshold=0.5
+        ).collect()
+    }
+    delta_ids = {
+        r["doc_id"]
+        for r in docs.filter(hash_bucket("doc_id", "inc1") >= 9000)
+        .select("doc_id")
+        .collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in q_incremental_neardup(spark, sf).collect()
+    }
+    want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
+    assert inc == want

@@ -1602,3 +1602,73 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_neardup: incremental dedup over a corpus snapshot — the
+# signature-reuse contract at query level. The corpus splits into a
+# "base" snapshot (90%, md5 bucket) and a "delta" batch (10%); base
+# signatures come from a MATERIALIZED signature table (the warehouse
+# pattern: hash 100 TB once, not per pass), only the delta re-hashes,
+# and the output is restricted to pairs TOUCHING the delta — what an
+# incremental pipeline actually emits per batch. Same md5 family as
+# q_neardup_verified, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures, neardup_verified_pairs
+    from ..operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    bkt = hash_bucket("doc_id", "inc1")
+    base = docs.filter(bkt < 9000)
+    delta = docs.filter(bkt >= 9000)
+    # the base signature table is a stored artifact in production;
+    # localCheckpoint stands in for the materialized read
+    sigs_base = minhash_signatures(base).localCheckpoint(eager=True)
+    sigs_all = sigs_base.unionByName(minhash_signatures(delta))
+    pairs = neardup_verified_pairs(
+        docs, n_hashes=8, band_size=2, threshold=0.5, signatures=sigs_all
+    )
+    # pairs touching the delta batch: two equi semi-joins (an OR-semi
+    # would plan a nested loop), deduped on the pair key
+    dids = delta.select("doc_id")
+    touching = pairs.join(
+        dids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).unionByName(
+        pairs.join(
+            dids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+        ).select("id_a", "id_b", "n_shingles_a", "n_shingles_b", "n_common")
+    )
+    return touching.dropDuplicates(["id_a", "id_b"])
+
+
+Q_INCREMENTAL_NEARDUP_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS} FROM sh
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+delta AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('inc1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+    AS BIGINT) % 10000 >= 9000
+)
+SELECT id_a, id_b,
+  LEN(sa.s) AS n_shingles_a, LEN(sb.s) AS n_shingles_b,
+  LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common
+FROM cands
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+      / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))) > 0.5
+  AND (id_a IN (SELECT doc_id FROM delta) OR id_b IN (SELECT doc_id FROM delta))
+"""

@@ -402,6 +402,10 @@ QUERIES: list[QueryDef] = [
              "label-free bounded-Lloyd k-means corpus clustering "
              "(float means -> rows-only; pytest pins recovery + numpy "
              "replay)"),
+    QueryDef("q_incremental_neardup", llm_q.q_incremental_neardup,
+             llm_q.Q_INCREMENTAL_NEARDUP_SQL,
+             "incremental near-dup: materialized base signatures + "
+             "delta batch, pairs touching the delta only"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -456,6 +460,7 @@ _DEFERRED_NEW: list[str] = [
     "q_gapfill_daily",       # sf0.01 oracle-exact 2026-08-14
     "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
     "q_kmeans_clusters",     # rows-only; pytest pins recovery + numpy replay
+    "q_incremental_neardup", # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
