@@ -180,7 +180,7 @@ def test_manifest_detects_any_row_change(spark, docs):
 
 def test_export_writes_partitioned_shards(spark, docs, tmp_path):
     out = str(tmp_path / "export")
-    manifest = export_shards(docs, out, "doc_id", n_shards=4).collect()
+    manifest = export_shards(docs, out, "doc_id", "text", n_shards=4).collect()
     import os
 
     dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))

@@ -142,12 +142,15 @@ def test_csv_roundtrip_hostile_content(spark, tmp_path):
     df = spark.createDataFrame(rows, _SCHEMA)
     p = str(tmp_path / "csv")
     write_csv(df, p)
-    back, quarantine = split_corrupt(read_csv(spark, p, _SCHEMA))
+    back, quarantine, parsed = split_corrupt(
+        read_csv(spark, p, _SCHEMA, multi_line=True)
+    )
     assert quarantine.count() == 0
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     want = dict(rows)
     want[4] = None  # empty string round-trips as null in Spark CSV
     assert got == want
+    parsed.unpersist()
 
 
 def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
@@ -158,11 +161,12 @@ def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
         '{"doc_id": 2, "text": "also ok"}\n'
         '{"doc_id": "not a number", "text": "type clash"}\n'
     )
-    clean, quarantine = split_corrupt(read_jsonl(spark, str(p), _SCHEMA))
+    clean, quarantine, parsed = split_corrupt(read_jsonl(spark, str(p), _SCHEMA))
     assert clean.count() == 2
     bad = [r[0] for r in quarantine.collect()]
     assert len(bad) == 2
     assert "THIS IS NOT JSON" in bad[0] or "THIS IS NOT JSON" in bad[1]
+    parsed.unpersist()
 
 
 def test_jsonl_roundtrip_exact(spark, tmp_path):
@@ -170,9 +174,10 @@ def test_jsonl_roundtrip_exact(spark, tmp_path):
     df = spark.createDataFrame(rows, _SCHEMA)
     p = str(tmp_path / "jsonl")
     write_jsonl(df, p)
-    back, quarantine = split_corrupt(read_jsonl(spark, p, _SCHEMA))
+    back, quarantine, parsed = split_corrupt(read_jsonl(spark, p, _SCHEMA))
     assert quarantine.count() == 0
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == rows
+    parsed.unpersist()
 
 
 def test_orc_roundtrip_exact(spark, tmp_path):

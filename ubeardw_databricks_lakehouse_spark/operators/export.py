@@ -54,13 +54,17 @@ def shard_manifest(
     reduces mod 2^60 at the end; DuckDB's HUGEINT sum reproduces it.
     """
     sharded = assign_shard(df, key, n_shards, seed)
+    # F.concat + explicit coalesce, NOT concat_ws: concat_ws silently
+    # SKIPS null arguments, so a null payload would hash like a missing
+    # separator while the SQL oracle's `||` nullifies the row — the two
+    # engines must both see 'key|' for a null/empty payload.
     row_h = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    "|",
+                F.concat(
                     F.col(key).cast("string"),
-                    F.col(payload_col).cast("string"),
+                    F.lit("|"),
+                    F.coalesce(F.col(payload_col).cast("string"), F.lit("")),
                 )
             ),
             1,
@@ -88,15 +92,16 @@ def export_shards(
     df: DataFrame,
     out_dir: str,
     key: str,
+    payload_col: str,
     n_shards: int,
     seed: str = "exp1",
 ) -> DataFrame:
     """Write the corpus as ``out_dir/shard=N/*.parquet`` and return the
-    manifest computed over the same frame. Shards are directory
+    manifest computed over the same frame (digest over the named
+    ``payload_col`` — explicit, never guessed). Shards are directory
     partitions — the loader addresses one shard without listing the
     rest, and a re-export with the same seed is byte-stable at the
     row-set level (manifest-verifiable)."""
     sharded = assign_shard(df, key, n_shards, seed)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    payload = [c for c in df.columns if c != key][0]
-    return shard_manifest(df, key, payload, n_shards, seed)
+    return shard_manifest(df, key, payload_col, n_shards, seed)

@@ -13,9 +13,10 @@ Scale shape — the classic Spark iterative pattern done right:
 - each iteration is contribution = rank/out-degree routed over the
   edge equi-join, then a groupBy-sum per destination — a sparse
   matrix–vector multiply as two shuffles, NO driver-side state;
-- the driver loop is BOUNDED (fixed ``n_iter``), with
-  ``localCheckpoint`` truncating lineage per round (the CC precedent:
-  `operators/dedup.py` bounded-iteration policy);
+- the driver loop is BOUNDED (fixed ``n_iter``); lineage is truncated
+  by ``localCheckpoint`` every 5th round — short loops fuse into one
+  job of chained broadcast stages, long loops keep bounded plan depth
+  (the `operators/dedup.py` bounded-iteration policy);
 - dangling mass is avoided structurally: edges are symmetrized, so
   every node with an edge has out-degree ≥ 1.
 
@@ -59,6 +60,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranking, not a ZeroDivisionError
+        return nodes.select(
+            "node", F.lit(None).cast("decimal(18,6)").alias("rank")
+        )
     outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
     ew = (
         edges.join(outdeg, src)

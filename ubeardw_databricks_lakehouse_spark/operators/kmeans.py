@@ -31,6 +31,34 @@ from pyspark.sql import functions as F
 from .similarity import _centroids_fast, assign_cells
 
 
+def hash_seed_ranks(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, cell) for the ``k`` rows with the smallest xxhash64(id) —
+    the shared deterministic-seeding rule for every Lloyd trainer here
+    and in `pq.pq_train` (one copy, so the 'reproducible uniform
+    sample' contract cannot drift between trainers)."""
+    w = Window.orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w) - 1).cast("long").alias("cell"),
+        )
+    )
+
+
+def seed_override_ranks(df: DataFrame, id_col: str, seed_ids: list) -> DataFrame:
+    """(id, cell) from an explicit seed list (tests pin exact seeds)."""
+    order = F.array_position(
+        F.array(*[F.lit(s) for s in seed_ids]), F.col(id_col)
+    )
+    return df.where(order > 0).select(
+        F.col(id_col), (order - 1).cast("long").alias("cell")
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -42,30 +70,15 @@ def kmeans_train(
 ) -> DataFrame:
     """Learn (cell, cvec) centroids, cells numbered 0..k-1 by seed
     order. ``seed_ids`` overrides the hash seeding for tests."""
-    if seed_ids is not None:
-        order = F.array_position(
-            F.array(*[F.lit(s) for s in seed_ids]), F.col(id_col)
-        )
-        seeds = df.where(order > 0).select(
-            (order - 1).cast("long").alias("cell"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "cvec"
-            ),
-        )
-    else:
-        w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        seeds = (
-            df.select(F.col(id_col), F.col(vec_col))
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h", id_col)
-            .limit(k)
-            .select(
-                (F.row_number().over(w) - 1).cast("long").alias("cell"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                    "cvec"
-                ),
-            )
-        )
+    ranked = (
+        seed_override_ranks(df, id_col, seed_ids)
+        if seed_ids is not None
+        else hash_seed_ranks(df, id_col, k)
+    )
+    seeds = ranked.join(df.select(id_col, vec_col), id_col).select(
+        "cell",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
     cents = seeds.localCheckpoint(eager=True)
     for _ in range(max(0, n_iter)):
         assigned = assign_cells(df, cents, id_col, vec_col, 1)

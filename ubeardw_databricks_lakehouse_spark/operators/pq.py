@@ -33,7 +33,7 @@ corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -106,33 +106,19 @@ def pq_train(
     with their respective subvectors; ``seed_ids`` overrides for tests.
     Then ``n_iter`` Lloyd rounds of assign + recompute.
     """
+    from .kmeans import hash_seed_ranks, seed_override_ranks
     from .similarity import _centroids_fast
 
     dsub = dim // m
     assert dsub * m == dim, "dim must be divisible by m"
     sub = _subvectors(df, id_col, vec_col, m, dsub)
 
-    if seed_ids is not None:
-        order = F.array_position(
-            F.array(*[F.lit(s) for s in seed_ids]), F.col(id_col)
-        )
-        seeds = sub.where(order > 0).select(
-            "sub_id", (order - 1).cast("long").alias("cell"), F.col("sv")
-        )
-    else:
-        ranked = (
-            df.select(F.col(id_col))
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h", id_col)
-            .limit(ksub)
-            .select(
-                F.col(id_col),
-                (F.row_number().over(Window.orderBy("_h", id_col)) - 1)
-                .cast("long")
-                .alias("cell"),
-            )
-        )
-        seeds = sub.join(ranked, id_col).select("sub_id", "cell", "sv")
+    ranked = (
+        seed_override_ranks(df, id_col, seed_ids)
+        if seed_ids is not None
+        else hash_seed_ranks(df, id_col, ksub)
+    )
+    seeds = sub.join(ranked, id_col).select("sub_id", "cell", "sv")
     cents = seeds.select(
         "sub_id", "cell", F.col("sv").alias("cvec")
     ).localCheckpoint(eager=True)

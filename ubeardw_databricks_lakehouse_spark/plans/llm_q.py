@@ -1465,8 +1465,8 @@ WITH s AS (
       (CAST(('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 15))
         AS BIGINT) % 10000) % 8 AS INTEGER) AS shard,
     LENGTH(text) AS payload_chars,
-    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
-      AS BIGINT) AS row_h
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+      || COALESCE(text, '')), 1, 15)) AS BIGINT) AS row_h
   FROM documents
 )
 SELECT shard,
@@ -1486,14 +1486,20 @@ FROM s GROUP BY shard ORDER BY shard
 # mangled char, lost row, or corrupt-record fallout changes the digest.
 # ---------------------------------------------------------------------------
 
+# concat + coalesce, not concat_ws: concat_ws SKIPS nulls, which would
+# silently hash a null text as just the key while the oracle's `||`
+# nullifies — both engines must see 'id|' for null/empty text (CSV
+# re-reads turn '' into null, so this path is exercised for real).
 _ROUNDTRIP_DIGEST = (
     lambda: F.pmod(
         F.sum(
             F.conv(
                 F.substring(
                     F.md5(
-                        F.concat_ws(
-                            "|", F.col("doc_id").cast("string"), F.col("text")
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.coalesce(F.col("text"), F.lit("")),
                         )
                     ),
                     1,
@@ -1533,14 +1539,19 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     schema = docs.schema
+    parsed = None
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/docs_{fmt}"
         if fmt == "csv":
             write_csv(docs, path)
-            clean, quarantine = split_corrupt(read_csv(spark, path, schema))
+            clean, quarantine, parsed = split_corrupt(
+                read_csv(spark, path, schema, multi_line=True)
+            )
         elif fmt == "jsonl":
             write_jsonl(docs, path)
-            clean, quarantine = split_corrupt(read_jsonl(spark, path, schema))
+            clean, quarantine, parsed = split_corrupt(
+                read_jsonl(spark, path, schema)
+            )
         else:
             write_orc(docs, path)
             clean, quarantine = read_orc(spark, path, schema), None
@@ -1548,6 +1559,8 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         out = spark.createDataFrame(out.collect(), out.schema)
         if quarantine is not None:
             assert quarantine.count() == 0, f"{fmt} round trip corrupted rows"
+        if parsed is not None:
+            parsed.unpersist()
     return out
 
 
@@ -1563,8 +1576,9 @@ _ROUNDTRIP_ORACLE = r"""
 SELECT lang, source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
-  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
-    1, 15)) AS BIGINT)) % 1152921504606846976 AS BIGINT) AS content_digest
+  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+    || COALESCE(text, '')), 1, 15)) AS BIGINT))
+    % 1152921504606846976 AS BIGINT) AS content_digest
 FROM documents GROUP BY lang, source
 """
 

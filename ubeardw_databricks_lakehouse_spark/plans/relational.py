@@ -1505,7 +1505,7 @@ GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 # q_pagerank_trading: damped PageRank (3 iterations, d=0.85) on the
 # symmetrized customer-supplier trading graph from orders x lineitem.
 # The iterative-graph companion to connected components: bounded
-# driver loop, per-iteration localCheckpoint, each iteration a sparse
+# driver loop, periodic lineage truncation, each iteration a sparse
 # matrix-vector multiply (edge equi-join + groupBy-sum). Contributions
 # round to 6 dp and sum as DECIMAL -> the whole iteration is
 # oracle-exact, which float PageRank never is.

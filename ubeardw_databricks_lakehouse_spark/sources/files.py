@@ -45,17 +45,21 @@ def read_csv(
     schema: StructType,
     header: bool = True,
     sep: str = ",",
+    multi_line: bool = False,
 ) -> DataFrame:
     """PERMISSIVE CSV read: rows that do not parse into ``schema`` land
-    with all data columns null and the raw line in ``_corrupt_record``."""
+    with all data columns null and the raw line in ``_corrupt_record``.
+
+    ``multi_line=True`` supports quoted fields with embedded newlines —
+    but makes files NON-SPLITTABLE (one task per file), so leave it off
+    unless the data needs it and keep per-file sizes bounded when on."""
     return (
         spark.read.schema(_with_corrupt(schema))
         .option("header", header)
         .option("sep", sep)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        # multiline quoted fields (documents with embedded newlines)
-        .option("multiLine", True)
+        .option("multiLine", multi_line)
         .option("escape", '"')
         .csv(path)
     )
@@ -73,10 +77,13 @@ def read_jsonl(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine): clean rows drop the corrupt column;
-    quarantine keeps the raw text (plus the null data columns) for
-    replay/inspection.
+def split_corrupt(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean, quarantine, parsed): clean rows drop the corrupt column;
+    quarantine keeps the raw text for replay/inspection; ``parsed`` is
+    the CACHED parse both are built on — call ``parsed.unpersist()``
+    when done with both sides, or the cached corpus leaks across calls.
 
     Spark refuses plans whose only referenced column from a raw
     CSV/JSON scan is ``_corrupt_record`` (UNSUPPORTED_FEATURE.
@@ -87,7 +94,7 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     df = df.cache()
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return clean, quarantine
+    return clean, quarantine, df
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:

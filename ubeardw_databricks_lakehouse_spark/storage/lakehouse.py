@@ -134,10 +134,36 @@ class Lakehouse:
         rejected unless ``merge_schema=True`` opts into evolution —
         then new columns land and old rows read as null for them
         (pair with ``read(..., merge_schema=True)`` on parquet).
-        A subset of columns is always allowed (missing -> null)."""
+        A subset of columns is always allowed (missing -> null); a
+        TYPE change on an existing column is always rejected (parquet
+        cannot merge it and Delta refuses it too).
+
+        Cost note: the check reads ONE file footer (delta: the log) —
+        never a mergeSchema scan of every file; only when that sample
+        lacks a column (a pre-evolution file) does it fall back to the
+        merged-schema read to confirm."""
         if self.exists(name):
-            existing = set(self.read(name, merge_schema=True).columns)
-            extra = set(df.columns) - existing
+            sampled = {
+                f.name: f.dataType for f in self.read(name).schema.fields
+            }
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            clash = sorted(
+                c
+                for c, t in new_fields.items()
+                if c in sampled and sampled[c] != t
+            )
+            if clash:
+                raise ValueError(
+                    f"append to {name!r} changes column types for "
+                    f"{clash}; rewrite the table instead"
+                )
+            extra = set(new_fields) - set(sampled)
+            if extra:
+                merged = {
+                    f.name
+                    for f in self.read(name, merge_schema=True).schema.fields
+                }
+                extra = set(new_fields) - merged
             if extra and not merge_schema:
                 raise ValueError(
                     f"append to {name!r} adds columns {sorted(extra)}; "
