@@ -234,3 +234,30 @@ def test_incremental_neardup_subset_and_delta_touching(spark):
     }
     want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
     assert inc == want
+
+
+def test_manifest_digest_null_payload_matches_oracle_semantics(spark):
+    """Regression (review finding): a null payload must hash as
+    'key|' on BOTH engines — concat_ws would silently skip the null
+    and diverge from the SQL oracle's COALESCE(text, '')."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["shard"]: (r["n_rows"], r["content_digest"])
+        for r in shard_manifest(df, "doc_id", "text", n_shards=1).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (1, 'a'), (2, NULL), (3, '')) t(doc_id, text)")
+    want = con.execute(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+            || COALESCE(text, '')), 1, 15)) AS BIGINT))
+            % 1152921504606846976 AS BIGINT)
+        FROM d
+        """
+    ).fetchone()
+    assert got[0] == (want[0], want[1])
