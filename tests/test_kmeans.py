@@ -79,3 +79,57 @@ def test_kmeans_hash_seeding_deterministic(spark):
     c1 = sorted(map(tuple, (r["cvec"] for r in kmeans_train(df, k=3, n_iter=1, dim=8).collect())))
     c2 = sorted(map(tuple, (r["cvec"] for r in kmeans_train(df, k=3, n_iter=1, dim=8).collect())))
     assert c1 == c2
+
+
+def test_assign_cells_lsh_agrees_with_exact(spark):
+    """LSH-bucketed coarse assignment must agree with the exact N×K
+    scorer on well-separated clusters (recall<1 contract: high
+    agreement, never collapse), and every vector must be assigned
+    (fallback covers empty probed buckets)."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_lsh,
+        _centroids_fast,
+    )
+
+    df, rows = _planted(spark, n_clusters=4, per=40, dim=8, noise=0.05)
+    cents = _centroids_fast(
+        df.selectExpr("vec_id", "embedding", "label as cell"),
+        "embedding",
+        "cell",
+        8,
+    )
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(df, cents, "vec_id", "embedding", 1).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_lsh(
+            df, cents, "vec_id", "embedding", dim=8, n_planes=4, nprobe=1
+        ).collect()
+    }
+    assert set(got) == set(exact)  # every vector assigned
+    agree = sum(got[v] == exact[v] for v in exact) / len(exact)
+    assert agree >= 0.9, agree
+
+
+def test_assign_cells_lsh_fallback_covers_all(spark):
+    """With n_planes >> log2(K), most buckets are empty and the exact
+    fallback must still assign every vector."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        assign_cells_lsh,
+        _centroids_fast,
+    )
+
+    df, _ = _planted(spark, n_clusters=2, per=10, dim=8, noise=0.02)
+    cents = _centroids_fast(
+        df.selectExpr("vec_id", "embedding", "label as cell"),
+        "embedding",
+        "cell",
+        8,
+    )
+    out = assign_cells_lsh(
+        df, cents, "vec_id", "embedding", dim=8, n_planes=8, nprobe=1
+    )
+    assert out.select("vec_id").distinct().count() == 20

@@ -399,3 +399,77 @@ def dequantize_expr(qvec, q_min, q_scale):
     return F.transform(
         qvec, lambda q: (q.cast("double") * q_scale + q_min).cast("float")
     )
+
+
+def assign_cells_lsh(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_planes: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN coarse assignment — the sub-N×K rung below ``assign_cells``.
+
+    ``assign_cells`` scores every vector against every centroid (a
+    broadcast N×K join): exact, but the measured quadratic term once K
+    scales with the corpus (SCALING.md r4: K∝n drove e=1.83). Here
+    candidate cells come from hyperplane-LSH bucket collisions instead:
+    centroids hash to signature buckets once (K rows, broadcast);
+    vectors emit their own signature plus every 1-bit flip
+    (multi-probe, n_planes+1 probes, map-only) and exact-score ONLY the
+    centroids sharing a probed bucket — expected cost
+    N·(n_planes+1)·K/2^n_planes instead of N·K. Vectors whose probed
+    buckets hold no centroid fall back to the exact scorer (left-anti
+    + ``assign_cells``), so every vector IS assigned; the fallback
+    fraction shrinks as n_planes is sized below log2(K).
+
+    Assignment can differ from exact argmax when the true nearest
+    centroid hides outside every probed bucket — same recall<1 contract
+    as every LSH tier here; pytest pins the agreement rate on
+    clustered data.
+    """
+    cent_sig = F.broadcast(
+        centroids.select(
+            "cell",
+            "cvec",
+            hyperplane_signature(F.col("cvec"), dim, n_planes).alias("_sig"),
+        )
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_vsig"),
+    )
+    probes = F.array_distinct(
+        F.array(
+            F.col("_vsig"),
+            *[
+                F.col("_vsig").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+    )
+    cand = (
+        v.select(id_col, vec_col, F.explode(probes).alias("_sig"))
+        .join(cent_sig, "_sig")
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            cosine(F.col(vec_col), F.col("cvec")).alias("_cs"),
+        )
+        .dropDuplicates([id_col, "cell"])
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cell"))
+    assigned = (
+        cand.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= nprobe)
+        .drop("_cs", "_crk")
+    )
+    missing = df.select(id_col, vec_col).join(
+        assigned.select(id_col).distinct(), id_col, "left_anti"
+    )
+    fallback = assign_cells(missing, centroids, id_col, vec_col, nprobe)
+    return assigned.unionByName(fallback)
