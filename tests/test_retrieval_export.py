@@ -261,3 +261,42 @@ def test_manifest_digest_null_payload_matches_oracle_semantics(spark):
         """
     ).fetchone()
     assert got[0] == (want[0], want[1])
+
+
+def test_export_shuffle_order_deterministic(spark, docs, tmp_path):
+    """shuffle_seed pins within-shard row order: two exports with the
+    same seed are row-for-row identical; a different seed permutes the
+    order but not the membership."""
+    from pyspark.sql import functions as _F
+
+    def order_of(out):
+        export_shards(
+            docs, out, "doc_id", "text", n_shards=2, shuffle_seed=s
+        )
+        return {
+            sh: [
+                r["doc_id"]
+                for r in spark.read.parquet(f"{out}/shard={sh}").collect()
+            ]
+            for sh in (0, 1)
+        }
+
+    s = "epoch1"
+    o1 = order_of(str(tmp_path / "a"))
+    o2 = order_of(str(tmp_path / "b"))
+    assert o1 == o2  # same seed -> identical order
+    # order actually follows the hash, not input order
+    for sh, ids in o1.items():
+        want = sorted(
+            ids,
+            key=lambda i: spark.sql(
+                f"SELECT xxhash64('epoch1', CAST({i} AS STRING))"
+            ).first()[0],
+        )
+        assert ids == want
+    s = "epoch2"
+    o3 = order_of(str(tmp_path / "c"))
+    assert {k: sorted(v) for k, v in o1.items()} == {
+        k: sorted(v) for k, v in o3.items()
+    }  # membership unchanged
+    assert o1 != o3  # order changed

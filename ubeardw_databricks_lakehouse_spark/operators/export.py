@@ -95,13 +95,32 @@ def export_shards(
     payload_col: str,
     n_shards: int,
     seed: str = "exp1",
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """Write the corpus as ``out_dir/shard=N/*.parquet`` and return the
     manifest computed over the same frame (digest over the named
     ``payload_col`` — explicit, never guessed). Shards are directory
     partitions — the loader addresses one shard without listing the
     rest, and a re-export with the same seed is byte-stable at the
-    row-set level (manifest-verifiable)."""
+    row-set level (manifest-verifiable).
+
+    ``shuffle_seed`` additionally fixes the ROW ORDER inside each
+    shard: rows sort by xxhash64(shuffle_seed, key) — a deterministic
+    global shuffle, so training order is reproducible run-to-run and
+    changes wholesale when the seed does (fresh epoch order without
+    touching shard membership). Costs one extra exchange (shard-keyed
+    repartition + in-partition sort); without it, within-shard order
+    follows whatever the upstream partitioning produced."""
     sharded = assign_shard(df, key, n_shards, seed)
+    if shuffle_seed is not None:
+        sharded = (
+            sharded.withColumn(
+                "_ord",
+                F.xxhash64(F.lit(shuffle_seed), F.col(key).cast("string")),
+            )
+            .repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "_ord")
+            .drop("_ord")
+        )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     return shard_manifest(df, key, payload_col, n_shards, seed)
