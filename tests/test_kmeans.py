@@ -133,3 +133,28 @@ def test_assign_cells_lsh_fallback_covers_all(spark):
         df, cents, "vec_id", "embedding", dim=8, n_planes=8, nprobe=1
     )
     assert out.select("vec_id").distinct().count() == 20
+
+
+def test_clustered_pairs_lsh_assignment_recall(spark):
+    """assign='lsh' routing must recover nearly all the exact-routing
+    pairs on the real sf0.001 embedding corpus."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        embedding_neardup_pairs_clustered,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_clustered(
+            emb, threshold=0.4, n_cells=8, nprobe=4
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_clustered(
+            emb, threshold=0.4, n_cells=8, nprobe=4, assign="lsh"
+        ).collect()
+    }
+    assert exact, "exact routing found no pairs — test data changed?"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, recall

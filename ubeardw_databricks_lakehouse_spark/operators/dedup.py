@@ -466,6 +466,7 @@ def embedding_neardup_pairs_clustered(
     n_iter: int = 2,
     dim: int = 64,
     n_blocks: int = 2,
+    assign: str = "exact",
 ) -> DataFrame:
     """Cluster-blocked embedding near-dup pairs — SemDeDup as published
     (Abbas et al. 2023): coarse-cluster first, compare only WITHIN
@@ -492,7 +493,7 @@ def embedding_neardup_pairs_clustered(
     with K — defaults (K=32, nprobe=6, 2 Lloyd rounds) hold recall
     >= 0.95 at sf0.1, pinned in tests.
     """
-    from .similarity import _centroids_fast, assign_cells
+    from .similarity import _centroids_fast, assign_cells, assign_cells_lsh
 
     if cell_col is not None:
         cents = _centroids_fast(
@@ -500,24 +501,22 @@ def embedding_neardup_pairs_clustered(
             vec_col, "cell", dim,
         )
     else:
-        # deterministic k-means seeding: the n_cells vectors with the
-        # smallest id-hash (uniform sample, reproducible across runs)
-        seeds = (
-            df.select(F.col(id_col), F.col(vec_col))
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h", id_col)
-            .limit(n_cells)
+        # the shared Lloyd trainer (one copy of the seeding/update rule
+        # — `operators/kmeans`, also used by pq_train)
+        from .kmeans import kmeans_train
+
+        cents = kmeans_train(
+            df, id_col=id_col, vec_col=vec_col, k=n_cells, n_iter=n_iter,
+            dim=dim,
         )
-        cents = seeds.select(
-            (F.dense_rank().over(
-                Window.orderBy("_h", id_col)
-            ) - 1).cast("long").alias("cell"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    if assign == "lsh":
+        # sub-N×K probe routing for large K (SCALING.md r4: exact
+        # assignment is the quadratic term once K scales with n)
+        probed = assign_cells_lsh(
+            df, cents, id_col, vec_col, dim=dim, nprobe=nprobe
         )
-        for _ in range(max(0, n_iter)):
-            assigned = assign_cells(df, cents, id_col, vec_col, 1)
-            cents = _centroids_fast(assigned, vec_col, "cell", dim)
-    probed = assign_cells(df, cents, id_col, vec_col, nprobe)
+    else:
+        probed = assign_cells(df, cents, id_col, vec_col, nprobe)
     blocked = probed.select(
         F.col("cell"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )

@@ -463,10 +463,18 @@ def assign_cells_lsh(
         .dropDuplicates([id_col, "cell"])
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cell"))
+    ranked = cand.withColumn("_crk", F.row_number().over(w)).withColumn(
+        "_ncand", F.count("*").over(Window.partitionBy(id_col))
+    )
+    # a vector with FEWER candidates than nprobe would get an
+    # impoverished probe set (its true nprobe-nearest cells may sit in
+    # unmatched buckets) — send it through the exact scorer instead;
+    # the LSH path keeps only fully-provisioned vectors.
     assigned = (
-        cand.withColumn("_crk", F.row_number().over(w))
-        .filter(F.col("_crk") <= nprobe)
-        .drop("_cs", "_crk")
+        ranked.filter(
+            (F.col("_crk") <= nprobe) & (F.col("_ncand") >= nprobe)
+        )
+        .drop("_cs", "_crk", "_ncand")
     )
     missing = df.select(id_col, vec_col).join(
         assigned.select(id_col).distinct(), id_col, "left_anti"
