@@ -406,6 +406,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_INCREMENTAL_NEARDUP_SQL,
              "incremental near-dup: materialized base signatures + "
              "delta batch, pairs touching the delta only"),
+    QueryDef("q_customer_percentiles", relational.q_customer_percentiles,
+             relational.Q_CUSTOMER_PERCENTILES_SQL,
+             "percent_rank/cume_dist/nth_value analytic windows over "
+             "segment spend, explicit full-partition ROWS frame"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -461,6 +465,7 @@ _DEFERRED_NEW: list[str] = [
     "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
     "q_kmeans_clusters",     # rows-only; pytest pins recovery + numpy replay
     "q_incremental_neardup", # sf0.01 oracle-exact 2026-08-14
+    "q_customer_percentiles",  # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -1582,3 +1582,67 @@ SELECT node, CAST(rank AS DECIMAL(18,6)) AS rank FROM r3
 ORDER BY rank DESC, node ASC
 LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# q_customer_percentiles: the analytic-window surface not yet under the
+# oracle gate — percent_rank / cume_dist / nth_value over an explicit
+# full-partition ROWS frame. Per market segment, customers rank by
+# DECIMAL total spend (unique tie-break on key), top-10 per segment.
+# percent_rank/cume_dist are exact IEEE rationals -> hash-stable.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "total_spend",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("total_spend", 3).over(wfull).alias("third_spend"),
+    )
+    return ranked.filter(F.col("rn") <= 10).drop("rn")
+
+
+Q_CUSTOMER_PERCENTILES_SQL = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment
+),
+ranked AS (
+  SELECT c_mktsegment, c_custkey, total_spend,
+    ROW_NUMBER() OVER w AS rn,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cume,
+    NTH_VALUE(total_spend, 3) OVER (
+      PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    ) AS third_spend
+  FROM spend
+  WINDOW w AS (
+    PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey ASC
+  )
+)
+SELECT c_mktsegment, c_custkey, total_spend, pct_rank, cume, third_spend
+FROM ranked WHERE rn <= 10
+"""
