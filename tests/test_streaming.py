@@ -229,3 +229,84 @@ def test_native_session_window_merges_and_splits(spark):
         (1, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1),
         (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1),
     ]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: an unmatched left row must emit
+    null-padded once the right watermark passes its horizon. Driven as
+    two availableNow runs over one checkpoint — run 2's late file
+    advances the watermark persisted by run 1, which is exactly the
+    restart-and-expire path a production job takes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_one(d, name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    vschema = "user_id long, view_id long, view_ts timestamp"
+    cschema = "user_id long, click_id long, click_ts timestamp"
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+    # u1's view gets a click inside the 1h horizon; u2's never does
+    write_one(views_dir, "a", [(1, 100, ts("2024-01-01 10:00:00")),
+                               (2, 200, ts("2024-01-01 10:00:00"))], vschema)
+    write_one(clicks_dir, "a", [(1, 900, ts("2024-01-01 10:30:00"))], cschema)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink, not memory: only file sinks support resuming from
+        # the checkpoint, which is the mechanism this test exercises
+        v = spark.readStream.schema(vschema).parquet(str(views_dir))
+        c = spark.readStream.schema(cschema).parquet(str(clicks_dir))
+        j = stream_stream_interval_join(
+            v, c, key="user_id", left_ts="view_ts", right_ts="click_ts",
+            horizon="1 hour", watermark="10 minutes", how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["user_id"], r["view_id"], r["click_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got1 = run_once()
+    assert (1, 100, 900) in got1  # matched pair emits in run 1
+    assert (2, 200, None) not in got1  # unmatched held in state
+
+    # run 2: much later rows on BOTH inputs — the global watermark is
+    # the MIN across every event-time column, so a stalled views side
+    # would pin it and nothing would ever expire. The watermark COMMITS
+    # at batch end and state eviction applies it in the NEXT batch
+    # (Spark's documented one-batch delay for outer results) — run 3's
+    # files trigger that next batch and flush the expired row.
+    write_one(clicks_dir, "b", [(99, 901, ts("2024-01-01 20:00:00"))], cschema)
+    write_one(views_dir, "b", [(99, 300, ts("2024-01-01 20:00:00"))], vschema)
+    got2 = run_once()
+    write_one(clicks_dir, "c", [(98, 902, ts("2024-01-01 20:30:00"))], cschema)
+    write_one(views_dir, "c", [(98, 301, ts("2024-01-01 20:30:00"))], vschema)
+    got3 = run_once()
+    assert (2, 200, None) in got3  # null-padded row flushed on expiry
+    # matched pair never duplicates across restarts
+    assert sum(1 for r in got3 if r == (1, 100, 900)) == 1
