@@ -410,6 +410,10 @@ QUERIES: list[QueryDef] = [
              relational.Q_CUSTOMER_PERCENTILES_SQL,
              "percent_rank/cume_dist/nth_value analytic windows over "
              "segment spend, explicit full-partition ROWS frame"),
+    QueryDef("q_snapshot_diff", relational.q_snapshot_diff,
+             relational.Q_SNAPSHOT_DIFF_SQL,
+             "row-level diff of two CDF snapshots (added/removed/"
+             "changed per status) — table_changes summarized"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -466,6 +470,7 @@ _DEFERRED_NEW: list[str] = [
     "q_kmeans_clusters",     # rows-only; pytest pins recovery + numpy replay
     "q_incremental_neardup", # sf0.01 oracle-exact 2026-08-14
     "q_customer_percentiles",  # sf0.01 oracle-exact 2026-08-14
+    "q_snapshot_diff",       # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -1646,3 +1646,76 @@ ranked AS (
 SELECT c_mktsegment, c_custkey, total_spend, pct_rank, cume, third_spend
 FROM ranked WHERE rn <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff: data-versioning audit — row-level diff between two
+# CDF-reconstructed snapshots (Delta table_changes summarized). The
+# CDC history is built deterministically from orders (wave 1: year <=
+# 1996; wave 2: all orders with 1995 prices doubled; wave 3: delete
+# 1992), so added/removed/changed per status reduce to plain-year
+# predicates the oracle evaluates directly on the base table.
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..storage.lakehouse import (
+        Lakehouse,
+        delete_where_with_cdf,
+        snapshot_diff,
+        upsert_with_cdf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lake = Lakehouse(spark, d)
+        upsert_with_cdf(
+            lake, "orders_sd", orders.where(F.col("o_year") <= 1996),
+            keys=["o_orderkey"], batch_ts="2024-01-01 00:00:00",
+        )
+        wave2 = orders.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_year") == 1995, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        upsert_with_cdf(lake, "orders_sd", wave2, keys=["o_orderkey"],
+                        batch_ts="2024-01-02 00:00:00")
+        delete_where_with_cdf(lake, "orders_sd", "o_year = 1992",
+                              batch_ts="2024-01-03 00:00:00")
+        diff = snapshot_diff(
+            lake, "orders_sd", ["o_orderkey"],
+            "2024-01-01 12:00:00", "2024-01-03 12:00:00",
+        )
+        out = (
+            diff.groupBy("o_orderstatus")
+            .pivot("_diff", ["added", "removed", "changed"])
+            .count()
+            .select(
+                "o_orderstatus",
+                F.coalesce("added", F.lit(0)).cast("bigint").alias("n_added"),
+                F.coalesce("removed", F.lit(0)).cast("bigint").alias("n_removed"),
+                F.coalesce("changed", F.lit(0)).cast("bigint").alias("n_changed"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+SELECT o_orderstatus,
+  CAST(COUNT(*) FILTER (
+    WHERE EXTRACT(YEAR FROM o_orderdate) > 1996) AS BIGINT) AS n_added,
+  CAST(COUNT(*) FILTER (
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1992) AS BIGINT) AS n_removed,
+  CAST(COUNT(*) FILTER (
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995) AS BIGINT) AS n_changed
+FROM orders
+GROUP BY o_orderstatus
+HAVING n_added + n_removed + n_changed > 0
+"""

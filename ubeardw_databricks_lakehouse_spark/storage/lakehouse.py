@@ -585,3 +585,42 @@ def table_history(lake: "Lakehouse", name: str) -> DataFrame:
         )
         .orderBy(*order)
     )
+
+
+def snapshot_diff(
+    lake: "Lakehouse",
+    name: str,
+    keys: list[str],
+    ts_a: str,
+    ts_b: str,
+) -> DataFrame:
+    """Row-level diff between two CDF-reconstructed snapshots — the
+    audit tool data versioning exists for ("what changed between
+    Monday's training snapshot and today's?"): one row per differing
+    key, tagged ``_diff`` in {'added', 'removed', 'changed'}, carrying
+    the LATER snapshot's values (the earlier's for removals).
+
+    Shapes: two ``read_as_of`` reconstructions (each O(history) CDF
+    folds) + two left-anti joins and one null-safe-compare inner join,
+    all equi-joins on the key. Mirrors Delta's
+    ``table_changes(version_a, version_b)`` summarization.
+    """
+    a = read_as_of(lake, name, keys, ts_a)
+    b = read_as_of(lake, name, keys, ts_b)
+    val_cols = [c for c in b.columns if c not in keys]
+    added = b.join(a, keys, "left_anti").withColumn("_diff", F.lit("added"))
+    removed = a.join(b, keys, "left_anti").withColumn(
+        "_diff", F.lit("removed")
+    )
+    neq = None
+    for c in val_cols:
+        cond = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        neq = cond if neq is None else (neq | cond)
+    changed = (
+        a.alias("a")
+        .join(b.alias("b"), keys)
+        .where(neq if neq is not None else F.lit(False))
+        .select(*keys, *[F.col(f"b.{c}").alias(c) for c in val_cols])
+        .withColumn("_diff", F.lit("changed"))
+    )
+    return added.unionByName(removed).unionByName(changed)
