@@ -1484,3 +1484,38 @@ def test_dedup_clusters_star_engine_equivalent(spark):
         for r in dedup_clusters(docs, cc="star").collect()
     }
     assert star == base
+
+
+def test_resize_raw_images_exact_gather(spark):
+    """Hand-check the nearest-neighbor gather: a 6x6 byte grid resized
+    to 4x4 samples rows/cols [0,1,3,4] (floor(i*6/4))."""
+    import hashlib
+
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.multimodal import (
+        resize_raw_images,
+    )
+
+    grid = bytes(range(36))  # 6x6, pixel (y,x) = 6y+x
+    df = spark.createDataFrame(
+        [(1, bytearray(grid))], "doc_id long, media_blob binary"
+    )
+    r = resize_raw_images(df).collect()[0]
+    assert r["src_w"] == 6
+    sel = np.array(
+        [[6 * y + x for x in (0, 1, 3, 4)] for y in (0, 1, 3, 4)],
+        dtype=np.uint8,
+    )
+    assert r["resized_digest"] == hashlib.md5(sel.tobytes()).hexdigest()
+
+
+def test_documents_corpus_is_ascii(spark):
+    """q_image_resize's char-wise oracle is byte-exact only on ASCII
+    corpora — pin that property of the testdata here so a data change
+    fails loudly instead of as a silent hash mismatch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    non_ascii = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert non_ascii == 0

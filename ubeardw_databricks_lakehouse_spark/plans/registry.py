@@ -414,6 +414,10 @@ QUERIES: list[QueryDef] = [
              relational.Q_SNAPSHOT_DIFF_SQL,
              "row-level diff of two CDF snapshots (added/removed/"
              "changed per status) — table_changes summarized"),
+    QueryDef("q_image_resize", llm_q.q_image_resize,
+             llm_q.Q_IMAGE_RESIZE_SQL,
+             "multimodal resize leg: nearest-neighbor byte-grid resize "
+             "via Arrow mapInPandas, digest-pinned pixel gather"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -471,6 +475,7 @@ _DEFERRED_NEW: list[str] = [
     "q_incremental_neardup", # sf0.01 oracle-exact 2026-08-14
     "q_customer_percentiles",  # sf0.01 oracle-exact 2026-08-14
     "q_snapshot_diff",       # sf0.01 oracle-exact 2026-08-14
+    "q_image_resize",        # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
