@@ -178,3 +178,27 @@ def test_append_schema_enforcement_and_evolution(spark, tmp_path):
     back = lake.read("t", merge_schema=True)
     assert back.count() == 3
     assert {r["id"] for r in back.select("id").collect()} == {1, 2, 3}
+
+
+def test_auto_compact_property_bounds_file_count(spark, tmp_path):
+    """M5 parquet twin: with auto-compact set, repeated small appends
+    keep the file count bounded instead of growing without limit, the
+    property survives the compaction rewrite, and no rows are lost."""
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", spark.range(10).toDF("id"))
+    lake.set_auto_compact("t", max_files=6)
+    for i in range(10):
+        lake.append("t", spark.range(10 * (i + 1), 10 * (i + 2)).toDF("id"))
+    import os
+
+    n_files = sum(
+        1
+        for _r, _d, files in os.walk(lake.path("t"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files <= 6, n_files
+    assert lake.read("t").count() == 110
+    assert lake.read_table_meta("t")["auto_compact_max_files"] == 6

@@ -176,6 +176,33 @@ class Lakehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(name))
+        self._maybe_auto_compact(name)
+
+    def set_auto_compact(self, name: str, max_files: int) -> None:
+        """Table property: compact whenever the small-file count
+        exceeds ``max_files`` — the parquet twin of Delta's
+        ``delta.autoOptimize.autoCompact`` (M5). Stored in the sidecar
+        meta (survives maintenance rewrites); the check+compaction runs
+        at the END of each append, so steady micro-batch ingestion
+        never accumulates unbounded file counts."""
+        meta = {**self.read_table_meta(name), "auto_compact_max_files": int(max_files)}
+        with open(os.path.join(self.path(name), "_graft_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _maybe_auto_compact(self, name: str) -> None:
+        mx = self.read_table_meta(name).get("auto_compact_max_files")
+        if mx is None or self.fmt == "delta":
+            return  # delta runs its own autoCompact via table properties
+        n_files = sum(
+            1
+            for _root, _dirs, files in os.walk(self.path(name))
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+        if n_files > int(mx):
+            from ..maintenance.optimize import optimize_table
+
+            optimize_table(self, name)
 
     def overwrite_bucketed(
         self,
@@ -330,7 +357,14 @@ class Lakehouse:
         partition_by: list[str] | None = None,
         meta: dict | None = None,
     ) -> None:
-        """Commit a full-table rewrite atomically-enough for local use."""
+        """Commit a full-table rewrite atomically-enough for local use.
+
+        With ``meta=None`` the EXISTING sidecar metadata is carried
+        forward — table properties (auto-compact thresholds, refresh
+        watermarks) survive maintenance rewrites; pass a dict to
+        replace it."""
+        if meta is None:
+            meta = self.read_table_meta(name) or None
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
         partition_by = partition_by or self.partitioning(name)
         writer = df.write.format(self.fmt).mode("overwrite")
