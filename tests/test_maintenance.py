@@ -202,3 +202,49 @@ def test_auto_compact_property_bounds_file_count(spark, tmp_path):
     assert n_files <= 6, n_files
     assert lake.read("t").count() == 110
     assert lake.read_table_meta("t")["auto_compact_max_files"] == 6
+
+
+def test_auto_compact_no_thrash_and_property_survives_overwrite(spark, tmp_path):
+    """Anti-thrash guard: a table whose file count exceeds max_files
+    only because it has OUTGROWN max_files*target must not rewrite
+    itself on every append; and the property survives a plain
+    overwrite (Delta table-property semantics)."""
+    import os
+
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", spark.range(5).toDF("id"))
+    lake.set_auto_compact("t", max_files=2)
+    # property survives INSERT OVERWRITE
+    lake.overwrite("t", spark.range(5).toDF("id"))
+    assert lake.read_table_meta("t")["auto_compact_max_files"] == 2
+
+    # simulate "outgrown": after one compaction, ideal>=1; with
+    # max_files=2 and 3 appends, fragmentation triggers once, then the
+    # compacted layout (n_files <= 2*ideal) must be stable
+    for i in range(3):
+        lake.append("t", spark.range(10 + i, 11 + i).toDF("id"))
+
+    def count_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(lake.path("t"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n1 = count_files()
+    mtimes1 = sorted(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(lake.path("t"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # one more append: allowed to add exactly one file or trigger one
+    # compaction, but must NOT rewrite the whole table when already at
+    # the compacted ideal
+    lake.append("t", spark.range(99, 100).toDF("id"))
+    n2 = count_files()
+    assert n2 <= max(n1 + 1, 2)
+    assert lake.read("t").count() == 9

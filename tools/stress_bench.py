@@ -95,7 +95,6 @@ QUERIES = [
 
 def run_scale(
     spark, n_docs: int, n_vecs: int, qmap, n_clusters: int = 40,
-    queries: list[str] | None = None,
 ) -> dict[str, float]:
     rng = np.random.default_rng(42)
     out: dict[str, float] = {}
@@ -105,7 +104,7 @@ def run_scale(
             os.path.join(d, "embeddings.parquet"))
         # absorb session/JIT startup so the first timed query is steady-state
         qmap["q_exact_dedup"](spark, d).write.mode("overwrite").format("noop").save()
-        for name in (queries or QUERIES):
+        for name in QUERIES:
             t0 = time.time()
             df = qmap[name](spark, d)
             df.write.mode("overwrite").format("noop").save()
@@ -126,9 +125,9 @@ def main() -> None:
     ap.add_argument("--large", default="100000,40000")
     ap.add_argument(
         "--scale-k", action="store_true",
-        help="scale cluster count with n_vecs (1 cluster per 500 "
-        "vectors) and run only the cluster-blocked dedup — the K∝n "
-        "production regime",
+        help="scale cluster count as sqrt(n_vecs) (the balanced "
+        "IVF sizing — see SCALING.md) and run only the "
+        "cluster-blocked dedup",
     )
     args = ap.parse_args()
     s_docs, s_vecs = (int(x) for x in args.small.split(","))
@@ -180,13 +179,12 @@ def main() -> None:
              "ratio": l_vecs / s_vecs, "scale_k": True}), flush=True)
         return
     else:
-        qs = QUERIES
         small = run_scale(spark, s_docs, s_vecs, qmap)
         large = run_scale(spark, l_docs, l_vecs, qmap)
     ratio = l_docs / s_docs
     exps = {
         q: round(math.log(large[q] / small[q]) / math.log(ratio), 2)
-        for q in qs
+        for q in QUERIES
         if small[q] > 0
     }
     print(json.dumps(

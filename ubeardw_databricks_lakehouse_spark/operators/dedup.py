@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .text import fingerprint, tokens
 
@@ -745,16 +744,19 @@ def embedding_dedup_clusters_fast(
     dim: int = 64,
     n_blocks: int = 2,
     cc: str = "propagation",
+    assign: str = "exact",
 ) -> DataFrame:
     """Production twin of ``embedding_dedup_clusters``: pairs form only
     within coarse cells (``embedding_neardup_pairs_clustered``), so
     compute is O(n^2/K) instead of all-pairs — real SemDeDup shape.
     Same keep/drop contract; recall vs the exact twin is pytest-pinned
     (a cross-cell pair can be missed, which splits — never merges —
-    a cluster)."""
+    a cluster). ``assign="lsh"`` swaps the coarse routing to the
+    sub-N×K LSH scorer once K outgrows the broadcast-scoring budget
+    (SCALING.md r4 K-sizing guidance)."""
     pairs = embedding_neardup_pairs_clustered(
         df, id_col, vec_col, threshold,
         cell_col=cell_col, n_cells=n_cells, nprobe=nprobe,
-        dim=dim, n_blocks=n_blocks,
+        dim=dim, n_blocks=n_blocks, assign=assign,
     )
     return _clusters_from_pairs(pairs, df, id_col, cc)

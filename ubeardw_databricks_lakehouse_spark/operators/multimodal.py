@@ -255,6 +255,8 @@ def resize_raw_images(
         for pdf in batches:
             ids, ws, digs = [], [], []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:  # null payload: drop, like the oracle's
+                    continue      # LENGTH(NULL) filter — never a crash
                 buf = np.frombuffer(bytes(blob), dtype=np.uint8)
                 w = int(len(buf) ** 0.5)
                 if w < 1:

@@ -112,7 +112,13 @@ class Lakehouse:
         so table data and metadata commit in one atomic swap — the
         parquet twin of Delta's txnAppId/txnVersion transaction tags
         (the idempotent-foreachBatch pattern). Without meta, a plain
-        overwrite (unchanged fast path)."""
+        overwrite — which still CARRIES FORWARD any existing sidecar
+        properties (auto-compact thresholds survive INSERT OVERWRITE,
+        matching Delta's table-property semantics)."""
+        if meta is None:
+            existing = self.read_table_meta(name)
+            if existing:
+                meta = existing
         if meta is not None:
             self._swap(name, df, partition_by, meta=meta)
             return
@@ -179,12 +185,19 @@ class Lakehouse:
         self._maybe_auto_compact(name)
 
     def set_auto_compact(self, name: str, max_files: int) -> None:
-        """Table property: compact whenever the small-file count
-        exceeds ``max_files`` — the parquet twin of Delta's
-        ``delta.autoOptimize.autoCompact`` (M5). Stored in the sidecar
-        meta (survives maintenance rewrites); the check+compaction runs
-        at the END of each append, so steady micro-batch ingestion
-        never accumulates unbounded file counts."""
+        """Table property: compact whenever the file count exceeds
+        ``max_files`` AND compaction can actually reduce it — the
+        parquet twin of Delta's ``delta.autoOptimize.autoCompact``
+        (M5). Stored in the sidecar meta (survives maintenance
+        rewrites); the check+compaction runs at the END of each append,
+        so steady micro-batch ingestion never accumulates unbounded
+        file counts. On the delta backend the property is forwarded to
+        the table itself (TBLPROPERTIES) and the engine enforces it."""
+        if self.fmt == "delta":  # pragma: no cover - delta not in container
+            self.spark.sql(
+                f"ALTER TABLE delta.`{self.path(name)}` SET TBLPROPERTIES "
+                "('delta.autoOptimize.autoCompact' = 'true')"
+            )
         meta = {**self.read_table_meta(name), "auto_compact_max_files": int(max_files)}
         with open(os.path.join(self.path(name), "_graft_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -192,14 +205,23 @@ class Lakehouse:
     def _maybe_auto_compact(self, name: str) -> None:
         mx = self.read_table_meta(name).get("auto_compact_max_files")
         if mx is None or self.fmt == "delta":
-            return  # delta runs its own autoCompact via table properties
-        n_files = sum(
-            1
-            for _root, _dirs, files in os.walk(self.path(name))
-            for fn in files
-            if fn.endswith(".parquet")
-        )
-        if n_files > int(mx):
+            return  # delta enforces its own autoCompact table property
+        from ..maintenance.optimize import TARGET_FILE_BYTES
+
+        n_files = 0
+        size = 0
+        for root, _dirs, files in os.walk(self.path(name)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                    size += os.path.getsize(os.path.join(root, fn))
+        # a table legitimately bigger than max_files * target emits
+        # ~size/target files after compaction; triggering below 2x that
+        # ideal would rewrite the WHOLE table on every append (O(table)
+        # write amplification) without getting under the bound — only
+        # compact when fragmentation, not size, is the problem.
+        ideal = max(1, size // TARGET_FILE_BYTES)
+        if n_files > int(mx) and n_files > 2 * ideal:
             from ..maintenance.optimize import optimize_table
 
             optimize_table(self, name)
