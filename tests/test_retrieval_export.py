@@ -300,3 +300,19 @@ def test_export_shuffle_order_deterministic(spark, docs, tmp_path):
         k: sorted(v) for k, v in o3.items()
     }  # membership unchanged
     assert o1 != o3  # order changed
+
+
+def test_hard_negatives_label_mismatch_and_ranks(spark, emb):
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    q = emb.filter(F.col("vec_id") < 4)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives(emb, q, k=3).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

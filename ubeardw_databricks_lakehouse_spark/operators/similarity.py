@@ -481,3 +481,55 @@ def assign_cells_lsh(
     )
     fallback = assign_cells(missing, centroids, id_col, vec_col, nprobe)
     return assigned.unionByName(fallback)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining — contrastive training's data op: for each
+    query, the ``k`` MOST similar corpus vectors with a DIFFERENT
+    label (the near-misses a contrastive loss learns the most from;
+    cf. SimCLR/DPR hard-negative sampling).
+
+    Scale shape: the query set broadcasts (it is the per-batch anchor
+    sample, small by construction); scoring is one map-only pass over
+    the corpus with the label-mismatch filter applied BEFORE the
+    ranking window, which partitions by query — never a global sort.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlab"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            F.col(label_col).alias("nlab"),
+        )
+        .join(
+            q,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("qlab") != F.col("nlab")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

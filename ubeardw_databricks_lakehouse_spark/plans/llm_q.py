@@ -1716,3 +1716,36 @@ SELECT doc_id, w AS src_w,
   md5(SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(0 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(1 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(2 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(0 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(1 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(2 * w / 4) AS INT) + 1, 1) || SUBSTRING(text, CAST(FLOOR(3 * w / 4) AS INT) * w + CAST(FLOOR(3 * w / 4) AS INT) + 1, 1)) AS resized_digest
 FROM g WHERE w >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives: contrastive-training data op — per query, the top-5
+# most-similar vectors with a DIFFERENT label (the near-misses a
+# contrastive loss needs). Float cosine orders only (ranks are the
+# output), same contract as q_embedding_topk's driver-green oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    LIST_COSINE_SIMILARITY(q.embedding, c.embedding) AS sim
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""

@@ -418,6 +418,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_IMAGE_RESIZE_SQL,
              "multimodal resize leg: nearest-neighbor byte-grid resize "
              "via Arrow mapInPandas, digest-pinned pixel gather"),
+    QueryDef("q_hard_negatives", llm_q.q_hard_negatives,
+             llm_q.Q_HARD_NEGATIVES_SQL,
+             "contrastive hard-negative mining: per-query top-5 "
+             "most-similar different-label vectors"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -476,6 +480,7 @@ _DEFERRED_NEW: list[str] = [
     "q_customer_percentiles",  # sf0.01 oracle-exact 2026-08-14
     "q_snapshot_diff",       # sf0.01 oracle-exact 2026-08-14
     "q_image_resize",        # sf0.01 oracle-exact 2026-08-14
+    "q_hard_negatives",      # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
