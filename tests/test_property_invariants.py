@@ -185,3 +185,129 @@ def test_pack_sequences_rejects_duplicate_ids(spark):
         "doc_id long, text string, source string",
     )
     assert pack_sequences(ok, context_len=4).count() > 0
+
+
+# --- export digest: equal row SETS <=> equal manifests --------------------
+
+doc_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@PROP
+@given(doc_sets)
+def test_manifest_digest_set_semantics(spark, rows):
+    """Permuting rows never changes the manifest; changing any payload
+    always does (mod-2^60 collisions are astronomically unlikely at
+    this size)."""
+    from ubeardw_databricks_lakehouse_spark.operators.export import (
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        map(tuple, shard_manifest(df, "doc_id", "text", n_shards=3).collect())
+    )
+    permuted = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+    assert base == sorted(
+        map(
+            tuple,
+            shard_manifest(permuted, "doc_id", "text", 3).collect(),
+        )
+    )
+    tampered = spark.createDataFrame(
+        [(k, t + "!") for k, t in rows], "doc_id long, text string"
+    )
+    assert base != sorted(
+        map(
+            tuple,
+            shard_manifest(tampered, "doc_id", "text", 3).collect(),
+        )
+    )
+
+
+# --- pagerank: mass conservation + positivity on arbitrary graphs --------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@PROP
+@given(edge_lists)
+def test_pagerank_mass_and_positivity(spark, edges):
+    """On any symmetrized graph: every rank positive, total mass ~1
+    (rounding drift bounded by nodes * 1e-6 per iteration)."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import pagerank
+
+    sym = list({(str(a), str(b)) for a, b in edges} | {
+        (str(b), str(a)) for a, b in edges
+    })
+    df = spark.createDataFrame(sym, "src string, dst string")
+    got = {r["node"]: float(r["rank"]) for r in pagerank(df, n_iter=2).collect()}
+    n = len({x for e in sym for x in e})
+    assert len(got) == n
+    assert all(v > 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) <= n * 3e-6 + 1e-9
+
+
+# --- gapfill: dense grid, observed flags, fill correctness ---------------
+
+event_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # key
+        st.integers(min_value=0, max_value=9),    # day offset
+        st.integers(min_value=0, max_value=50),   # value
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@PROP
+@given(event_sets)
+def test_gapfill_grid_is_dense_and_fill_is_last_observed(spark, rows):
+    from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+        gapfill_ffill,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"2024-01-{d + 1:02d} 06:00:00", float(v)) for k, d, v in rows],
+        "k long, ts_s string, value double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = gapfill_ffill(df, "k", "ts", "value", step="day").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    model: dict[int, dict[int, float]] = {}
+    for k, d, v in rows:
+        model.setdefault(k, {}).setdefault(d, 0.0)
+        model[k][d] += v
+    for k, rs in by_key.items():
+        days = sorted(int(str(r["bucket"])[8:10]) - 1 for r in rs)
+        # dense: every day between min and max observed, exactly once
+        assert days == list(range(min(model[k]), max(model[k]) + 1))
+        last = None
+        for r in sorted(rs, key=lambda r: r["bucket"]):
+            d = int(str(r["bucket"])[8:10]) - 1
+            if d in model[k]:
+                assert r["observed"] and float(r["bucket_value"]) == model[k][d]
+                last = model[k][d]
+            else:
+                assert not r["observed"] and r["bucket_value"] is None
+            assert float(r["filled_value"]) == last
