@@ -19,6 +19,15 @@ no green evidence at all, must be inside the window. Entries whose
 underlying operator code changed in the current round should be
 re-windowed too (judgment call, noted per round below).
 
+CAPACITY NOTE for r5+: at 120 registry entries the strict 2-round rule
+exceeds the 50-slot/round budget (steady state needs ceil(120/50)=3
+rounds per full pass). From r5 the window rotates on a 3-round cycle
+(oldest-evidence-first), and the per-round staleness backstop is the
+IN-REPO full gate mirror: `tools/oracle_sweep.py` runs EVERY
+oracle-paired entry vs DuckDB at sf0.01 (the driver's scale) each
+round — 110/110 green on 2026-08-14. test_registry_order's two-report
+freshness horizon widens to three when the constraint first binds.
+
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
 q_token_stats was r3's one red row (oracle HUGEINT cast, fixed) -> in.
