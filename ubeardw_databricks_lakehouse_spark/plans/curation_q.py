@@ -170,7 +170,10 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(docs)
 
 
-def _build_curated_corpus_sql() -> str:
+def _curated_ctes() -> str:
+    """The full curation CTE chain (quality -> decontam -> exact dedup
+    -> near-dup CC -> chunks); `n_surv` is the final kept set. Shared
+    by the status report and the training-export capstone."""
     from .llm_q import _BAND_SELECTS, _SIG_COLS
 
     bands_on_sh = _BAND_SELECTS
@@ -293,6 +296,10 @@ chunks AS (
     END AS n_chunks
   FROM n_surv
 )
+"""
+
+
+Q_CURATED_CORPUS_SQL = _curated_ctes() + """
 SELECT d.doc_id,
   CASE
     WHEN d.doc_id % 50 = 0 THEN 'eval_holdout'
@@ -311,9 +318,6 @@ LEFT JOIN e_surv ON d.doc_id = e_surv.doc_id
 LEFT JOIN n_surv ON d.doc_id = n_surv.doc_id
 LEFT JOIN chunks ON d.doc_id = chunks.doc_id
 """
-
-
-Q_CURATED_CORPUS_SQL = _build_curated_corpus_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -610,3 +614,44 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalset = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
     return contamination_bloom(train, evalset, n=8)
+
+
+# ---------------------------------------------------------------------------
+# q_training_export: the CAPSTONE — the full curation pipeline's kept
+# set flowing straight into the training-export manifest (deterministic
+# md5 shards + order-insensitive content digest). This is the complete
+# warehouse-to-training-cluster handoff in one oracle-gated query:
+# quality -> decontam -> exact dedup -> near-dup CC -> shard -> verify.
+# ---------------------------------------------------------------------------
+
+
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.export import shard_manifest
+    from ..pipelines.curation import curate_corpus
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    status = curate_corpus(docs)
+    kept = docs.join(
+        status.where(F.col("status") == "kept").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return shard_manifest(kept, "doc_id", "text", n_shards=4)
+
+
+Q_TRAINING_EXPORT_SQL = _curated_ctes() + """
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_payload_chars,
+  CAST(SUM(row_h) % 1152921504606846976 AS BIGINT) AS content_digest
+FROM (
+  SELECT
+    CAST((CAST(('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 10000) % 4 AS INTEGER) AS shard,
+    text,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+      || COALESCE(text, '')), 1, 15)) AS BIGINT) AS row_h
+  FROM n_surv
+)
+GROUP BY shard ORDER BY shard
+"""

@@ -431,6 +431,11 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_HARD_NEGATIVES_SQL,
              "contrastive hard-negative mining: per-query top-5 "
              "most-similar different-label vectors"),
+    QueryDef("q_training_export", curation_q.q_training_export,
+             curation_q.Q_TRAINING_EXPORT_SQL,
+             "CAPSTONE: full curation pipeline kept-set -> shard "
+             "manifest (the warehouse-to-training handoff, full-replay "
+             "oracle)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -493,6 +498,7 @@ _DEFERRED_NEW: list[str] = [
     "q_snapshot_diff",       # sf0.01 oracle-exact 2026-08-14
     "q_image_resize",        # sf0.01 oracle-exact 2026-08-14
     "q_hard_negatives",      # sf0.01 oracle-exact 2026-08-14
+    "q_training_export",     # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
