@@ -466,9 +466,9 @@ _WINDOW: list[str] = [
     "q_event_quantiles", "q_time_rollup_multires", "q_error_after_purchase",
 ]
 
-# End-of-round full-gate mirror: ALL 110 oracle-paired entries swept
+# End-of-round full-gate mirror: ALL 111 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
-# — `tools/oracle_sweep.py`, 0 failures in 154 s.
+# — `tools/oracle_sweep.py`, 0 failures in 187 s (incl. the capstone).
 # Queries ADDED mid-round after the 50-slot window was already saturated
 # by the staleness rule (45 two-round-stale + 5 mandatory re-confirms).
 # They are covered this round by the in-repo differential gate (pytest
