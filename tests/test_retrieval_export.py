@@ -316,3 +316,22 @@ def test_hard_negatives_label_mismatch_and_ranks(spark, emb):
         assert r["neighbor_id"] != r["query_id"]
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_bm25_index_path_equals_direct(spark, docs):
+    """The materialized tf-index path must reproduce the direct-scan
+    BM25 exactly (same tokenization, same stats) — the index-reuse
+    contract, like signatures= for near-dup."""
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import (
+        build_tf_index,
+    )
+
+    terms = ["spark", "hash", "join"]
+    direct = sorted(
+        map(tuple, bm25_topk(docs, terms, k=15).collect())
+    )
+    idx = build_tf_index(docs).localCheckpoint(eager=True)
+    via_index = sorted(
+        map(tuple, bm25_topk(docs, terms, k=15, tf_index=idx).collect())
+    )
+    assert direct == via_index

@@ -40,6 +40,24 @@ K1 = 1.2
 B = 0.75
 
 
+def build_tf_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistent retrieval index: (doc, term, tf) + per-doc length
+    carried on every row (denormalized so a query never re-reads the
+    corpus). A warehouse materializes this ONCE per corpus snapshot
+    (partitioned/bucketed by term at scale) and serves every BM25 query
+    from it — the retrieval twin of the near-dup signature table."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term"),
+        token_count(text_col).cast("double").alias("dl"),
+    )
+    return toks.groupBy(id_col, "term", "dl").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -48,33 +66,44 @@ def bm25_topk(
     k: int = 20,
     k1: float = K1,
     b: float = B,
+    tf_index: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 against ``query_terms``.
 
     Returns (doc_id, n_terms_hit, bm25) ordered by score desc with a
     doc-id tie-break; ``bm25`` is DECIMAL(18,6) (deterministic sum of
     rounded per-term contributions).
+
+    ``tf_index``: a previously materialized ``build_tf_index`` table —
+    the production path: the corpus text is tokenized once per
+    snapshot, not per query; with it, a query touches only the index
+    rows for its own terms (term-partition-pruned at scale).
     """
     qlit = F.array(*[F.lit(t) for t in query_terms])
 
-    # corpus-level stats: N docs, per-doc length, avg length — one
-    # map-only pass plus two scalar aggregates (broadcast back).
-    dl = docs.select(
-        F.col(id_col), token_count(text_col).cast("double").alias("dl")
-    )
+    if tf_index is not None:
+        hits = tf_index.where(F.array_contains(qlit, F.col("term")))
+        dl = tf_index.select(F.col(id_col), F.col("dl")).distinct()
+        tf = hits.select(id_col, "term", "tf")
+    else:
+        # corpus-level pass: per-doc length + hit-filtered (doc, term) tf
+        dl = docs.select(
+            F.col(id_col), token_count(text_col).cast("double").alias("dl")
+        )
+        tf = (
+            docs.select(
+                F.col(id_col), F.explode(tokens(text_col)).alias("term")
+            )
+            .where(F.array_contains(qlit, F.col("term")))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        )
+    # N docs and avg length — two scalar aggregates, broadcast back.
     stats = F.broadcast(
         dl.agg(
             F.count("*").cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
-    )
-
-    # hit rows only: explode, keep query terms, then (doc, term) tf.
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .where(F.array_contains(qlit, F.col("term")))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").cast("double").alias("tf"))
     )
     idf = F.broadcast(
         tf.groupBy("term")
