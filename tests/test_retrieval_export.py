@@ -335,3 +335,29 @@ def test_bm25_index_path_equals_direct(spark, docs):
         map(tuple, bm25_topk(docs, terms, k=15, tf_index=idx).collect())
     )
     assert direct == via_index
+
+
+def test_ivfpq_prebuilt_index_reuse(spark, emb):
+    """A prebuilt index serves multiple query batches and reproduces
+    the one-shot path exactly (same centroids/codebook/codes)."""
+    from ubeardw_databricks_lakehouse_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    index = ivfpq_build(emb, m=8, ksub=8, n_iter=1)
+    q1 = emb.filter(F.col("vec_id") < 3)
+    q2 = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+    oneshot = sorted(
+        map(
+            tuple,
+            topk_ivfpq(emb, q1, k=3, nprobe=2, m=8, ksub=8, n_iter=1).collect(),
+        )
+    )
+    via_index = sorted(
+        map(tuple, ivfpq_search(index, q1, k=3, nprobe=2, m=8).collect())
+    )
+    assert oneshot == via_index
+    # second batch against the SAME index works and is self-consistent
+    r2 = ivfpq_search(index, q2, k=3, nprobe=2, m=8).collect()
+    assert {r["query_id"] for r in r2} == {3, 4, 5}

@@ -60,29 +60,30 @@ def _residuals(
     )
 
 
-def topk_ivfpq(
+def ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
     dim: int = 64,
-    k: int = 5,
-    nprobe: int = 2,
     m: int = 8,
     ksub: int = 16,
     n_iter: int = 1,
-) -> DataFrame:
-    """IVFADC top-k: (query_id, neighbor_id, rank) by ascending
-    asymmetric PQ distance, ties on neighbor id."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVFADC index once: (cents, codebook, codes).
+
+    The expensive part — coarse centroids, residual PQ training, and
+    the N×m code table — is a PER-SNAPSHOT artifact in production
+    (persist ``codes`` as a table, broadcast-sized ``cents``/
+    ``codebook`` as small tables); every query batch then pays only
+    the LUT + ADC scan in ``ivfpq_search``. Splitting build from
+    search is what amortizes the bench-visible index cost to zero
+    per-query at scale."""
     dsub = dim // m
     assert dsub * m == dim, "dim must be divisible by m"
-
     cents = _centroids_fast(corpus, vec_col, cell_col, dim).localCheckpoint(
         eager=True
     )
-
-    # -- index build ----------------------------------------------------
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
     resid = _residuals(corpus_cells, cents, id_col, vec_col)
     codebook = pq_train(
@@ -98,7 +99,23 @@ def topk_ivfpq(
     ).join(resid.select(id_col, "cell"), id_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", "sub_id", "code"
     )
+    return cents, codebook, codes
 
+
+def ivfpq_search(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+) -> DataFrame:
+    """ADC scan against a prebuilt index: (query_id, neighbor_id, rank)
+    by ascending asymmetric PQ distance, ties on neighbor id."""
+    cents, codebook, codes = index
+    dsub = dim // m
     # -- query side -----------------------------------------------------
     qcells = assign_cells(queries, cents, id_col, vec_col, nprobe)
     qres = _residuals(qcells, cents, id_col, vec_col).select(
@@ -140,3 +157,24 @@ def topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 1,
+) -> DataFrame:
+    """One-shot convenience: build + search (tests and the registry
+    query; production splits the two — see ``ivfpq_build``)."""
+    index = ivfpq_build(
+        corpus, id_col, vec_col, cell_col, dim, m, ksub, n_iter
+    )
+    return ivfpq_search(index, queries, id_col, vec_col, dim, k, nprobe, m)
