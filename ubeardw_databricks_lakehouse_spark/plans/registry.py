@@ -436,6 +436,10 @@ QUERIES: list[QueryDef] = [
              "CAPSTONE: full curation pipeline kept-set -> shard "
              "manifest (the warehouse-to-training handoff, full-replay "
              "oracle)"),
+    QueryDef("q_masked_read", relational.q_masked_read,
+             relational.Q_MASKED_READ_SQL,
+             "fine-grained access control: row filter + column masks "
+             "(Lakeguard/UC-style) folded into the plan"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -499,6 +503,7 @@ _DEFERRED_NEW: list[str] = [
     "q_image_resize",        # sf0.01 oracle-exact 2026-08-14
     "q_hard_negatives",      # sf0.01 oracle-exact 2026-08-14
     "q_training_export",     # sf0.01 oracle-exact 2026-08-14
+    "q_masked_read",         # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -1719,3 +1719,65 @@ FROM orders
 GROUP BY o_orderstatus
 HAVING n_added + n_removed + n_changed > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# q_masked_read: fine-grained access control (row filters + column
+# masks, Lakeguard/Unity-style) — an analyst principal reads customer
+# with phone masked to its last four digits, name replaced by its
+# sha2 pseudonym, and one segment row-filtered away entirely. The
+# masks fold into the plan (pushdown-friendly), and the oracle replays
+# the governed values exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..storage.access import PolicyCatalog, TablePolicy
+    from ..storage.lakehouse import Lakehouse
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lake = Lakehouse(spark, d)
+        lake.overwrite("customer_gov", cust)
+        cat = PolicyCatalog(lake)
+        cat.grant(
+            "analyst",
+            "customer_gov",
+            TablePolicy(
+                row_filter="c_mktsegment <> 'AUTOMOBILE'",
+                column_masks={
+                    # pseudonymize the name; partially reveal the key
+                    # (last 3 digits) — the two standard mask shapes
+                    "c_name": "sha2(c_name, 256)",
+                    "c_custkey": "pmod(c_custkey, 1000)",
+                },
+            ),
+        )
+        gov = cat.read_as("analyst", "customer_gov")
+        out = gov.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("c_custkey").cast("bigint").alias("min_masked_key"),
+            F.min("c_name").alias("min_pseudonym"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_acctbal"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+Q_MASKED_READ_SQL = """
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(c_custkey % 1000) AS BIGINT) AS min_masked_key,
+  MIN(sha256(c_name)) AS min_pseudonym,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+    AS sum_acctbal
+FROM customer
+WHERE c_mktsegment <> 'AUTOMOBILE'
+GROUP BY c_mktsegment
+"""
