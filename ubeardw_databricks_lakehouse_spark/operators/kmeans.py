@@ -93,7 +93,15 @@ def kmeans_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "exact",
+    dim: int = 64,
 ) -> DataFrame:
     """(id, vec, cell): nearest learned centroid per vector — the
-    label-free drop-in for a `label`-derived cell column."""
+    label-free drop-in for a `label`-derived cell column.
+    ``assign="lsh"`` routes through the sub-N×K bucketed scorer for
+    large K (same knob as the clustered dedup)."""
+    if assign == "lsh":
+        from .similarity import assign_cells_lsh
+
+        return assign_cells_lsh(df, centroids, id_col, vec_col, dim=dim)
     return assign_cells(df, centroids, id_col, vec_col, 1)
