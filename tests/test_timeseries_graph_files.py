@@ -192,3 +192,27 @@ def test_orc_roundtrip_exact(spark, tmp_path):
     write_orc(df, p)
     back = read_orc(spark, p, _SCHEMA)
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == rows
+
+
+def test_interpolate_linear_midpoints(spark):
+    """Hand-check: days 1 and 4 observed (10, 40); days 2 and 3
+    interpolate to 20 and 30 exactly."""
+    from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+        gapfill_interpolate,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00:00", 10.0),
+        (1, "2024-01-04 09:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {
+        str(r["bucket"])[:10]: (float(r["interp_value"]), r["observed"])
+        for r in gapfill_interpolate(df, "user_id", "ts", "value").collect()
+    }
+    assert got["2024-01-01"] == (10.0, True)
+    assert got["2024-01-02"] == (20.0, False)
+    assert got["2024-01-03"] == (30.0, False)
+    assert got["2024-01-04"] == (40.0, True)

@@ -932,3 +932,72 @@ SELECT user_id, day, bucket_value,
   bucket_value IS NOT NULL AS observed
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# q_interpolate_daily: linear-interpolation gap fill — the companion
+# mode to q_gapfill_daily's forward fill. Gap days get the straight
+# line between the surrounding observed days; the division rounds to
+# 6 dp into DECIMAL (the only inexact step) -> oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gapfill_interpolate
+
+    ev = t(spark, sf_dir, "events")
+    out = gapfill_interpolate(ev, "user_id", "ts", "value", step="day")
+    return out.select(
+        "user_id",
+        F.col("bucket").alias("day"),
+        "bucket_value",
+        "interp_value",
+        "observed",
+    )
+
+
+Q_INTERPOLATE_DAILY_SQL = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS bucket_value
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM d GROUP BY 1),
+g AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM s
+),
+j AS (
+  SELECT g.user_id, g.day, d.bucket_value,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(g.day AS DATE)) AS DOUBLE)
+      AS pos
+  FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+),
+w AS (
+  SELECT user_id, day, bucket_value, pos,
+    LAST_VALUE(CAST(bucket_value AS DOUBLE) IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+    ) AS prev_v,
+    FIRST_VALUE(CAST(bucket_value AS DOUBLE) IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+    ) AS next_v,
+    LAST_VALUE(CASE WHEN bucket_value IS NOT NULL THEN pos END
+      IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+    ) AS prev_p,
+    FIRST_VALUE(CASE WHEN bucket_value IS NOT NULL THEN pos END
+      IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+    ) AS next_p
+  FROM j
+)
+SELECT user_id, day, bucket_value,
+  CAST(CASE WHEN bucket_value IS NOT NULL THEN CAST(bucket_value AS DOUBLE)
+       ELSE ROUND(prev_v + (next_v - prev_v) * (pos - prev_p)
+                  / (next_p - prev_p), 6)
+  END AS DECIMAL(18,6)) AS interp_value,
+  bucket_value IS NOT NULL AS observed
+FROM w
+"""

@@ -440,6 +440,10 @@ QUERIES: list[QueryDef] = [
              relational.Q_MASKED_READ_SQL,
              "fine-grained access control: row filter + column masks "
              "(Lakeguard/UC-style) folded into the plan"),
+    QueryDef("q_interpolate_daily", events_q.q_interpolate_daily,
+             events_q.Q_INTERPOLATE_DAILY_SQL,
+             "linear-interpolation gap fill (forward-fill's companion "
+             "mode), decimal-exact"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -505,6 +509,7 @@ _DEFERRED_NEW: list[str] = [
     "q_hard_negatives",      # sf0.01 oracle-exact 2026-08-14
     "q_training_export",     # sf0.01 oracle-exact 2026-08-14
     "q_masked_read",         # sf0.01 oracle-exact 2026-08-14
+    "q_interpolate_daily",   # sf0.01 oracle-exact 2026-08-14
 ]
 
 _by_name = {q.name: q for q in QUERIES}
