@@ -25,7 +25,7 @@ rounds per full pass). From r5 the window rotates on a 3-round cycle
 (oldest-evidence-first), and the per-round staleness backstop is the
 IN-REPO full gate mirror: `tools/oracle_sweep.py` runs EVERY
 oracle-paired entry vs DuckDB at sf0.01 (the driver's scale) each
-round — 112/112 green on 2026-08-14. test_registry_order's two-report
+round — 113/113 green on 2026-08-14. test_registry_order's two-report
 freshness horizon widens to three when the constraint first binds.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
@@ -474,10 +474,10 @@ _WINDOW: list[str] = [
     "q_event_quantiles", "q_time_rollup_multires", "q_error_after_purchase",
 ]
 
-# End-of-round full-gate mirror: ALL 112 oracle-paired entries swept
+# End-of-round full-gate mirror: ALL 113 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
-# — `tools/oracle_sweep.py`, 0 failures in 169 s (incl. the capstone
-# and the governance query).
+# — `tools/oracle_sweep.py`, 0 failures in 174 s (incl. the capstone,
+# governance, and interpolation queries).
 # Queries ADDED mid-round after the 50-slot window was already saturated
 # by the staleness rule (45 two-round-stale + 5 mandatory re-confirms).
 # They are covered this round by the in-repo differential gate (pytest
