@@ -117,11 +117,15 @@ def test_deferred_new_queue() -> None:
         )
 
 
-def test_no_query_goes_two_rounds_unchecked() -> None:
+def test_no_query_goes_stale_unchecked() -> None:
     """The rotation ledger, mechanically: a query whose LATEST green
-    evidence predates the last two CORRECTNESS reports would be 2+
-    rounds stale after the coming round — it must sit inside the
-    driver window so the next run refreshes it."""
+    evidence predates the freshness horizon must sit inside the driver
+    window so the next run refreshes it. Horizon: 2 reports while the
+    registry fit a 2-round pass; 3 reports since r5 (123 entries at 50
+    slots/round needs ceil(123/50)=3 rounds per full pass — the
+    registry docstring's CAPACITY NOTE). The per-round backstop for
+    entries waiting their turn is tools/oracle_sweep.py (every
+    oracle-paired entry vs DuckDB at sf0.01, run each round)."""
     reports = sorted(REPO.glob("CORRECTNESS_r*.json"))
     if len(reports) < 2:
         return
@@ -133,7 +137,8 @@ def test_no_query_goes_two_rounds_unchecked() -> None:
                 continue
             if _row_ok(row):
                 latest_green_round[name] = report.name
-    fresh = {r.name for r in reports[-2:]}
+    horizon = 3 if len(QUERIES) > 2 * DRIVER_WINDOW else 2
+    fresh = {r.name for r in reports[-horizon:]}
     window = {q.name for q in QUERIES[:DRIVER_WINDOW]}
     stale = [
         q.name
@@ -143,6 +148,6 @@ def test_no_query_goes_two_rounds_unchecked() -> None:
         and q.name not in window
     ]
     assert not stale, (
-        f"{len(stale)} queries' newest green evidence is 2+ rounds old "
-        f"and they sit past position {DRIVER_WINDOW}: {stale}"
+        f"{len(stale)} queries' newest green evidence is {horizon}+ "
+        f"rounds old and they sit past position {DRIVER_WINDOW}: {stale}"
     )

@@ -449,68 +449,52 @@ QUERIES: list[QueryDef] = [
 # Driver window for the CURRENT round (see module docstring): these 50
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
+#
+# r5 window rationale: the 24 r4 _DEFERRED_NEW entries have never been
+# driver-checked (in-repo sweep only) -> all in, per the r4 contract.
+# q_time_travel / q_ivm_refresh / q_sequence_packing are r3-green but
+# their operators changed in r4 (CDF _commit_version, IVM watermark,
+# ROWS-frame cumsum) and were promised re-confirmation -> in. The
+# remaining slots go to the oldest-evidence r3 block (tier-1/2 names
+# that have exactly one green driver row). The 23 r3-green entries
+# left outside rotate in r6 under the widened 3-report horizon (the
+# 123-entry registry needs a 3-round full pass at 50 slots/round).
 _WINDOW: list[str] = [
-    # re-confirm / new lane
-    "q_token_stats",            # r3 red (oracle cast fixed this round)
-    "q_embedding_dedup_fast",   # new in r4, never checked (rows-only)
-    "q_repetition_profile",     # new in r4 (Gopher repetition rules)
-    "q_unigram_lm",             # new in r4 (CCNet LM quality score)
-    "q_dsir",                   # new in r4 (importance resampling)
-    # r2-evidence block (r3 tier 5, unchecked in r3 — 2 rounds stale)
-    "q_sessionization", "q_scd2_history", "q_streaming_event_counts",
-    "q_streaming_windowed_counts", "q_funnel", "q_retention_cohorts",
-    "q_asof_attribution", "q_cohort_set_ops", "q_salted_brand_revenue",
-    "q_unpivot_balances", "q_dim_date", "q05_region_revenue",
-    "q06_forecast_revenue", "q_market_segment", "q_top_customers",
-    "q_order_gaps", "q_union_entities", "q_customers_no_orders",
-    "q_priority_filters", "q_customer_tiers", "q_rollup_revenue",
-    "q_cube_orders", "q_part_stats", "q12_late_shipments",
-    "q14_promo_revenue", "q04_priority_semi", "q10_returned_items",
-    "q_customer_deciles", "q07_nation_volume", "q08_market_share",
-    "q09_product_profit", "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_waiting_supplier", "q22_idle_customers", "q_props_json",
-    "q_moving_value", "q_daily_timeseries", "q_top_purchasers",
-    "q_event_quantiles", "q_time_rollup_multires", "q_error_after_purchase",
+    # never-driver-checked lane (r4 _DEFERRED_NEW, contract: all in)
+    "q_span_dedup", "q_linear_quality", "q_contamination_bloom",
+    "q_session_windows", "q_bpe_merges", "q_inverted_index",
+    "q_pq_codes", "q_bm25_search", "q_export_manifest",
+    "q_embedding_topk_ivfpq", "q_csv_roundtrip", "q_jsonl_roundtrip",
+    "q_orc_roundtrip", "q_gapfill_daily", "q_pagerank_trading",
+    "q_kmeans_clusters", "q_incremental_neardup",
+    "q_customer_percentiles", "q_snapshot_diff", "q_image_resize",
+    "q_hard_negatives", "q_training_export", "q_masked_read",
+    "q_interpolate_daily",
+    # operator-changed-in-r4 re-confirm lane (promised in r4 notes)
+    "q_time_travel", "q_ivm_refresh", "q_sequence_packing",
+    # oldest-evidence r3 block (single green row, from tier-1/2)
+    "q_lang_quality", "q_geo_enrichment", "q_simhash",
+    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
+    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
+    "q_winnow_fingerprints", "q_winnow_overlap", "q_audio_windows",
+    "q_row_fingerprints", "q_embedding_dedup", "q_neardup_verified_fast",
+    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
+    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
+    "q_contamination", "q_boilerplate_ngrams", "q_quality_rules",
 ]
 
 # End-of-round full-gate mirror: ALL 113 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
 # — `tools/oracle_sweep.py`, 0 failures in 174 s (incl. the capstone,
 # governance, and interpolation queries).
-# Queries ADDED mid-round after the 50-slot window was already saturated
-# by the staleness rule (45 two-round-stale + 5 mandatory re-confirms).
-# They are covered this round by the in-repo differential gate (pytest
-# sf0.001 sweep + sf0.01 driver-mirror run, noted per entry below) and
-# MUST rotate into the window next round — test_registry_order enforces
-# that they sit immediately after the window so the next rotation
-# promotes them, and that this list is emptied at each rotation.
-_DEFERRED_NEW: list[str] = [
-    "q_span_dedup",          # sf0.01 oracle-exact 2026-08-14
-    "q_linear_quality",      # sf0.01 oracle-exact 2026-08-14
-    "q_contamination_bloom", # rows-only; pytest pins flagged >= exact
-    "q_session_windows",     # sf0.01 oracle-exact 2026-08-14
-    "q_bpe_merges",          # rows-only; pytest pins vs reference impl
-    "q_inverted_index",      # sf0.01 oracle-exact 2026-08-14
-    "q_pq_codes",            # rows-only; pytest pins vs numpy reference
-    "q_bm25_search",         # sf0.01 oracle-exact 2026-08-14
-    "q_export_manifest",     # sf0.01 oracle-exact 2026-08-14
-    "q_embedding_topk_ivfpq",  # rows-only; pytest pins recall vs brute force
-    "q_csv_roundtrip",       # sf0.01 oracle-exact 2026-08-14
-    "q_jsonl_roundtrip",     # sf0.01 oracle-exact 2026-08-14
-    "q_orc_roundtrip",       # sf0.01 oracle-exact 2026-08-14
-    "q_gapfill_daily",       # sf0.01 oracle-exact 2026-08-14
-    "q_pagerank_trading",    # sf0.01 oracle-exact 2026-08-14
-    "q_kmeans_clusters",     # rows-only; pytest pins recovery + numpy replay
-    "q_incremental_neardup", # sf0.01 oracle-exact 2026-08-14
-    "q_customer_percentiles",  # sf0.01 oracle-exact 2026-08-14
-    "q_snapshot_diff",       # sf0.01 oracle-exact 2026-08-14
-    "q_image_resize",        # sf0.01 oracle-exact 2026-08-14
-    "q_hard_negatives",      # sf0.01 oracle-exact 2026-08-14
-    "q_training_export",     # sf0.01 oracle-exact 2026-08-14
-    "q_masked_read",         # sf0.01 oracle-exact 2026-08-14
-    "q_interpolate_daily",   # sf0.01 oracle-exact 2026-08-14
-]
+# Queries ADDED mid-round after the window was already saturated: they
+# carry in-repo differential evidence (pytest sf0.001 sweep + sf0.01
+# oracle_sweep run) and MUST rotate into the window next round —
+# test_registry_order enforces that they sit immediately after the
+# window so the next rotation promotes them, and that this list is
+# emptied at each rotation. r5: the r4 backlog of 24 rotated into the
+# window (contract honored); entries added mid-r5 go here.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
