@@ -337,6 +337,34 @@ def test_bm25_index_path_equals_direct(spark, docs):
     assert direct == via_index
 
 
+def test_bm25_index_equals_direct_with_empty_docs(spark):
+    """Zero-token docs count toward N/avgdl. A corpus containing empty
+    and whitespace-only documents must yield identical rankings from
+    the direct scan and the materialized index (explode_outer carries
+    the empty docs into the index as NULL-term length rows)."""
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import (
+        build_tf_index,
+    )
+
+    rows = [
+        (1, "spark join hash join window"),
+        (2, ""),
+        (3, "   \t  "),
+        (4, "hash window spark spark"),
+        (5, "join window"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    terms = ["spark", "window"]
+    direct = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    idx = build_tf_index(docs).localCheckpoint(eager=True)
+    via_index = sorted(
+        map(tuple, bm25_topk(docs, terms, k=10, tf_index=idx).collect())
+    )
+    assert direct == via_index
+    # the index must carry ALL five docs' lengths, not just token-bearing ones
+    assert idx.select("doc_id").distinct().count() == 5
+
+
 def test_ivfpq_prebuilt_index_reuse(spark, emb):
     """A prebuilt index serves multiple query batches and reproduces
     the one-shot path exactly (same centroids/codebook/codes)."""
@@ -361,3 +389,27 @@ def test_ivfpq_prebuilt_index_reuse(spark, emb):
     # second batch against the SAME index works and is self-consistent
     r2 = ivfpq_search(index, q2, k=3, nprobe=2, m=8).collect()
     assert {r["query_id"] for r in r2} == {3, 4, 5}
+
+
+def test_ivfpq_search_query_matches_oneshot_and_caches(spark):
+    """Registry-level pin: q_embedding_topk_ivfpq_search (prebuilt,
+    cached per session+sf) returns exactly the one-shot
+    q_embedding_topk_ivfpq rows, and the second call reuses the cached
+    index object."""
+    from ubeardw_databricks_lakehouse_spark.plans import llm_q
+
+    sf = "/root/testdata/sf0.001"
+    oneshot = sorted(
+        map(tuple, llm_q.q_embedding_topk_ivfpq(spark, sf).collect())
+    )
+    first = sorted(
+        map(tuple, llm_q.q_embedding_topk_ivfpq_search(spark, sf).collect())
+    )
+    assert oneshot == first
+    key = (spark.sparkContext.applicationId, sf)
+    cached = llm_q._IVFPQ_INDEX_CACHE[key]
+    second = sorted(
+        map(tuple, llm_q.q_embedding_topk_ivfpq_search(spark, sf).collect())
+    )
+    assert second == first
+    assert llm_q._IVFPQ_INDEX_CACHE[key] is cached

@@ -120,6 +120,45 @@ def test_pagerank_matches_reference_iteration(spark):
         assert got[v] == pytest.approx(ranks[v], abs=1e-9), v
 
 
+def test_pagerank_float_mode_mass_and_agreement(spark):
+    """The exact=False production twin: double iterations, no decimal
+    tax. Pins (a) rank mass ~= 1, (b) per-node agreement with the
+    decimal twin within the 6-dp rounding envelope, (c) double output
+    type (no decimal cast anywhere in the plan)."""
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"),
+        ("a", "c"), ("c", "d"), ("d", "c"), ("d", "e"), ("e", "d"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    fast = pagerank(e, n_iter=4, exact=False)
+    assert dict(fast.dtypes)["rank"] == "double"
+    got = {r["node"]: float(r["rank"]) for r in fast.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    slow = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=4, exact=True).collect()
+    }
+    # 4 iterations of 6-dp rounding drift stays under ~1e-4
+    for v, r in slow.items():
+        assert got[v] == pytest.approx(r, abs=1e-4), v
+
+
+def test_pagerank_fast_query_top10_overlap(spark):
+    """Registry-level pin: q_pagerank_trading_fast ranks the same
+    nodes at the top as the DECIMAL-exact q_pagerank_trading (>=9/10
+    overlap at sf0.001 — the two paths differ only in low-order
+    bits)."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_pagerank_trading,
+        q_pagerank_trading_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_top = [r["node"] for r in q_pagerank_trading(spark, sf).collect()][:10]
+    fast_top = [r["node"] for r in q_pagerank_trading_fast(spark, sf).collect()][:10]
+    assert len(set(exact_top) & set(fast_top)) >= 9
+
+
 # ---------------------------------------------------------------------------
 # file sources
 # ---------------------------------------------------------------------------

@@ -20,12 +20,18 @@ Scale shape — the classic Spark iterative pattern done right:
 - dangling mass is avoided structurally: edges are symmetrized, so
   every node with an edge has out-degree ≥ 1.
 
-Cross-engine determinism (oracle-exact, unlike float PageRank):
-divisions and multiplications are IEEE-exact; the ONLY order-sensitive
-step is the contribution sum, so each contribution rounds to 6
-decimals and sums as DECIMAL(18,6) — the plans/common policy — and
-each new rank re-rounds to 6 decimals. DuckDB replays the identical
-iteration bit-for-bit.
+Two precision modes:
+- ``exact=True`` (oracle mode): divisions and multiplications are
+  IEEE-exact; the ONLY order-sensitive step is the contribution sum,
+  so each contribution rounds to 6 decimals and sums as DECIMAL(18,6)
+  — the plans/common policy — and each new rank re-rounds to 6
+  decimals. DuckDB replays the identical iteration bit-for-bit.
+- ``exact=False`` (production mode): plain doubles end to end — no
+  per-element round/cast, so each iteration is pure codegen'd double
+  arithmetic. Ranks differ from the decimal path only by float
+  summation order (~1e-12 relative); mass conservation and ranking
+  overlap vs the exact twin are pytest-pinned. This is the mode to run
+  at cluster scale; the decimal mode exists to be provable.
 """
 
 from __future__ import annotations
@@ -42,10 +48,14 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 3,
     damping: float = DAMPING,
+    exact: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped iterations from a uniform
     start. ``edges`` is directed; symmetrize before calling if the
-    relation is mutual. Nodes = every endpoint; rank is DECIMAL-exact.
+    relation is mutual. Nodes = every endpoint. ``exact=True`` returns
+    DECIMAL(18,6) ranks reproducible bit-for-bit by any engine (the
+    oracle mode); ``exact=False`` returns double ranks with no
+    per-element rounding — the production mode (see module docstring).
     """
     # materialize the edge table ONCE — it is re-joined every
     # iteration, and callers typically pass a derived frame (join +
@@ -60,10 +70,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    out_type = "decimal(18,6)" if exact else "double"
     if n == 0:  # empty graph: empty ranking, not a ZeroDivisionError
-        return nodes.select(
-            "node", F.lit(None).cast("decimal(18,6)").alias("rank")
-        )
+        return nodes.select("node", F.lit(None).cast(out_type).alias("rank"))
     outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
     ew = (
         edges.join(outdeg, src)
@@ -71,36 +80,42 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = (1.0 - damping) / n
-    # the rank vector is one row per node — tiny next to the edge set
+    # The rank vector is one row per node — tiny next to the edge set
     # (a graph with fewer edges than nodes isn't worth iterating on).
     # Broadcasting it makes each iteration map-only over the edges plus
-    # ONE groupBy shuffle; past ~50M nodes the vector outgrows
-    # broadcast and the plain shuffle join takes over.
-    small = n <= 50_000_000
+    # ONE groupBy shuffle. The cutoff is broadcast-hint scale: ~4M
+    # (node, double) rows is ~100-200 MB hydrated per executor — the
+    # sane autoBroadcastJoinThreshold neighborhood; past it the vector
+    # would OOM the driver long before 50M rows, so the plain shuffle
+    # join (with AQE free to re-plan) takes over instead.
+    small = n <= 4_000_000
     brd = F.broadcast if small else (lambda df: df)
 
     # F.round, not Python round(): Python rounds half-to-even, the
     # engines round half-up — the init must follow the engine rule.
+    init = F.lit(1.0) / F.lit(float(n))
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / F.lit(float(n)), 6).alias("rank")
+        "node", (F.round(init, 6) if exact else init).alias("rank")
     )
     for it in range(max(0, n_iter)):
+        contrib = F.col("rank") / F.col("outdeg")
         contribs = ew.join(brd(ranks), ew[src] == ranks["node"]).select(
             F.col(dst).alias("node"),
-            F.round(F.col("rank") / F.col("outdeg"), 6)
-            .cast("decimal(18,6)")
-            .alias("c"),
+            (
+                F.round(contrib, 6).cast("decimal(18,6)")
+                if exact
+                else contrib
+            ).alias("c"),
         )
         summed = contribs.groupBy("node").agg(
             F.sum("c").cast("double").alias("in_mass")
         )
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("in_mass"), F.lit(0.0)
+        )
         ranks = nodes.join(summed, "node", "left").select(
             "node",
-            F.round(
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
-                6,
-            ).alias("rank"),
+            (F.round(new_rank, 6) if exact else new_rank).alias("rank"),
         )
         # lineage-truncation cadence: a checkpoint per round costs one
         # materialized job each — for short loops it is pure overhead
@@ -108,4 +123,4 @@ def pagerank(
         # only every 5th round to bound plan depth on long runs.
         if (it + 1) % 5 == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.col("rank").cast("decimal(18,6)").alias("rank"))
+    return ranks.select("node", F.col("rank").cast(out_type).alias("rank"))

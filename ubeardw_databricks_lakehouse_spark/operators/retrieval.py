@@ -48,9 +48,15 @@ def build_tf_index(
     corpus). A warehouse materializes this ONCE per corpus snapshot
     (partitioned/bucketed by term at scale) and serves every BM25 query
     from it — the retrieval twin of the near-dup signature table."""
+    # Zero-token documents (empty/whitespace-only text) still count
+    # toward N and avgdl in the Okapi formula, so they must survive in
+    # the index: explode_outer emits a single (doc, NULL-term, dl=0)
+    # row for them; query-time term filters drop it from tf while the
+    # per-doc length projection keeps it, so the index path reproduces
+    # the direct-over-corpus path on any corpus, empty docs included.
     toks = docs.select(
         F.col(id_col),
-        F.explode(tokens(text_col)).alias("term"),
+        F.explode_outer(tokens(text_col)).alias("term"),
         token_count(text_col).cast("double").alias("dl"),
     )
     return toks.groupBy(id_col, "term", "dl").agg(

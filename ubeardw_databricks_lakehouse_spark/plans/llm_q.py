@@ -1441,6 +1441,42 @@ def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivfpq(emb, queries, k=5, nprobe=2, m=8, ksub=16, n_iter=1)
 
 
+# Per-(application, sf_dir) IVFADC index: built once, then every query
+# batch pays only the LUT + ADC scan — the amortization ivfpq_build /
+# ivfpq_search were split for. In a warehouse the codes table is a
+# persisted per-snapshot artifact; here localCheckpoint plays that role
+# within the session.
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    from ..operators.ivfpq import ivfpq_build
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        emb = t(spark, sf_dir, "embeddings")
+        cents, codebook, codes = ivfpq_build(emb, m=8, ksub=16, n_iter=1)
+        _IVFPQ_INDEX_CACHE[key] = (
+            cents,
+            codebook,
+            codes.localCheckpoint(eager=True),
+        )
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+def q_embedding_topk_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search over the PREBUILT index — the amortized per-batch
+    production cost (q_embedding_topk_ivfpq times build+search in one
+    shot). Same parameters, same output contract; pytest pins that the
+    prebuilt path reproduces the one-shot path exactly."""
+    from ..operators.ivfpq import ivfpq_search
+
+    index = _ivfpq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_search(index, queries, k=5, nprobe=2, m=8)
+
+
 # ---------------------------------------------------------------------------
 # q_export_manifest: training-data export accounting — deterministic
 # md5-bucket shard assignment + per-shard manifest (rows, payload

@@ -388,6 +388,11 @@ QUERIES: list[QueryDef] = [
              "IVFADC ANN: IVF cells + PQ residual codes + asymmetric "
              "distance scan (float k-means -> rows-only; pytest pins "
              "recall vs brute force)"),
+    QueryDef("q_embedding_topk_ivfpq_search", llm_q.q_embedding_topk_ivfpq_search,
+             None,
+             "IVFADC search over a PREBUILT index — the amortized "
+             "per-batch production cost (rows-only; pytest pins "
+             "prebuilt == one-shot)"),
     QueryDef("q_csv_roundtrip", llm_q.q_csv_roundtrip,
              llm_q.Q_CSV_ROUNDTRIP_SQL,
              "CSV source coverage: quoted/escaped write + PERMISSIVE "
@@ -407,6 +412,11 @@ QUERIES: list[QueryDef] = [
              relational.Q_PAGERANK_TRADING_SQL,
              "PageRank (3 damped iterations) on the symmetrized "
              "customer-supplier graph, DECIMAL-exact iterations"),
+    QueryDef("q_pagerank_trading_fast", relational.q_pagerank_trading_fast,
+             None,
+             "PageRank production twin: double-precision iterations, "
+             "no per-element decimal tax (float sums -> rows-only; "
+             "pytest pins mass~=1 + top-10 overlap vs the exact twin)"),
     QueryDef("q_kmeans_clusters", llm_q.q_kmeans_clusters, None,
              "label-free bounded-Lloyd k-means corpus clustering "
              "(float means -> rows-only; pytest pins recovery + numpy "
@@ -480,7 +490,10 @@ _WINDOW: list[str] = [
     "q_row_fingerprints", "q_embedding_dedup", "q_neardup_verified_fast",
     "q_embedding_topk_ivf_fast", "q_embedding_quantized",
     "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
-    "q_contamination", "q_boilerplate_ngrams", "q_quality_rules",
+    "q_contamination",
+    # new-in-r5 lane (never checked -> window; displaced r3-green
+    # names stay fresh under the 3-report horizon)
+    "q_pagerank_trading_fast", "q_embedding_topk_ivfpq_search",
 ]
 
 # End-of-round full-gate mirror: ALL 113 oracle-paired entries swept

@@ -1512,9 +1512,7 @@ GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 # ---------------------------------------------------------------------------
 
 
-def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
-
+def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -1527,11 +1525,33 @@ def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no distinct after symmetrizing: the C*/S* node namespaces are
     # disjoint, so a reversed edge can never collide with a forward one
-    edges = e0.unionByName(
+    return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, n_iter=3)
+
+
+def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
+def q_pagerank_trading_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of q_pagerank_trading: double-precision
+    iterations, no per-element DECIMAL round/cast (pure codegen'd
+    arithmetic). Rows-only in the registry — float summation order
+    makes the low bits engine-dependent — with the value checks
+    pytest-pinned instead: rank mass ~= 1 and top-10 node overlap vs
+    the decimal twin (tests/test_timeseries_graph_files.py). Output
+    rank rounds to 4 dp for display stability only; the iterations
+    themselves are unrounded."""
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3, exact=False)
+    return ranks.select(
+        "node", F.round("rank", 4).alias("rank_approx")
+    ).orderBy(F.desc("rank_approx"), F.asc("node")).limit(50)
 
 
 Q_PAGERANK_TRADING_SQL = """
