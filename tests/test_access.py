@@ -69,6 +69,25 @@ def test_mask_type_is_preserved_and_unknown_column_rejected(spark):
         apply_policy(df, TablePolicy(column_masks={"nope": "1"}))
 
 
+def test_masks_evaluate_over_original_row(spark):
+    """Unity Catalog semantics: every mask sees the PRE-mask row. A
+    mask on `tag` that references `salary` must read the original
+    salary even though salary itself is masked to 0 — and the result
+    must not depend on dict insertion order."""
+    df = spark.createDataFrame(
+        [(1, 100.0, ""), (2, 500.0, "")], "id long, salary double, tag string"
+    )
+    for masks in (
+        {"salary": "cast(0.0 as double)", "tag": "if(salary > 200, 'high', 'low')"},
+        {"tag": "if(salary > 200, 'high', 'low')", "salary": "cast(0.0 as double)"},
+    ):
+        rows = {
+            r["id"]: (r["salary"], r["tag"])
+            for r in apply_policy(df, TablePolicy(column_masks=masks)).collect()
+        }
+        assert rows == {1: (0.0, "low"), 2: (0.0, "high")}
+
+
 def test_row_filter_pushes_into_scan(lake):
     """Governance must be plan rewriting: the row filter reaches the
     parquet scan as a pushed predicate."""

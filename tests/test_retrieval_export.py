@@ -200,6 +200,31 @@ def test_export_writes_partitioned_shards(spark, docs, tmp_path):
     )
 
 
+def test_export_manifest_describes_disk_not_plan(spark, docs, tmp_path):
+    """The returned manifest is computed from the written parquet, so
+    a NONDETERMINISTIC upstream (unseeded rand filter — each evaluation
+    keeps a different row set) still yields a manifest that agrees
+    exactly with what a loader reads back from disk."""
+    from ubeardw_databricks_lakehouse_spark.operators.export import (
+        _manifest_agg,
+    )
+
+    flaky = docs.filter(F.rand() < 0.5)  # no seed: re-eval != first eval
+    out = str(tmp_path / "flaky_export")
+    manifest = sorted(
+        map(tuple, export_shards(flaky, out, "doc_id", "text", n_shards=4).collect())
+    )
+    on_disk = sorted(
+        map(
+            tuple,
+            _manifest_agg(spark.read.parquet(out), "doc_id", "text").collect(),
+        )
+    )
+    assert manifest == on_disk
+    n_written = spark.read.parquet(out).count()
+    assert sum(r[1] for r in manifest) == n_written
+
+
 def test_incremental_neardup_subset_and_delta_touching(spark):
     """The incremental batch output must be exactly the delta-touching
     slice of the full-recompute pair set (signature reuse changes

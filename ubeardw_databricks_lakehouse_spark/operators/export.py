@@ -53,7 +53,13 @@ def shard_manifest(
     BIGINT within a handful of rows — ANSI Spark would throw) and
     reduces mod 2^60 at the end; DuckDB's HUGEINT sum reproduces it.
     """
-    sharded = assign_shard(df, key, n_shards, seed)
+    return _manifest_agg(assign_shard(df, key, n_shards, seed), key, payload_col)
+
+
+def _manifest_agg(sharded: DataFrame, key: str, payload_col: str) -> DataFrame:
+    """The manifest aggregation over a frame that already carries a
+    ``shard`` column (freshly assigned, or read back from the shard
+    partition directories)."""
     # F.concat + explicit coalesce, NOT concat_ws: concat_ws silently
     # SKIPS null arguments, so a null payload would hash like a missing
     # separator while the SQL oracle's `||` nullifies the row — the two
@@ -74,7 +80,7 @@ def shard_manifest(
         10,
     ).cast("decimal(38,0)")
     return (
-        sharded.groupBy("shard")
+        sharded.groupBy(F.col("shard").cast("int").alias("shard"))
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             F.sum(F.length(F.col(payload_col)))
@@ -123,4 +129,11 @@ def export_shards(
             .drop("_ord")
         )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    return shard_manifest(df, key, payload_col, n_shards, seed)
+    # The manifest describes the BYTES ON DISK, not the input plan: it
+    # aggregates the written files read back, so a nondeterministic
+    # upstream (sample/rand/unstable limit) can never produce a
+    # manifest that disagrees with what the loader will actually read.
+    # Cost: one extra scan of the export — map-only + one groupBy,
+    # partition-pruned per shard, negligible next to the write itself.
+    written = df.sparkSession.read.parquet(out_dir)
+    return _manifest_agg(written, key, payload_col)

@@ -37,14 +37,30 @@ class TablePolicy:
 def apply_policy(df: DataFrame, policy: TablePolicy) -> DataFrame:
     """Fold a policy into the plan: filter first (so masks cannot leak
     filtered rows through error channels), then mask columns in place
-    — the output schema is unchanged, values are governed."""
+    — the output schema is unchanged, values are governed.
+
+    All masks are built in ONE select over the pre-mask frame, matching
+    Unity Catalog semantics: every mask expression evaluates against
+    the ORIGINAL row, so a mask referencing another masked column sees
+    that column's unmasked value (sequential withColumn would feed it
+    the already-masked one)."""
     if policy.row_filter:
         df = df.where(F.expr(policy.row_filter))
-    for col, expr in policy.column_masks.items():
-        if col not in df.columns:
-            raise ValueError(f"mask targets unknown column {col!r}")
-        df = df.withColumn(col, F.expr(expr).cast(dict(df.dtypes)[col]))
-    return df
+    if not policy.column_masks:
+        return df
+    dtypes = dict(df.dtypes)
+    cols = []
+    for col in df.columns:
+        if col in policy.column_masks:
+            cols.append(
+                F.expr(policy.column_masks[col]).cast(dtypes[col]).alias(col)
+            )
+        else:
+            cols.append(F.col(col))
+    unknown = set(policy.column_masks) - set(df.columns)
+    if unknown:
+        raise ValueError(f"mask targets unknown column(s) {sorted(unknown)!r}")
+    return df.select(*cols)
 
 
 class PolicyCatalog:
