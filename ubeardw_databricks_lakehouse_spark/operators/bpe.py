@@ -25,10 +25,32 @@ Spark-first shape, per merge round:
   table is tiny relative to the corpus; on a cluster this is a cached
   ~100M-row table), so the plan does not grow with n_merges.
 
-The driver loop is bounded by ``n_merges`` — the same
-bounded-iteration precedent as dedup.connected_components. A
-pure-Python reference (``train_bpe_reference``) pins the distributed
-path exactly in tests.
+**Batched merging** (``batch > 1``) is the scale path: one Spark pass
+learns up to ``batch`` merges instead of one, cutting the job count
+for a 32k-merge production vocabulary by ~batch×. Per pass, the top
+pairs are scanned in the total order and greedily picked while
+mutually NON-INTERACTING — a candidate is skipped (deferred to the
+next pass, where counts are fresh) if it (a) shares a symbol with an
+earlier pick, or (b) contains an earlier pick's merged token as a
+symbol. Rule (a) keeps every picked pair's count exact (merging
+(a,b) can only change counts of pairs touching a or b); rule (b)
+closes the string-collision hole where a pick manufactures more
+tokens of a symbol a later candidate uses. Within a pass the picks
+therefore commute, and each recorded pair_count is the true corpus
+count at the start of its pass.
+
+Divergence from classic one-at-a-time BPE, stated honestly: when a
+merge immediately creates a dominant new pair (th+e -> "the" right
+after t+h), classic BPE picks it next; the batched pass cannot see it
+until the next recount, so merge ORDER (and occasionally membership
+near the frequency floor) can differ. This is the standard trade of
+scalable BPE trainers; ``batch=1`` reproduces the classic algorithm
+exactly, and the batched algorithm itself is pinned against its own
+pure-Python reference (``train_bpe_reference`` with the same
+``batch``/``max_candidates``).
+
+The driver loop is bounded by ``ceil(n_merges / batch)`` passes — the
+same bounded-iteration precedent as dedup.connected_components.
 """
 
 from __future__ import annotations
@@ -77,19 +99,58 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _default_candidates(batch: int) -> int:
+    """Candidate rows fetched per pass: enough headroom that skipping
+    interacting pairs rarely starves the batch. Must be the SAME
+    constant in the Spark trainer and the pure-Python reference — the
+    exact-pin contract includes the candidate cutoff."""
+    return 1 if batch <= 1 else max(8 * batch, 64)
+
+
+def _pick_compatible(
+    cands: list[tuple[str, str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-interacting batch from candidates already in the
+    total order (count desc, left asc, right asc). A candidate is
+    skipped — deferred to the next pass, where counts are fresh — if
+    it (a) shares a symbol with an earlier pick, or (b) uses an
+    earlier pick's merged token as a symbol (see module docstring)."""
+    picked: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    created: set[str] = set()
+    for left, right, n in cands:
+        if len(picked) >= want:
+            break
+        if {left, right} & used or {left, right} & created:
+            continue
+        picked.append((left, right, n))
+        used.update((left, right))
+        created.add(left + right)
+    return picked
+
+
 def train_bpe(
-    df: DataFrame, n_merges: int = 20, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    batch: int = 1,
+    return_passes: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, pair_count)]
     in merge order. Deterministic: ties break (count desc, left asc,
-    right asc)."""
+    right asc). ``batch=1`` is classic sequential BPE; ``batch>1``
+    learns up to ``batch`` mutually non-interacting merges per Spark
+    pass (the scale mode — see module docstring). ``return_passes``
+    additionally returns the number of Spark passes executed."""
     vocab = (
         word_vocab(df, text_col)
         .select(F.col("cnt"), _initial_symbols(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
+    max_candidates = _default_candidates(batch)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    passes = 0
+    while len(merges) < n_merges:
         pairs = (
             vocab.select(
                 "cnt",
@@ -104,50 +165,67 @@ def train_bpe(
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
         )
-        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not best or best[0]["n"] < 2:
+        cands = (
+            pairs.where(F.col("n") >= 2)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(max_candidates)
+            .collect()
+        )
+        picked = _pick_compatible(
+            [(r["l"], r["r"], int(r["n"])) for r in cands],
+            min(batch, n_merges - len(merges)),
+        )
+        passes += 1
+        if not picked:
             break  # nothing left worth merging
-        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        merges.append((left, right, n))
-        vocab = vocab.select(
-            "cnt", _merge_pair(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
-    return merges
+        merges.extend(picked)
+        # non-interacting by construction -> one chained fold, one job
+        syms = F.col("syms")
+        for left, right, _ in picked:
+            syms = _merge_pair(syms, left, right)
+        vocab = vocab.select("cnt", syms.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    return (merges, passes) if return_passes else merges
 
 
 def train_bpe_reference(
-    texts: list[str], n_merges: int = 20
+    texts: list[str], n_merges: int = 20, batch: int = 1
 ) -> list[tuple[str, str, int]]:
     """Pure-Python reference implementation (test oracle for train_bpe):
-    identical greedy semantics and tie-break."""
+    identical greedy semantics, tie-break, batching rules, and
+    candidate cutoff."""
     vocab: Counter[tuple[str, ...]] = Counter()
     for t in texts:
         for w in t.split():
             if w:
                 vocab[tuple(w) + (END,)] += 1
+    max_candidates = _default_candidates(batch)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pair_counts: Counter[tuple[str, str]] = Counter()
         for syms, cnt in vocab.items():
             for a, b in zip(syms, syms[1:]):
                 pair_counts[(a, b)] += cnt
-        if not pair_counts:
+        cands = sorted(
+            ((l, r, n) for (l, r), n in pair_counts.items() if n >= 2),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[:max_candidates]
+        picked = _pick_compatible(cands, min(batch, n_merges - len(merges)))
+        if not picked:
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), n = best
-        if n < 2:
-            break
-        merges.append((left, right, n))
-        new_vocab: Counter[tuple[str, ...]] = Counter()
-        for syms, cnt in vocab.items():
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == left and x == right:
-                    out[-1] = left + right
-                else:
-                    out.append(x)
-            new_vocab[tuple(out)] += cnt
-        vocab = new_vocab
+        merges.extend(picked)
+        for left, right, _ in picked:
+            new_vocab: Counter[tuple[str, ...]] = Counter()
+            for syms, cnt in vocab.items():
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                new_vocab[tuple(out)] += cnt
+            vocab = new_vocab
     return merges
 
 
