@@ -43,8 +43,25 @@ def main() -> int:
             continue
         try:
             r = compare_query(spark, con, q.fn, q.oracle, sf)
-            ok = r["cols_match"] and r["count_match"] and r["values_match"]
-            detail = {k: r.get(k) for k in ("cols_match", "count_match", "values_match")}
+            # r5 lesson: the driver's value-hash can be red while the
+            # local value multiset is exact (DECIMAL/HUGEINT finals) —
+            # dtype_match AND driver_safe are part of green, full stop.
+            ok = (
+                r["cols_match"]
+                and r["count_match"]
+                and r["values_match"]
+                and r["dtype_match"]
+                and r["driver_safe"]
+            )
+            detail = {
+                k: r.get(k)
+                for k in (
+                    "cols_match", "count_match", "values_match",
+                    "dtype_match", "driver_safe", "dtype_diffs",
+                    "unsafe_cols", "first_diffs",
+                )
+                if r.get(k) is not None
+            }
         except Exception as ex:  # noqa: BLE001 - report, don't die mid-sweep
             ok, detail = False, {"err": str(ex)[:200]}
         if not ok:

@@ -24,9 +24,12 @@ Scale shape (the part that matters at 100 TB):
   global top-k that compiles to TakeOrderedAndProject.
 
 Cross-engine determinism: each per-term contribution rounds to 6
-decimals and sums as DECIMAL(18,6) — the `plans/common` policy proven
-for the log2-based queries (unigram LM, DSIR) — so DuckDB reproduces
-the ranking hash-exactly.
+decimals and sums as DECIMAL(18,6), then the FINAL score casts once to
+DOUBLE — the full `plans/common` policy ("exact DECIMAL sum, then one
+cast to DOUBLE"): identical rationals convert to identical doubles in
+both engines, and a DOUBLE final column is the only numeric kind the
+driver's value-hash has ever treated identically across engines
+(raw-DECIMAL finals hash-mismatched in round 5 despite exact values).
 """
 
 from __future__ import annotations
@@ -77,8 +80,9 @@ def bm25_topk(
     """Top-``k`` documents by BM25 against ``query_terms``.
 
     Returns (doc_id, n_terms_hit, bm25) ordered by score desc with a
-    doc-id tie-break; ``bm25`` is DECIMAL(18,6) (deterministic sum of
-    rounded per-term contributions).
+    doc-id tie-break; ``bm25`` is DOUBLE, produced as a deterministic
+    DECIMAL(18,6) sum of rounded per-term contributions followed by one
+    exact final cast (plans/common policy).
 
     ``tf_index``: a previously materialized ``build_tf_index`` table —
     the production path: the corpus text is tokenized once per
@@ -146,6 +150,6 @@ def bm25_topk(
     )
     scored = contrib.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_terms_hit"),
-        F.sum("c").cast("decimal(18,6)").alias("bm25"),
+        F.sum("c").cast("decimal(18,6)").cast("double").alias("bm25"),
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

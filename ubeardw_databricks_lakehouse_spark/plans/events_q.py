@@ -892,7 +892,10 @@ FROM agg, wm WHERE session_end <= wm.w
 # series densified onto the full day grid between each user's first
 # and last event, forward-filling across gap days. Grid generation is
 # sequence()+explode at the executors; the fill is last(ignorenulls)
-# over a KEY-partitioned window; sums are DECIMAL -> oracle-exact.
+# over a KEY-partitioned window; sums are DECIMAL internally, then the
+# FINAL value columns cast once to DOUBLE and the day bucket to DATE
+# (the full plans/common policy — r5 proved raw-DECIMAL finals
+# hash-red at the driver even with exact values).
 # ---------------------------------------------------------------------------
 
 
@@ -903,9 +906,9 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_ffill(ev, "user_id", "ts", "value", step="day")
     return out.select(
         "user_id",
-        F.col("bucket").alias("day"),
-        "bucket_value",
-        "filled_value",
+        F.col("bucket").cast("date").alias("day"),
+        F.col("bucket_value").cast("double").alias("bucket_value"),
+        F.col("filled_value").cast("double").alias("filled_value"),
         "observed",
     )
 
@@ -925,10 +928,11 @@ j AS (
   SELECT g.user_id, g.day, d.bucket_value
   FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
 )
-SELECT user_id, day, bucket_value,
-  CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+SELECT user_id, CAST(day AS DATE) AS day,
+  CAST(bucket_value AS DOUBLE) AS bucket_value,
+  CAST(CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
     PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
-  ) AS DECIMAL(18,6)) AS filled_value,
+  ) AS DECIMAL(18,6)) AS DOUBLE) AS filled_value,
   bucket_value IS NOT NULL AS observed
 FROM j
 """
@@ -938,7 +942,9 @@ FROM j
 # q_interpolate_daily: linear-interpolation gap fill — the companion
 # mode to q_gapfill_daily's forward fill. Gap days get the straight
 # line between the surrounding observed days; the division rounds to
-# 6 dp into DECIMAL (the only inexact step) -> oracle-exact.
+# 6 dp into DECIMAL (the only inexact step), then the FINAL value
+# columns cast once to DOUBLE and the day bucket to DATE
+# (plans/common policy — see q_gapfill_daily).
 # ---------------------------------------------------------------------------
 
 
@@ -949,9 +955,9 @@ def q_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_interpolate(ev, "user_id", "ts", "value", step="day")
     return out.select(
         "user_id",
-        F.col("bucket").alias("day"),
-        "bucket_value",
-        "interp_value",
+        F.col("bucket").cast("date").alias("day"),
+        F.col("bucket_value").cast("double").alias("bucket_value"),
+        F.col("interp_value").cast("double").alias("interp_value"),
         "observed",
     )
 
@@ -993,11 +999,13 @@ w AS (
     ) AS next_p
   FROM j
 )
-SELECT user_id, day, bucket_value,
-  CAST(CASE WHEN bucket_value IS NOT NULL THEN CAST(bucket_value AS DOUBLE)
+SELECT user_id, CAST(day AS DATE) AS day,
+  CAST(bucket_value AS DOUBLE) AS bucket_value,
+  CAST(CAST(CASE WHEN bucket_value IS NOT NULL
+            THEN CAST(bucket_value AS DOUBLE)
        ELSE ROUND(prev_v + (next_v - prev_v) * (pos - prev_p)
                   / (next_p - prev_p), 6)
-  END AS DECIMAL(18,6)) AS interp_value,
+  END AS DECIMAL(18,6)) AS DOUBLE) AS interp_value,
   bucket_value IS NOT NULL AS observed
 FROM w
 """

@@ -1372,8 +1372,10 @@ LIMIT 50
 # q_bm25_search: ranked retrieval — BM25 (Okapi k1=1.2, b=0.75) top-20
 # against a fixed query-term set. The scoring layer over the inverted
 # index; hit-filtered before any shuffle, so tf cost tracks matches,
-# not corpus size. Per-term contributions round to 6 dp and sum as
-# DECIMAL for the cross-engine hash (plans/common policy).
+# not corpus size. Per-term contributions round to 6 dp, sum as
+# DECIMAL, and the final score casts once to DOUBLE (the full
+# plans/common policy — r5 proved raw-DECIMAL finals hash-red at the
+# driver even with exact values).
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ["spark", "hash", "join", "window"]
@@ -1417,7 +1419,7 @@ contrib AS (
 )
 SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-  CAST(SUM(c) AS DECIMAL(18,6)) AS bm25
+  CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS bm25
 FROM contrib GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 20

@@ -1508,7 +1508,9 @@ GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 # driver loop, periodic lineage truncation, each iteration a sparse
 # matrix-vector multiply (edge equi-join + groupBy-sum). Contributions
 # round to 6 dp and sum as DECIMAL -> the whole iteration is
-# oracle-exact, which float PageRank never is.
+# oracle-exact, which float PageRank never is. The FINAL rank column
+# casts once to DOUBLE (plans/common policy — r5 proved raw-DECIMAL
+# finals hash-red at the driver even with exact values).
 # ---------------------------------------------------------------------------
 
 
@@ -1533,7 +1535,9 @@ def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3)
+    ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3).select(
+        "node", F.col("rank").cast("double").alias("rank")
+    )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
 
@@ -1598,7 +1602,7 @@ r3 AS (
       + CAST(0.85 AS DOUBLE) * COALESCE(m3.im, CAST(0 AS DOUBLE)), 6) AS rank
   FROM nodes LEFT JOIN m3 ON nodes.node = m3.node, nn
 )
-SELECT node, CAST(rank AS DECIMAL(18,6)) AS rank FROM r3
+SELECT node, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank FROM r3
 ORDER BY rank DESC, node ASC
 LIMIT 50
 """
@@ -1609,7 +1613,10 @@ LIMIT 50
 # oracle gate — percent_rank / cume_dist / nth_value over an explicit
 # full-partition ROWS frame. Per market segment, customers rank by
 # DECIMAL total spend (unique tie-break on key), top-10 per segment.
-# percent_rank/cume_dist are exact IEEE rationals -> hash-stable.
+# percent_rank/cume_dist are exact IEEE rationals -> hash-stable; the
+# spend columns (DECIMAL internally) cast once to DOUBLE in the final
+# select (plans/common policy — r5 proved raw-DECIMAL finals hash-red
+# at the driver even with exact values).
 # ---------------------------------------------------------------------------
 
 
@@ -1638,7 +1645,14 @@ def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("total_spend", 3).over(wfull).alias("third_spend"),
     )
-    return ranked.filter(F.col("rn") <= 10).drop("rn")
+    return ranked.filter(F.col("rn") <= 10).select(
+        "c_mktsegment",
+        "c_custkey",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "pct_rank",
+        "cume",
+        F.col("third_spend").cast("double").alias("third_spend"),
+    )
 
 
 Q_CUSTOMER_PERCENTILES_SQL = """
@@ -1663,7 +1677,9 @@ ranked AS (
     PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey ASC
   )
 )
-SELECT c_mktsegment, c_custkey, total_spend, pct_rank, cume, third_spend
+SELECT c_mktsegment, c_custkey,
+  CAST(total_spend AS DOUBLE) AS total_spend, pct_rank, cume,
+  CAST(third_spend AS DOUBLE) AS third_spend
 FROM ranked WHERE rn <= 10
 """
 
@@ -1782,8 +1798,13 @@ def q_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
             F.min("c_custkey").cast("bigint").alias("min_masked_key"),
             F.min("c_name").alias("min_pseudonym"),
+            # exact DECIMAL sum, one final cast to DOUBLE (plans/common
+            # policy — raw-DECIMAL finals are driver-hash-unsafe; this
+            # one was green in r5 only because no 4-row value hit a
+            # trailing-zero rendering)
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_acctbal"),
         )
         out = spark.createDataFrame(out.collect(), out.schema)
@@ -1795,8 +1816,8 @@ SELECT c_mktsegment,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(MIN(c_custkey % 1000) AS BIGINT) AS min_masked_key,
   MIN(sha256(c_name)) AS min_pseudonym,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
-    AS sum_acctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+    AS DOUBLE) AS sum_acctbal
 FROM customer
 WHERE c_mktsegment <> 'AUTOMOBILE'
 GROUP BY c_mktsegment
