@@ -460,40 +460,41 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r5 window rationale: the 24 r4 _DEFERRED_NEW entries have never been
-# driver-checked (in-repo sweep only) -> all in, per the r4 contract.
-# q_time_travel / q_ivm_refresh / q_sequence_packing are r3-green but
-# their operators changed in r4 (CDF _commit_version, IVM watermark,
-# ROWS-frame cumsum) and were promised re-confirmation -> in. The
-# remaining slots go to the oldest-evidence r3 block (tier-1/2 names
-# that have exactly one green driver row). The 23 r3-green entries
-# left outside rotate in r6 under the widened 3-report horizon (the
-# 123-entry registry needs a 3-round full pass at 50 slots/round).
+# r6 window rationale (from CORRECTNESS_r01-r05 evidence):
+# - 5 hash-red entries from r5 (never driver-green; final-DECIMAL
+#   outputs now cast to DOUBLE per plans/common policy) -> MUST re-run.
+# - q_masked_read changed shape this round (sum_acctbal DECIMAL ->
+#   DOUBLE, same latent hash bug) -> its r5 green no longer covers it.
+# - the 25 entries whose latest green is r3 hit the 3-report staleness
+#   horizon when CORRECTNESS_r06 lands -> all in (flagship
+#   q_user_lifecycle_pivot, q01, the MinHash/LSH family, ...).
+# - remaining 19 slots: head of the r4-latest tier in definition order
+#   (includes the bench-regressed q05_region_revenue/q_rollup_revenue);
+#   the other 31 r4-latest entries rotate in r7 (still fresh until r8).
 _WINDOW: list[str] = [
-    # never-driver-checked lane (r4 _DEFERRED_NEW, contract: all in)
-    "q_span_dedup", "q_linear_quality", "q_contamination_bloom",
-    "q_session_windows", "q_bpe_merges", "q_inverted_index",
-    "q_pq_codes", "q_bm25_search", "q_export_manifest",
-    "q_embedding_topk_ivfpq", "q_csv_roundtrip", "q_jsonl_roundtrip",
-    "q_orc_roundtrip", "q_gapfill_daily", "q_pagerank_trading",
-    "q_kmeans_clusters", "q_incremental_neardup",
-    "q_customer_percentiles", "q_snapshot_diff", "q_image_resize",
-    "q_hard_negatives", "q_training_export", "q_masked_read",
-    "q_interpolate_daily",
-    # operator-changed-in-r4 re-confirm lane (promised in r4 notes)
-    "q_time_travel", "q_ivm_refresh", "q_sequence_packing",
-    # oldest-evidence r3 block (single green row, from tier-1/2)
-    "q_lang_quality", "q_geo_enrichment", "q_simhash",
-    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
-    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
-    "q_winnow_fingerprints", "q_winnow_overlap", "q_audio_windows",
-    "q_row_fingerprints", "q_embedding_dedup", "q_neardup_verified_fast",
-    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
-    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
-    "q_contamination",
-    # new-in-r5 lane (never checked -> window; displaced r3-green
-    # names stay fresh under the 3-report horizon)
-    "q_pagerank_trading_fast", "q_embedding_topk_ivfpq_search",
+    # r5 hash-red lane (DOUBLE-final fix, must turn green)
+    "q_bm25_search", "q_gapfill_daily", "q_interpolate_daily",
+    "q_pagerank_trading", "q_customer_percentiles",
+    # output-shape-changed-this-round lane
+    "q_masked_read",
+    # r3-latest-green lane (staleness horizon binds at r6)
+    "q_text_profile", "q_exact_dedup", "q_jaccard_pairs",
+    "q_minhash_signatures", "q_lsh_candidates", "q_neardup_verified",
+    "q_embedding_topk", "q_embedding_neardup", "q_multimodal_features",
+    "q_chunking", "q_vocabulary", "q_label_centroids",
+    "q_stratified_sample", "q_dim_time", "q01_pricing_summary",
+    "q_user_lifecycle_pivot", "q03_shipping_priority",
+    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
+    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
+    "q_sample_per_source", "q_stream_attribution",
+    # oldest r4-latest lane (tier-5 head; rest rotate in r7)
+    "q05_region_revenue", "q06_forecast_revenue", "q_market_segment",
+    "q_top_customers", "q_order_gaps", "q_union_entities",
+    "q_customers_no_orders", "q_priority_filters", "q_customer_tiers",
+    "q_rollup_revenue", "q_cube_orders", "q_part_stats",
+    "q12_late_shipments", "q14_promo_revenue", "q04_priority_semi",
+    "q10_returned_items", "q_customer_deciles", "q07_nation_volume",
+    "q08_market_share",
 ]
 
 # End-of-round full-gate mirror: ALL 113 oracle-paired entries swept
