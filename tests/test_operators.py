@@ -1271,6 +1271,54 @@ def test_train_bpe_merge_fold_handles_overlaps(spark):
     assert got[0][:2] == ("a", "a")  # 'aa' is the most frequent pair
 
 
+def test_train_bpe_batched_matches_reference_exactly(spark):
+    """The batch>1 scale path == its pure-Python reference with the
+    SAME batch/max_candidates, merge-for-merge, on the sf0.001 corpus
+    — the pin the module docstring promises. Also pins the pass
+    economy: batch=4 must cut Spark passes at least 3x vs one-per-
+    merge (each pass can defer interacting candidates, so exactly
+    n/batch passes is not guaranteed)."""
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_reference,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got, passes = train_bpe(docs, n_merges=24, batch=4, return_passes=True)
+    assert got == train_bpe_reference(texts, n_merges=24, batch=4)
+    assert len(got) == 24
+    assert passes <= 8, f"batch=4 should need <=8 passes for 24 merges, took {passes}"
+
+
+def test_train_bpe_batched_rule_b_created_token_skip(spark):
+    """Hand-built rule-(b) case: after picking (a,b) in a pass, a later
+    candidate using the just-created token 'ab' as a symbol must be
+    deferred to the next pass — its start-of-pass count goes stale the
+    moment (a,b) merges manufactures more 'ab' tokens. Checked at the
+    unit level against _pick_compatible directly (the exact shape), and
+    end-to-end Spark == reference on a small corpus."""
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        _pick_compatible,
+        train_bpe,
+        train_bpe_reference,
+    )
+
+    # unit-level: the exact rule-(b) shape — (a,b) picked, then (ab,c)
+    # must be skipped even though it shares NO raw symbol with {a,b}
+    cands = [("a", "b", 10), ("ab", "c", 9), ("x", "y", 8)]
+    picked = _pick_compatible(cands, want=3)
+    assert ("a", "b", 10) in picked and ("x", "y", 8) in picked
+    assert all(p[:2] != ("ab", "c") for p in picked)
+
+    # end-to-end: Spark batched trainer == reference on a corpus that
+    # actually produces that candidate ordering
+    text = "aab aab aab abc abc xy xy xy"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = train_bpe(df, n_merges=4, batch=4)
+    assert got == train_bpe_reference([text], n_merges=4, batch=4)
+
+
 def test_bpe_encode_matches_encode_word(spark):
     """mapInPandas encoder == per-word reference encoder; token counts
     and previews line up; round-trip of symbols strips to the original

@@ -1283,10 +1283,13 @@ JOIN documents db ON db.doc_id = id_b
 
 # ---------------------------------------------------------------------------
 # q_bpe_merges: distributed BPE tokenizer training (Sennrich et al.
-# 2016) — 16 merge rounds over the corpus word vocabulary. Iterative
+# 2016) — 64 merges learned on the BATCHED scale path (batch=8: up to
+# 8 mutually non-interacting merges per Spark pass, the job-count
+# economics a 32k-merge production vocabulary needs). Iterative
 # (driver-bounded loop), so not single-SQL-expressible: rows-only for
-# the harness; tests/test_operators.py pins the merge list EXACTLY
-# against a pure-Python reference implementation.
+# the harness; tests/test_operators.py pins both the classic and the
+# batched merge lists EXACTLY against a pure-Python reference, and the
+# query itself asserts the pass economy it exists to demonstrate.
 # ---------------------------------------------------------------------------
 
 
@@ -1294,7 +1297,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import train_bpe
 
     docs = t(spark, sf_dir, "documents")
-    merges = train_bpe(docs, n_merges=16)
+    merges, passes = train_bpe(docs, n_merges=64, batch=8, return_passes=True)
+    assert passes <= 64 // 4, (
+        f"batched trainer lost its pass economy: {passes} passes for 64 merges"
+    )
     return spark.createDataFrame(
         [(i + 1, left, right, n) for i, (left, right, n) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_count bigint",

@@ -210,9 +210,12 @@ QUERIES: list[QueryDef] = [
              "NATIVE session_window streaming agg, append mode — oracle "
              "replays gap-merge + watermark emission rule"),
     QueryDef("q_bpe_merges", llm_q.q_bpe_merges, None,
-             "distributed BPE tokenizer training, 16 merge rounds "
-             "(iterative -> rows-only; pytest pins merge list exactly "
-             "vs a pure-Python reference)"),
+             "distributed BPE tokenizer training, 64 merges on the "
+             "batched path (batch=8, <=16 passes asserted; iterative "
+             "-> rows-only; pytest pins classic AND batched merge "
+             "lists exactly vs a pure-Python reference). CHANGED in "
+             "r6 (was 16 merges batch=1) -> must rotate into the r7 "
+             "window."),
     QueryDef("q_inverted_index", llm_q.q_inverted_index,
              llm_q.Q_INVERTED_INDEX_SQL,
              "postings-list construction: top-50 terms by doc_freq with "
