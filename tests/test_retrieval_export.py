@@ -225,6 +225,21 @@ def test_export_manifest_describes_disk_not_plan(spark, docs, tmp_path):
     assert sum(r[1] for r in manifest) == n_written
 
 
+def test_export_empty_input_yields_empty_manifest(spark, tmp_path):
+    """Regression (r5 advice): an EMPTY input writes no part files, so
+    the disk read-back must use the writer's explicit schema instead of
+    inference — the manifest is empty, not an AnalysisException."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = str(tmp_path / "empty_export")
+    manifest = export_shards(empty, out, "doc_id", "text", n_shards=4).collect()
+    assert manifest == []
+
+
 def test_incremental_neardup_subset_and_delta_touching(spark):
     """The incremental batch output must be exactly the delta-touching
     slice of the full-recompute pair set (signature reuse changes

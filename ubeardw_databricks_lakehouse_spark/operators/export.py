@@ -135,5 +135,8 @@ def export_shards(
     # manifest that disagrees with what the loader will actually read.
     # Cost: one extra scan of the export — map-only + one groupBy,
     # partition-pruned per shard, negligible next to the write itself.
-    written = df.sparkSession.read.parquet(out_dir)
+    # Explicit schema: an EMPTY export writes no part files, which
+    # would fail schema inference; pinning the writer's schema also
+    # pins read-back types exactly.
+    written = df.sparkSession.read.schema(sharded.schema).parquet(out_dir)
     return _manifest_agg(written, key, payload_col)

@@ -97,6 +97,17 @@ def pagerank(
     ranks = nodes.select(
         "node", (F.round(init, 6) if exact else init).alias("rank")
     )
+    # A per-node ZERO contribution row, unioned into every iteration's
+    # groupBy input: it keeps zero-in-mass nodes alive through the agg
+    # (they emit base rank) WITHOUT the nodes-side left join the naive
+    # formulation pays — that join was a second shuffle (sort-merge of
+    # n rows against n rows) per iteration; the union adds n rows to a
+    # groupBy that already map-side-combines, effectively free. Adding
+    # an exact zero changes no sum in either precision mode.
+    zero_c = (
+        F.lit(0).cast("decimal(18,6)") if exact else F.lit(0.0)
+    )
+    node_zeros = nodes.select("node", zero_c.alias("c"))
     for it in range(max(0, n_iter)):
         contrib = F.col("rank") / F.col("outdeg")
         contribs = ew.join(brd(ranks), ew[src] == ranks["node"]).select(
@@ -107,15 +118,15 @@ def pagerank(
                 else contrib
             ).alias("c"),
         )
-        summed = contribs.groupBy("node").agg(
-            F.sum("c").cast("double").alias("in_mass")
-        )
-        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
-            F.col("in_mass"), F.lit(0.0)
-        )
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (F.round(new_rank, 6) if exact else new_rank).alias("rank"),
+        new_rank = F.lit(base) + F.lit(damping) * F.col("in_mass")
+        ranks = (
+            contribs.unionByName(node_zeros)
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("in_mass"))
+            .select(
+                "node",
+                (F.round(new_rank, 6) if exact else new_rank).alias("rank"),
+            )
         )
         # lineage-truncation cadence: a checkpoint per round costs one
         # materialized job each — for short loops it is pure overhead

@@ -1454,7 +1454,30 @@ def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ivfpq_search were split for. In a warehouse the codes table is a
 # persisted per-snapshot artifact; here localCheckpoint plays that role
 # within the session.
+#
+# SNAPSHOT-IMMUTABILITY ASSUMPTION: the cache key is (applicationId,
+# sf_dir) — the embeddings under sf_dir are assumed immutable for the
+# lifetime of the application (true for the driver's read-only test
+# parquet, and the warehouse contract for a per-snapshot index). If
+# the underlying table changes in-app, call invalidate_ivfpq_index()
+# to drop (and unpersist) the stale entry. Bound: one entry per
+# sf_dir touched — a handful in any real run, not unbounded growth.
 _IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def invalidate_ivfpq_index(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop cached IVFADC index entries (all for this app, or just
+    ``sf_dir``'s), unpersisting their checkpointed codes blocks so the
+    executor memory is reclaimed immediately."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _IVFPQ_INDEX_CACHE if k[0] == app]:
+        if sf_dir is not None and key[1] != sf_dir:
+            continue
+        _, _, codes = _IVFPQ_INDEX_CACHE.pop(key)
+        try:
+            codes.unpersist()
+        except Exception:
+            pass  # app shutting down — blocks die with it anyway
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str):

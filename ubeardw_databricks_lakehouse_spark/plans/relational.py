@@ -1549,7 +1549,11 @@ def q_pagerank_trading_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned instead: rank mass ~= 1 and top-10 node overlap vs
     the decimal twin (tests/test_timeseries_graph_files.py). Output
     rank rounds to 4 dp for display stability only; the iterations
-    themselves are unrounded."""
+    themselves are unrounded. Caveat (rows-only entry, acceptable):
+    a node whose true rank sits within ~1e-12 relative of a 4-dp
+    rounding boundary can flip its rounded value run-to-run (float
+    aggregation order), which can change top-50 MEMBERSHIP, not just
+    order, despite the deterministic (rank_approx, node) tie-break."""
     from ..operators.graph import pagerank
 
     ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3, exact=False)
