@@ -135,6 +135,45 @@ def test_assign_cells_lsh_fallback_covers_all(spark):
     assert out.select("vec_id").distinct().count() == 20
 
 
+def test_resolve_assign_mode_routing():
+    """The auto-route contract: exact within the broadcast-scoring
+    budget, LSH past it; explicit modes pass through untouched."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        AUTO_LSH_MIN_CELLS,
+        resolve_assign_mode,
+    )
+
+    assert resolve_assign_mode("auto", 8) == "exact"
+    assert resolve_assign_mode("auto", AUTO_LSH_MIN_CELLS) == "exact"
+    assert resolve_assign_mode("auto", AUTO_LSH_MIN_CELLS + 1) == "lsh"
+    assert resolve_assign_mode("exact", 10**9) == "exact"
+    assert resolve_assign_mode("lsh", 2) == "lsh"
+
+
+def test_kmeans_assign_auto_small_k_equals_exact(spark):
+    """Default assign='auto' with a small centroid set must reproduce
+    the exact scorer bit-for-bit (it routes to it)."""
+    df, _ = _planted(spark, n_clusters=3, per=20, dim=8, noise=0.05)
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        _centroids_fast,
+        assign_cells,
+    )
+
+    cents = _centroids_fast(
+        df.selectExpr("vec_id", "embedding", "label as cell"),
+        "embedding", "cell", 8,
+    )
+    auto = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(df, cents, dim=8).collect()
+    }
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(df, cents, "vec_id", "embedding", 1).collect()
+    }
+    assert auto == exact
+
+
 def test_clustered_pairs_lsh_assignment_recall(spark):
     """assign='lsh' routing must recover nearly all the exact-routing
     pairs on the real sf0.001 embedding corpus."""

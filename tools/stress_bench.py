@@ -153,6 +153,9 @@ def main() -> None:
         from ubeardw_databricks_lakehouse_spark.operators.dedup import (
             embedding_dedup_clusters_fast,
         )
+        from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+            resolve_assign_mode,
+        )
 
         def timed_scalek(n_vecs: int) -> float:
             rng = np.random.default_rng(42)
@@ -162,21 +165,34 @@ def main() -> None:
                     os.path.join(d, "embeddings.parquet"))
                 emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
                 t0 = time.time()
+                # default assign="auto" — the production routing under
+                # measurement: past AUTO_LSH_MIN_CELLS it swaps the
+                # exact N×K coarse scorer for the LSH probe scorer
                 embedding_dedup_clusters_fast(
                     emb, threshold=0.9, n_cells=k, nprobe=4
                 ).write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
             print(json.dumps(
                 {"scale": [n_vecs], "k": k, "query": "dedup_fast_scalek",
+                 "assign": resolve_assign_mode("auto", k),
                  "sec": round(dt, 1)}), flush=True)
             return dt
 
+        # 3-point ladder (small, large, 2×large): pairwise exponents
+        # localize where the LSH routing bends the curve
+        xl_vecs = 2 * l_vecs
         t_small = timed_scalek(s_vecs)
         t_large = timed_scalek(l_vecs)
-        e = round(math.log(t_large / t_small) / math.log(l_vecs / s_vecs), 2)
+        t_xl = timed_scalek(xl_vecs)
+        e_lo = round(math.log(t_large / t_small) / math.log(l_vecs / s_vecs), 2)
+        e_hi = round(math.log(t_xl / t_large) / math.log(xl_vecs / l_vecs), 2)
         print(json.dumps(
-            {"scaling_exponents": {"dedup_fast_scalek": e},
-             "ratio": l_vecs / s_vecs, "scale_k": True}), flush=True)
+            {"scaling_exponents": {
+                "dedup_fast_scalek_small_to_large": e_lo,
+                "dedup_fast_scalek_large_to_xl": e_hi,
+             },
+             "ladder": [s_vecs, l_vecs, xl_vecs], "scale_k": True}),
+            flush=True)
         return
     else:
         small = run_scale(spark, s_docs, s_vecs, qmap)

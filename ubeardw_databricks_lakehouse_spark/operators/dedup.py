@@ -465,7 +465,7 @@ def embedding_neardup_pairs_clustered(
     n_iter: int = 2,
     dim: int = 64,
     n_blocks: int = 2,
-    assign: str = "exact",
+    assign: str = "auto",
 ) -> DataFrame:
     """Cluster-blocked embedding near-dup pairs — SemDeDup as published
     (Abbas et al. 2023): coarse-cluster first, compare only WITHIN
@@ -492,13 +492,24 @@ def embedding_neardup_pairs_clustered(
     with K — defaults (K=32, nprobe=6, 2 Lloyd rounds) hold recall
     >= 0.95 at sf0.1, pinned in tests.
     """
-    from .similarity import _centroids_fast, assign_cells, assign_cells_lsh
+    from .similarity import (
+        _centroids_fast,
+        assign_cells,
+        assign_cells_lsh,
+        resolve_assign_mode,
+    )
 
     if cell_col is not None:
         cents = _centroids_fast(
             df.select(F.col(cell_col).alias("cell"), F.col(vec_col)),
             vec_col, "cell", dim,
         )
+        if assign == "auto":
+            # K unknown until the category centroids materialize — the
+            # centroid frame is tiny (one row per category), so the
+            # count is a cheap job, paid once per call
+            cents = cents.localCheckpoint(eager=True)
+            assign = resolve_assign_mode(assign, cents.count())
     else:
         # the shared Lloyd trainer (one copy of the seeding/update rule
         # — `operators/kmeans`, also used by pq_train)
@@ -508,9 +519,11 @@ def embedding_neardup_pairs_clustered(
             df, id_col=id_col, vec_col=vec_col, k=n_cells, n_iter=n_iter,
             dim=dim,
         )
+        assign = resolve_assign_mode(assign, n_cells)
     if assign == "lsh":
         # sub-N×K probe routing for large K (SCALING.md r4: exact
-        # assignment is the quadratic term once K scales with n)
+        # assignment is the quadratic term once K scales with n) —
+        # "auto" lands here once K exceeds AUTO_LSH_MIN_CELLS
         probed = assign_cells_lsh(
             df, cents, id_col, vec_col, dim=dim, nprobe=nprobe
         )
@@ -744,16 +757,17 @@ def embedding_dedup_clusters_fast(
     dim: int = 64,
     n_blocks: int = 2,
     cc: str = "propagation",
-    assign: str = "exact",
+    assign: str = "auto",
 ) -> DataFrame:
     """Production twin of ``embedding_dedup_clusters``: pairs form only
     within coarse cells (``embedding_neardup_pairs_clustered``), so
     compute is O(n^2/K) instead of all-pairs — real SemDeDup shape.
     Same keep/drop contract; recall vs the exact twin is pytest-pinned
     (a cross-cell pair can be missed, which splits — never merges —
-    a cluster). ``assign="lsh"`` swaps the coarse routing to the
-    sub-N×K LSH scorer once K outgrows the broadcast-scoring budget
-    (SCALING.md r4 K-sizing guidance)."""
+    a cluster). ``assign`` defaults to "auto": exact N×K scoring up to
+    ``similarity.AUTO_LSH_MIN_CELLS`` cells, the sub-N×K LSH scorer
+    beyond it (SCALING.md r6 measured the exponent drop); "exact"/
+    "lsh" force a mode."""
     pairs = embedding_neardup_pairs_clustered(
         df, id_col, vec_col, threshold,
         cell_col=cell_col, n_cells=n_cells, nprobe=nprobe,

@@ -93,13 +93,19 @@ def kmeans_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    assign: str = "exact",
+    assign: str = "auto",
     dim: int = 64,
 ) -> DataFrame:
     """(id, vec, cell): nearest learned centroid per vector — the
-    label-free drop-in for a `label`-derived cell column.
-    ``assign="lsh"`` routes through the sub-N×K bucketed scorer for
-    large K (same knob as the clustered dedup)."""
+    label-free drop-in for a `label`-derived cell column. ``assign``
+    defaults to "auto": exact N×K scoring while K fits the
+    broadcast-scoring budget (`similarity.AUTO_LSH_MIN_CELLS`), the
+    sub-N×K LSH bucketed scorer beyond it — the K-count probe is one
+    cheap job over the (small) centroid frame. "exact"/"lsh" force."""
+    from .similarity import resolve_assign_mode
+
+    if assign == "auto":
+        assign = resolve_assign_mode(assign, centroids.count())
     if assign == "lsh":
         from .similarity import assign_cells_lsh
 

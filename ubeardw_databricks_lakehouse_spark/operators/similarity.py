@@ -401,6 +401,28 @@ def dequantize_expr(qvec, q_min, q_scale):
     )
 
 
+# Broadcast-scoring budget for coarse assignment: below this K the
+# exact N×K scorer beats the LSH probe machinery's fixed costs
+# (signature hashing, probe explode, per-vector ranking window, exact
+# fallback); above it the expected N·(n_planes+1)·K/2^n_planes probe
+# cost wins and keeps the K-driven quadratic term (SCALING.md r4:
+# K∝n drove e=1.83 on exact assignment) out of the plan. With the
+# default n_planes=8 the probe factor is ~9·K/256 ≈ K/28, so the
+# crossover sits near K ≈ 28 × (fixed-cost ratio) — 128 is the
+# conservative routing point; the K∝√N sizing rule crosses it around
+# N ≈ 16k vectors.
+AUTO_LSH_MIN_CELLS = 128
+
+
+def resolve_assign_mode(assign: str, k: int) -> str:
+    """Resolve the ``assign`` knob: "auto" routes to the sub-N×K LSH
+    scorer once the cell count exceeds the broadcast-scoring budget,
+    else the exact N×K scorer. Explicit "exact"/"lsh" pass through."""
+    if assign == "auto":
+        return "lsh" if k > AUTO_LSH_MIN_CELLS else "exact"
+    return assign
+
+
 def assign_cells_lsh(
     df: DataFrame,
     centroids: DataFrame,
