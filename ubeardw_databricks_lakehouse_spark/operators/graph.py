@@ -73,12 +73,6 @@ def pagerank(
     out_type = "decimal(18,6)" if exact else "double"
     if n == 0:  # empty graph: empty ranking, not a ZeroDivisionError
         return nodes.select("node", F.lit(None).cast(out_type).alias("rank"))
-    outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    ew = (
-        edges.join(outdeg, src)
-        .select(F.col(src), F.col(dst), F.col("outdeg"))
-        .localCheckpoint(eager=True)
-    )
     base = (1.0 - damping) / n
     # The rank vector is one row per node — tiny next to the edge set
     # (a graph with fewer edges than nodes isn't worth iterating on).
@@ -90,6 +84,15 @@ def pagerank(
     # join (with AQE free to re-plan) takes over instead.
     small = n <= 4_000_000
     brd = F.broadcast if small else (lambda df: df)
+    # out-degree is one row per SOURCE node (<= n) — same broadcast
+    # budget as the rank vector, so folding it into the edge table is
+    # a map-only join, not a shuffle of the (much larger) edge set.
+    outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    ew = (
+        edges.join(brd(outdeg), src)
+        .select(F.col(src), F.col(dst), F.col("outdeg"))
+        .localCheckpoint(eager=True)
+    )
 
     # F.round, not Python round(): Python rounds half-to-even, the
     # engines round half-up — the init must follow the engine rule.

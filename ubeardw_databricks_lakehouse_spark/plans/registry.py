@@ -502,8 +502,10 @@ _WINDOW: list[str] = [
 
 # End-of-round full-gate mirror: ALL 113 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
-# — `tools/oracle_sweep.py`, 0 failures in 174 s (incl. the capstone,
-# governance, and interpolation queries).
+# (r6) — `tools/oracle_sweep.py`, 0 failures in 168 s, under the
+# HARDENED criteria (values + dtype_match + driver_safe: no
+# DECIMAL/HUGEINT final kinds anywhere — the r5 hash-red class is now
+# structurally unreachable).
 # Queries ADDED mid-round after the window was already saturated: they
 # carry in-repo differential evidence (pytest sf0.001 sweep + sf0.01
 # oracle_sweep run) and MUST rotate into the window next round —
