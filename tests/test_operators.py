@@ -386,6 +386,14 @@ def test_topk_excludes_self_and_ranks(spark, emb):
         assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
 
 
+def test_topk_brute_force_rejects_oversized_query_set(spark, emb):
+    """The driver-collect budget is explicit: a query set past
+    max_query_rows raises with routing guidance (topk_lsh/ivf/ivfpq)
+    instead of silently OOMing the driver."""
+    with pytest.raises(ValueError, match="topk_lsh"):
+        topk_brute_force(emb, emb, k=3, max_query_rows=10)
+
+
 def test_lsh_topk_subset_quality(spark, emb):
     """ANN hits must be a subset of corpus ids and self-free; recall vs
     exact top-5 should be nontrivial on this data."""

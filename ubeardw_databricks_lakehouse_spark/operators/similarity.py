@@ -58,12 +58,20 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+# Query-side driver-collect budget for brute-force top-k: 1M 64-dim
+# float64 rows ≈ 512 MB hydrated — the edge of a sane driver heap.
+# Past it the correct tool is a bucketed path (topk_lsh / topk_ivf /
+# ivfpq), not a bigger driver.
+MAX_BRUTE_FORCE_QUERY_ROWS = 1_000_000
+
+
 def topk_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = MAX_BRUTE_FORCE_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
 
@@ -74,6 +82,12 @@ def topk_brute_force(
     k rows per query per batch — this is the shape that survives a
     1000-executor corpus. Ties broken by neighbor_id; rank 1 = most
     similar.
+
+    The QUERY side collects to the driver (that is what makes the scan
+    map-only over the corpus) — bounded by ``max_query_rows``: a larger
+    query set raises with routing guidance instead of silently OOMing
+    the driver. ``topk_lsh`` / ``topk_ivf`` / IVFADC are the unbounded
+    paths (both sides stay distributed).
     """
     import numpy as np
     import pandas as pd
@@ -85,6 +99,13 @@ def topk_brute_force(
     )
 
     spark = corpus.sparkSession
+    n_queries = queries.count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"topk_brute_force collects the query set to the driver and "
+            f"got {n_queries} rows (> {max_query_rows}); use topk_lsh / "
+            f"topk_ivf / ivfpq for query sets past the driver budget"
+        )
     qids, qmat = _collect_matrix(queries, id_col, vec_col)
     schema_empty = "query_id long, neighbor_id long, rank int"
     if len(qids) == 0:
