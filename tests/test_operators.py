@@ -1327,6 +1327,47 @@ def test_train_bpe_batched_rule_b_created_token_skip(spark):
     assert got == train_bpe_reference([text], n_merges=4, batch=4)
 
 
+def test_q_bpe_encode_totals_match_python_replay(spark):
+    """Registry-level pin for the rows-only q_bpe_encode: per-language
+    word and BPE-token totals must equal a pure-Python replay (train
+    via the pinned reference, encode via encode_word) on the sf0.001
+    corpus."""
+    from collections import defaultdict
+
+    from ubeardw_databricks_lakehouse_spark.operators.bpe import (
+        encode_word,
+        train_bpe_reference,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import q_bpe_encode
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_bpe_tokens"])
+        for r in q_bpe_encode(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    merges = train_bpe_reference([r["text"] for r in rows], n_merges=32, batch=8)
+    rank_merges = [(a, b) for a, b, _ in merges]
+    cache: dict[str, int] = {}
+
+    def n_toks(w: str) -> int:
+        if w not in cache:
+            cache[w] = len(encode_word(w, rank_merges))
+        return cache[w]
+
+    ref = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        words = (r["text"] or "").split()
+        ref[r["lang"]][0] += 1
+        ref[r["lang"]][1] += len(words)
+        ref[r["lang"]][2] += sum(n_toks(w) for w in words)
+    assert got == {k: tuple(v) for k, v in ref.items()}
+
+
 def test_bpe_encode_matches_encode_word(spark):
     """mapInPandas encoder == per-word reference encoder; token counts
     and previews line up; round-trip of symbols strips to the original

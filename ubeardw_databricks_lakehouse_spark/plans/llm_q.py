@@ -1308,6 +1308,35 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_bpe_encode: corpus tokenization with the trained BPE merges — the
+# production op q_bpe_merges trains FOR (every training-data pipeline
+# ends by tokenizing the kept corpus). Train 32 merges on the batched
+# path, Arrow-encode every document (mapInPandas, distinct-word cache),
+# aggregate per-language token accounting. Iterative trainer upstream
+# -> rows-only; the encoder itself is pytest-pinned word-for-word vs
+# encode_word, and the per-language sums are integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=32, batch=8)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_pq_codes: product-quantization compression of the embedding corpus
 # (Jegou et al. 2011) — 64 floats -> 8 codebook bytes per vector.
 # Float Lloyd training is not oracle-hashable: rows-only; tests pin the

@@ -457,6 +457,15 @@ QUERIES: list[QueryDef] = [
              events_q.Q_INTERPOLATE_DAILY_SQL,
              "linear-interpolation gap fill (forward-fill's companion "
              "mode), decimal-exact"),
+    # ------------------------------------------------------------------
+    # Tier 8 — added in r6 (deferred-new lane, see _DEFERRED_NEW).
+    # ------------------------------------------------------------------
+    QueryDef("q_bpe_encode", llm_q.q_bpe_encode, None,
+             "corpus tokenization with trained BPE merges (batched "
+             "trainer + Arrow mapInPandas encoder, distinct-word "
+             "cache) -> per-language token accounting (rows-only: "
+             "iterative trainer upstream; encoder pytest-pinned vs "
+             "encode_word)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -512,8 +521,9 @@ _WINDOW: list[str] = [
 # test_registry_order enforces that they sit immediately after the
 # window so the next rotation promotes them, and that this list is
 # emptied at each rotation. r5: the r4 backlog of 24 rotated into the
-# window (contract honored); entries added mid-r5 go here.
-_DEFERRED_NEW: list[str] = []
+# window (contract honored). r6: q_bpe_encode (the encoder leg of the
+# BPE trainer, rows-only) added after the r6 window locked.
+_DEFERRED_NEW: list[str] = ["q_bpe_encode"]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
