@@ -255,6 +255,24 @@ def test_pagerank_iteration_is_equi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_pagerank_iteration_join_and_shuffle_budget(spark):
+    """Lock in the r6 plan wins: a 1-iteration plan carries exactly ONE
+    join (the broadcast edges×ranks; the out-degree fold is broadcast
+    and the old per-iteration nodes-side sort-merge join is gone) and
+    no SortMergeJoin anywhere."""
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    p = _plan(pagerank(e, n_iter=1, exact=False))
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"Join", p)) == 1, p
+
+
 def test_ivfpq_adc_scan_is_equi_join_on_codes(spark):
     """The ADC scan joins the N×m code rows against the broadcast LUT
     on (cell, sub_id, code) — an equi-join; the only nested-loop
