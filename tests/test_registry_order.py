@@ -118,14 +118,19 @@ def test_deferred_new_queue() -> None:
 
 
 def test_no_query_goes_stale_unchecked() -> None:
-    """The rotation ledger, mechanically: a query whose LATEST green
-    evidence predates the freshness horizon must sit inside the driver
-    window so the next run refreshes it. Horizon: 2 reports while the
-    registry fit a 2-round pass; 3 reports since r5 (123 entries at 50
-    slots/round needs ceil(123/50)=3 rounds per full pass — the
-    registry docstring's CAPACITY NOTE). The per-round backstop for
-    entries waiting their turn is tools/oracle_sweep.py (every
-    oracle-paired entry vs DuckDB at sf0.01, run each round)."""
+    """The rotation ledger, mechanically — FORWARD-LOOKING: the window
+    set NOW determines which entries the NEXT report refreshes, so an
+    entry must be windowed when its latest green evidence sits outside
+    the last (horizon-1) reports — otherwise, the moment the next
+    report lands, that evidence falls off the horizon with no refresh
+    (the r5→r6 lesson: the old backward-looking form only failed one
+    round AFTER the rotation should have happened, making the contract
+    voluntary exactly when it mattered). Horizon: 2 reports while the
+    registry fit a 2-round pass; 3 since r5 (125+ entries at 50
+    slots/round needs a 3-round full pass — the registry docstring's
+    CAPACITY NOTE). The per-round backstop for entries waiting their
+    turn is tools/oracle_sweep.py (every oracle-paired entry vs DuckDB
+    at sf0.01, run each round)."""
     reports = sorted(REPO.glob("CORRECTNESS_r*.json"))
     if len(reports) < 2:
         return
@@ -138,7 +143,8 @@ def test_no_query_goes_stale_unchecked() -> None:
             if _row_ok(row):
                 latest_green_round[name] = report.name
     horizon = 3 if len(QUERIES) > 2 * DRIVER_WINDOW else 2
-    fresh = {r.name for r in reports[-horizon:]}
+    # still-fresh-after-the-next-report = the last horizon-1 reports
+    fresh = {r.name for r in reports[-(horizon - 1):]}
     window = {q.name for q in QUERIES[:DRIVER_WINDOW]}
     stale = [
         q.name
@@ -148,6 +154,8 @@ def test_no_query_goes_stale_unchecked() -> None:
         and q.name not in window
     ]
     assert not stale, (
-        f"{len(stale)} queries' newest green evidence is {horizon}+ "
-        f"rounds old and they sit past position {DRIVER_WINDOW}: {stale}"
+        f"{len(stale)} queries' newest green evidence falls off the "
+        f"{horizon}-report horizon at the NEXT report and they sit past "
+        f"position {DRIVER_WINDOW}: {stale} — rotate them into "
+        f"plans/registry._WINDOW now"
     )
