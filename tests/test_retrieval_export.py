@@ -453,3 +453,109 @@ def test_ivfpq_search_query_matches_oneshot_and_caches(spark):
     )
     assert second == first
     assert llm_q._IVFPQ_INDEX_CACHE[key] is cached
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid fusion + MMR re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Hand-checkable fusion: doc 1 in both lists (ranks 1,2), docs 2/3
+    in one list each at equal rank -> doc 1 first, then the id
+    tie-break between equal singleton scores."""
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank_lex int")
+    vec = spark.createDataFrame([(1, 2), (2, 2)], "doc_id long, rank_vec int")
+    out = rrf_fuse([lex, vec], rank_cols=["rank_lex", "rank_vec"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["fused_rank"] == 1
+    assert abs(rows[1]["rrf"] - (1 / 61 + 1 / 62)) < 1e-15
+    # docs 2 and 3 both score 1/62 -> doc_id tie-break
+    assert rows[2]["fused_rank"] == 2 and rows[3]["fused_rank"] == 3
+    assert rows[3]["rank_vec"] is None and rows[2]["rank_lex"] is None
+
+
+def test_mmr_rerank_matches_numpy_replay(spark, emb):
+    """Pin the distributed-recall + driver-greedy MMR against a fully
+    independent numpy replay over the raw parquet."""
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    k, pool, lam = 10, 50, 0.7
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") == 0), k=k, pool=pool, lam=lam
+    ).collect()
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[ids == 0][0]
+    sims = mat @ q
+    order = sorted(
+        [i for i in range(len(ids)) if ids[i] != 0],
+        key=lambda i: (-sims[i], ids[i]),
+    )[:pool]
+    cand_ids = ids[order]
+    cand = mat[order]
+    rel = cand @ q
+    inter = cand @ cand.T
+    sel: list[int] = []
+    rem = list(range(len(cand_ids)))
+    while rem and len(sel) < k:
+        red = (
+            inter[np.ix_(rem, sel)].max(axis=1)
+            if sel
+            else np.zeros(len(rem))
+        )
+        sc = lam * rel[rem] - (1 - lam) * red
+        best = min(range(len(rem)), key=lambda i: (-sc[i], cand_ids[rem[i]]))
+        sel.append(rem.pop(best))
+    want = [int(cand_ids[i]) for i in sel]
+    assert got == want
+
+
+def test_mmr_diversity_actually_bites(spark, emb):
+    """lam=1 degenerates to pure relevance (same order as top-k);
+    lam<1 must deviate once redundancy exists, and never repeat docs."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0)
+    pure = mmr_rerank(emb, q, k=10, pool=50, lam=1.0).collect()
+    topk = topk_brute_force(emb, q, k=10).collect()
+    assert [r["doc_id"] for r in sorted(pure, key=lambda r: r["mmr_rank"])] \
+        == [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])]
+    div = mmr_rerank(emb, q, k=10, pool=50, lam=0.3).collect()
+    picks = [r["doc_id"] for r in div]
+    assert len(picks) == len(set(picks)) == 10
+
+
+def test_bigram_lm_hand_case(spark):
+    """Corpus small enough to check a conditional by hand: bigram
+    'a b' appears twice, context 'a' has 3 successors, and V=4 (the
+    single-token doc's 'x' still counts toward the vocabulary)
+    -> p(b|a) = (2+1)/(3+4) = 3/7."""
+    import math
+
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(docs).collect()}
+    assert 4 not in out  # single-token doc has no bigram positions
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["bits_per_bigram"] - (-math.log2(3 / 7))) < 1e-6
+    # p(c|a) = (1+1)/(3+4) = 2/7
+    assert abs(out[3]["bits_per_bigram"] - (-math.log2(2 / 7))) < 1e-6

@@ -241,6 +241,69 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram upgrade of :func:`unigram_logprob_score` — the KenLM-ish
+    order-2 model CCNet actually wants: per document, the mean negative
+    log2 of add-one-smoothed conditional probabilities
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+    where ``c(w1 w2)`` is the corpus bigram count, ``c(w1 ·)`` the count
+    of positions where ``w1`` has a successor, and ``V`` the unigram
+    vocabulary size. Word-salad that reuses common tokens in uncommon
+    ORDER — invisible to the unigram score — scores high here, which is
+    the whole point of raising the model order for quality filtering.
+
+    Documents with fewer than two tokens have no bigram positions and
+    drop out (no conditional to score).
+
+    Shapes at 100 TB: bigram construction is a map-only slice+zip
+    (``ngram_list``), the bigram table and its per-context fold are two
+    map-side-combined groupBys, the scoring join is an equi-join on the
+    bigram string (AQE broadcasts the model side when it fits), and V
+    is a 1-row broadcast scalar. Same DECIMAL-rounding determinism
+    policy as the unigram score.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_list(tokens(text_col), 2)).alias("g")
+    )
+    bi = grams.groupBy("g").agg(F.count("*").alias("c2"))
+    ctx = (
+        bi.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab_size = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        grams.join(bi, "g")
+        .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            id_col,
+            F.round(
+                -F.log2(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum("nlp").cast("double") / F.count("*"))
+        .alias("bits_per_bigram"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_cond: Column,

@@ -153,3 +153,54 @@ def bm25_topk(
         F.sum("c").cast("decimal(18,6)").cast("double").alias("bm25"),
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+RRF_K = 60  # Cormack et al. 2009 default; dominates nothing, fuses all
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_cols: list[str] | None = None,
+    k: int = 20,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N
+    ranked retrieval lists — the standard hybrid-search combiner
+    (lexical BM25 + vector ANN being the canonical pair).
+
+    Each input must carry ``id_col`` and its entry in ``rank_cols``
+    (1-based rank, smaller = better). Fused score is
+    ``sum_i 1/(rrf_k + rank_i)`` with absent entries contributing 0 —
+    a full outer merge, so a document surfaced by EITHER leg competes.
+
+    Scale shape: each leg is already a top-k' list (tiny — k' rows per
+    query), so the fusion join is trivially broadcastable; nothing here
+    touches the corpus again. Determinism: ranks are integers and each
+    reciprocal is a single IEEE division — both engines compute the
+    identical double, and the final row_number cut ties on ``id_col``.
+    """
+    if rank_cols is None:
+        rank_cols = [f"rank_{i}" for i in range(len(ranked_lists))]
+    assert len(ranked_lists) == len(rank_cols) >= 2
+    fused = ranked_lists[0].select(id_col, rank_cols[0])
+    for df, rc in zip(ranked_lists[1:], rank_cols[1:]):
+        fused = fused.join(df.select(id_col, rc), id_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(rc).cast("double")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    fused = fused.select(
+        F.col(id_col),
+        *[F.col(rc).cast("bigint").alias(rc) for rc in rank_cols],
+        score.alias("rrf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+    )

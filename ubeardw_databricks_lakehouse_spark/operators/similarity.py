@@ -576,3 +576,76 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware rerank stage that follows ANN recall:
+    greedily select ``k`` of the ``pool`` most-relevant candidates,
+    each pick maximizing
+
+        lam * sim(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    so near-duplicate hits cannot crowd the result list (RAG context
+    assembly, search-result diversification).
+
+    Scale shape: relevance recall is the distributed part — one
+    corpus-scale top-``pool`` scan (the exact scorer here; swap in the
+    LSH/IVF/IVFADC paths for a bigger corpus). The greedy selection is
+    inherently sequential and runs on the DRIVER over the pool matrix
+    only — pool*dim floats (50*64 here), the same bounded-collect
+    contract as ``topk_brute_force``'s query side; the corpus is never
+    re-touched. Float argmax ordering -> rows-only registry entry;
+    pinned against an independent pure-numpy replay in pytest.
+
+    Returns (doc_id, mmr_rank) with mmr_rank 1..k in pick order.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cand = topk_brute_force(
+        corpus, query, id_col=id_col, vec_col=vec_col, k=pool
+    )
+    pool_df = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+            ),
+            "neighbor_id",
+        )
+        .select("neighbor_id", "rank", vec_col)
+    )
+    rows = pool_df.collect()  # bounded: <= pool rows by construction
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, mmr_rank int")
+    rows.sort(key=lambda r: r["rank"])
+    ids = np.array([r["neighbor_id"] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    qids, qmat = _collect_matrix(query, id_col, vec_col)
+    rel = qmat[0] @ mat.T  # relevance to the (single) query
+    inter = mat @ mat.T  # candidate-candidate similarity
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        if selected:
+            redundancy = inter[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            redundancy = np.zeros(len(remaining))
+        scores = lam * rel[remaining] - (1.0 - lam) * redundancy
+        # ties broken by candidate id for determinism
+        best = min(
+            range(len(remaining)),
+            key=lambda i: (-scores[i], ids[remaining[i]]),
+        )
+        selected.append(remaining.pop(best))
+    out = [(int(ids[i]), r + 1) for r, i in enumerate(selected)]
+    return spark.createDataFrame(out, "doc_id long, mmr_rank int")

@@ -460,6 +460,56 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q_bigram_lm: order-2 upgrade of q_unigram_lm — add-one-smoothed
+# bigram conditionals p(w2|w1) under the corpus's own bigram counts;
+# catches common-words-in-uncommon-ORDER word salad the unigram score
+# cannot see. Oracle rebuilds the same model with a positional
+# self-join (UNNEST + GENERATE_SUBSCRIPTS).
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import bigram_logprob_score
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs)
+
+
+Q_BIGRAM_LM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST(words) AS tk,
+    GENERATE_SUBSCRIPTS(words, 1) AS pos
+  FROM w
+),
+grams AS (
+  SELECT a.doc_id, a.tk || ' ' || b.tk AS g, a.tk AS w1
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT g, COUNT(*) AS c2 FROM grams GROUP BY g),
+ctx AS (
+  SELECT SPLIT_PART(g, ' ', 1) AS w1, SUM(c2) AS c1 FROM bi GROUP BY w1
+),
+vocab AS (SELECT COUNT(DISTINCT tk) AS v FROM tok),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(ROUND(-LOG2(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS nlp
+  FROM grams JOIN bi USING (g) JOIN ctx USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS bits_per_bigram
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_dsir: Data Selection via Importance Resampling — hashed-bigram
 # log-likelihood-ratio importance of every doc against the English
 # slice as the target domain.

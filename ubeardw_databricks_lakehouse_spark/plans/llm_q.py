@@ -1462,6 +1462,123 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# q_hybrid_search_rrf: hybrid retrieval — reciprocal-rank fusion
+# (Cormack et al. 2009, the industry-standard hybrid combiner) of the
+# BM25 lexical leg and a dense-vector cosine leg over the SAME id
+# space (doc_id == vec_id in the testdata). Each leg is a top-20 list;
+# the fusion join runs over <=40 rows, so the only corpus-scale work is
+# the two legs the battery already proves independently. RRF scores are
+# single IEEE divisions on integer ranks — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import topk_brute_force
+
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("rank_lex")
+    )
+    vec = topk_brute_force(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rank_vec"),
+    )
+    return rrf_fuse([lex, vec], rank_cols=["rank_lex", "rank_vec"], k=20)
+
+
+Q_HYBRID_SEARCH_RRF_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(LEN(words) AS DOUBLE) AS dl FROM w),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, LN(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       stats
+),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      idf.idf * tf.tf * (1.2 + 1.0)
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+      AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+bm AS (
+  SELECT doc_id, CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS bm25
+  FROM contrib GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        AS rank_lex
+    FROM bm
+  ) WHERE rank_lex <= 20
+),
+vec AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT c.vec_id AS doc_id,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY LIST_COSINE_SIMILARITY(q.embedding, c.embedding) DESC,
+                 c.vec_id) AS BIGINT) AS rank_vec
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = 0
+  ) WHERE rank_vec <= 20
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+    rank_lex, rank_vec,
+    COALESCE(1.0 / (60 + CAST(rank_lex AS DOUBLE)), 0.0)
+      + COALESCE(1.0 / (60 + CAST(rank_vec AS DOUBLE)), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rank_lex, rank_vec, rrf, fused_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+    AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_rerank: MMR diversity re-rank (Carbonell & Goldstein 1998) of
+# the cosine top-50 pool for one query — the rerank stage after ANN
+# recall (RAG context assembly). Greedy float argmax -> rows-only;
+# pytest pins the pick list against an independent numpy replay.
+# ---------------------------------------------------------------------------
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, pool=50, lam=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_embedding_topk_ivfpq: IVFADC — IVF coarse cells + product-quantized
 # residual codes + asymmetric-distance scan (Jégou et al. 2011). The
 # billion-scale ANN path: 8-byte codes per vector, probed-cell scan

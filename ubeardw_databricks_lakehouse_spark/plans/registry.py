@@ -466,6 +466,21 @@ QUERIES: list[QueryDef] = [
              "cache) -> per-language token accounting (rows-only: "
              "iterative trainer upstream; encoder pytest-pinned vs "
              "encode_word)"),
+    QueryDef("q_hybrid_search_rrf", llm_q.q_hybrid_search_rrf,
+             llm_q.Q_HYBRID_SEARCH_RRF_SQL,
+             "hybrid retrieval: reciprocal-rank fusion (RRF k=60) of "
+             "the BM25 lexical top-20 and the dense cosine top-20 over "
+             "the shared doc/vec id space"),
+    QueryDef("q_bigram_lm", curation_q.q_bigram_lm,
+             curation_q.Q_BIGRAM_LM_SQL,
+             "order-2 LM quality score: add-one-smoothed bigram "
+             "conditionals under corpus counts (the word-order signal "
+             "q_unigram_lm cannot see)"),
+    QueryDef("q_mmr_rerank", llm_q.q_mmr_rerank, None,
+             "MMR diversity re-rank of the cosine top-50 pool "
+             "(lambda=0.7, k=10) — the post-ANN rerank stage "
+             "(rows-only: greedy float argmax; pytest pins picks vs "
+             "an independent numpy replay)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -523,7 +538,9 @@ _WINDOW: list[str] = [
 # emptied at each rotation. r5: the r4 backlog of 24 rotated into the
 # window (contract honored). r6: q_bpe_encode (the encoder leg of the
 # BPE trainer, rows-only) added after the r6 window locked.
-_DEFERRED_NEW: list[str] = ["q_bpe_encode"]
+_DEFERRED_NEW: list[str] = [
+    "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
+]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
