@@ -62,6 +62,11 @@ HEADLINE = [
     # in SCALING.md).
     "q_pagerank_trading_fast",
     "q_embedding_topk_ivfpq_search",
+    # r6 additions: the hybrid-retrieval fusion (BM25 + dense legs +
+    # RRF merge in one plan) and the order-2 LM quality score (heaviest
+    # of the corpus-model scores: corpus-wide bigram model + equi-join).
+    "q_hybrid_search_rrf",
+    "q_bigram_lm",
 ]
 
 

@@ -304,6 +304,52 @@ def bigram_logprob_score(
     )
 
 
+def ccnet_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail carve (Wenzek et al. 2020): bucket each
+    language's documents into ``n_buckets`` quality terciles of the
+    LM score (:func:`unigram_logprob_score`; lower bits = more natural
+    prose = head), then summarize each (lang, tier) cell. Downstream
+    pipelines keep head+middle and drop tail — the canonical
+    quality-stratified sampling step between scoring and export.
+
+    Output per (lang, tier): doc count, total tokens, and the score
+    range covered — integers and min/max of per-doc doubles, all
+    order-insensitive, so the summary is cross-engine exact.
+
+    Shapes at 100 TB: scoring is the unigram pass (see its docstring);
+    the tercile split is ntile over a per-LANGUAGE window — partitioned
+    by the natural parallelism key, never a global sort — and the
+    summary is one tiny groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    scores = unigram_logprob_score(df, id_col=id_col, text_col=text_col)
+    joined = scores.join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.asc("bits_per_token"), F.asc(id_col)
+    )
+    tiered = joined.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("bigint")
+    ).withColumn(
+        "tier",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle"),
+    )
+    return tiered.groupBy(lang_col, "bucket", "tier").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("bits_per_token").alias("min_bits"),
+        F.max("bits_per_token").alias("max_bits"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_cond: Column,

@@ -510,6 +510,63 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q_quality_buckets: CCNet's head/middle/tail carve — per-language
+# quality terciles of the unigram-LM score (ntile over a per-lang
+# window), summarized per (lang, tier). The step between scoring and
+# quality-stratified export. Summary columns are integers + min/max of
+# per-doc doubles: order-insensitive, cross-engine exact.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import ccnet_quality_buckets
+
+    docs = t(spark, sf_dir, "documents")
+    return ccnet_quality_buckets(docs)
+
+
+Q_QUALITY_BUCKETS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(words) AS tk FROM w),
+vocab AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT SUM(c) AS t FROM vocab),
+nlps AS (
+  SELECT doc_id,
+    CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS nlp
+  FROM tok JOIN vocab USING (tk) CROSS JOIN tot
+),
+scores AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS bits_per_token
+  FROM nlps GROUP BY doc_id
+),
+tiered AS (
+  SELECT w.lang, scores.n_tokens, scores.bits_per_token,
+    CAST(NTILE(3) OVER (
+      PARTITION BY w.lang ORDER BY scores.bits_per_token, scores.doc_id
+    ) AS BIGINT) AS bucket
+  FROM scores JOIN w ON scores.doc_id = w.doc_id
+)
+SELECT lang, bucket,
+  CASE WHEN bucket = 1 THEN 'head'
+       WHEN bucket = 3 THEN 'tail'
+       ELSE 'middle' END AS tier,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  MIN(bits_per_token) AS min_bits,
+  MAX(bits_per_token) AS max_bits
+FROM tiered
+GROUP BY lang, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_dsir: Data Selection via Importance Resampling — hashed-bigram
 # log-likelihood-ratio importance of every doc against the English
 # slice as the target domain.

@@ -481,6 +481,11 @@ QUERIES: list[QueryDef] = [
              "(lambda=0.7, k=10) — the post-ANN rerank stage "
              "(rows-only: greedy float argmax; pytest pins picks vs "
              "an independent numpy replay)"),
+    QueryDef("q_quality_buckets", curation_q.q_quality_buckets,
+             curation_q.Q_QUALITY_BUCKETS_SQL,
+             "CCNet head/middle/tail carve: per-language quality "
+             "terciles of the unigram-LM score (ntile per-lang window) "
+             "summarized per (lang, tier)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -524,12 +529,13 @@ _WINDOW: list[str] = [
     "q08_market_share",
 ]
 
-# End-of-round full-gate mirror: ALL 113 oracle-paired entries swept
+# End-of-round full-gate mirror: ALL 115 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
-# (r6) — `tools/oracle_sweep.py`, 0 failures in 168 s, under the
-# HARDENED criteria (values + dtype_match + driver_safe: no
-# DECIMAL/HUGEINT final kinds anywhere — the r5 hash-red class is now
-# structurally unreachable).
+# (r6, incl. the new q_hybrid_search_rrf / q_bigram_lm) —
+# `tools/oracle_sweep.py`, 0 failures in 201 s, under the HARDENED
+# criteria (values + dtype_match + driver_safe: no DECIMAL/HUGEINT
+# final kinds anywhere — the r5 hash-red class is now structurally
+# unreachable).
 # Queries ADDED mid-round after the window was already saturated: they
 # carry in-repo differential evidence (pytest sf0.001 sweep + sf0.01
 # oracle_sweep run) and MUST rotate into the window next round —
@@ -540,6 +546,7 @@ _WINDOW: list[str] = [
 # BPE trainer, rows-only) added after the r6 window locked.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
+    "q_quality_buckets",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
