@@ -1616,3 +1616,35 @@ def test_documents_corpus_is_ascii(spark):
         F.octet_length("text") != F.length("text")
     ).count()
     assert non_ascii == 0
+
+
+def test_remove_duplicate_spans_any_alignment_keep_first(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    # k=3 grams. Doc 2 repeats doc 1's "b c d" at an UNALIGNED offset
+    # (position 1) — exactly the case the window-aligned span_dedup
+    # misses; doc 1 holds the first occurrence and must keep all
+    # tokens. Doc 3 duplicates a gram WITHIN itself. Doc 4 is shorter
+    # than k and must pass through untouched.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # grams: "a b c","b c d","c d e"
+            (2, "x b c d y"),          # its "b c d" is a later occurrence
+            (3, "p q r p q r"),        # self-duplicate "p q r" (pos 0 & 3)
+            (4, "u v"),                # shorter than k -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, k=3).collect()
+    }
+    assert rows[1]["text_clean"] == "a b c d e" and rows[1]["n_removed"] == 0
+    # doc 2 loses positions 1..3 (the covered b c d), keeps x and y
+    assert rows[2]["text_clean"] == "x y" and rows[2]["n_removed"] == 3
+    # doc 3: dup instance at start 3 covers 3..5; the overlapping
+    # middle grams "q r p"/"r p q" are unique so only the repeat goes
+    assert rows[3]["text_clean"] == "p q r" and rows[3]["n_removed"] == 3
+    assert rows[4]["text_clean"] == "u v" and rows[4]["n_removed"] == 0
+    assert all(r["n_removed"] <= r["n_tokens"] for r in rows.values())

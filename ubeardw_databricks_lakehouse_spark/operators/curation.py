@@ -304,6 +304,81 @@ def bigram_logprob_score(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Token-level duplicate-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at
+    ``k``-gram granularity: every SLIDING window of ``k`` consecutive
+    tokens that occurs more than once corpus-wide keeps only its first
+    occurrence (first = min (doc, start) order); all token positions
+    covered by a later occurrence are deleted and the surviving tokens
+    reassembled. Unlike :func:`span_dedup` (window-ALIGNED segments,
+    the C4 line-dedup shape), this catches duplicated substrings at ANY
+    alignment — the suffix-array use case, served here by rolling
+    windows instead of a suffix array (the distributed-friendly form).
+
+    Returns (id, n_tokens, n_removed, text_clean).
+
+    100 TB shape: gram construction is a map-only slice+zip with
+    positions; the first-occurrence pick is a groupBy-min on the gram
+    (an agg, not a window — hot boilerplate grams collapse map-side);
+    coverage expansion explodes at most k offsets per DUPLICATE
+    instance (tracks duplication mass, not corpus size); the removal
+    is one anti-join on (doc, position) and one per-doc reassembly
+    groupBy. Nothing collects to the driver.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    grams = toked.select(
+        id_col, F.posexplode(ngram_list(F.col("_toks"), k)).alias("start", "g")
+    )
+    # packed (doc, start) ordinal: one BIGINT min instead of a struct
+    # min — same comparator on both engines (docs are far below the
+    # 1e6-token bound; the guard keeps silent wraparound impossible)
+    ordc = (F.col(id_col) * F.lit(1_000_000) + F.col("start")).alias("ord")
+    occ = grams.select("g", ordc)
+    firsts = occ.groupBy("g").agg(
+        F.min("ord").alias("first_ord"), F.count("*").alias("n_occ")
+    )
+    dup_inst = (
+        grams.select(id_col, "start", "g", ordc)
+        .join(firsts.where(F.col("n_occ") > 1), "g")
+        .where(F.col("ord") != F.col("first_ord"))
+    )
+    covered = dup_inst.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = toked.select(id_col, F.posexplode("_toks").alias("pos", "tok"))
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = toked.select(
+        id_col, F.size("_toks").cast("bigint").alias("n_tokens")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def ccnet_quality_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -510,6 +510,77 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q_dup_span_removal: Lee-et-al-2022 duplicate-substring removal at
+# sliding 8-gram granularity — keep the corpus-wide first occurrence of
+# every duplicated 8-token window, delete the positions covered by
+# later occurrences, reassemble. The any-alignment companion to
+# q_span_dedup's aligned windows. Oracle builds the same grams with a
+# LEAD chain and replays first-pick/coverage/anti-join exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import remove_duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8)
+
+
+Q_DUP_SPAN_REMOVAL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST(words) AS tk,
+    GENERATE_SUBSCRIPTS(words, 1) AS pos
+  FROM w
+),
+grams AS (
+  SELECT doc_id, pos,
+    tk || ' ' || LEAD(tk, 1) OVER wd || ' ' || LEAD(tk, 2) OVER wd
+       || ' ' || LEAD(tk, 3) OVER wd || ' ' || LEAD(tk, 4) OVER wd
+       || ' ' || LEAD(tk, 5) OVER wd || ' ' || LEAD(tk, 6) OVER wd
+       || ' ' || LEAD(tk, 7) OVER wd AS g,
+    doc_id * 1000000 + pos AS ord
+  FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(tk, 7) OVER wd IS NOT NULL
+),
+firsts AS (
+  SELECT g, MIN(ord) AS first_ord, COUNT(*) AS n_occ FROM grams GROUP BY g
+),
+dup_inst AS (
+  SELECT grams.doc_id, grams.pos
+  FROM grams JOIN firsts USING (g)
+  WHERE n_occ > 1 AND ord <> first_ord
+),
+covered AS (
+  SELECT DISTINCT doc_id, UNNEST(GENERATE_SERIES(pos, pos + 7)) AS pos
+  FROM dup_inst
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok ANTI JOIN covered
+    ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+),
+reassembled AS (
+  SELECT doc_id,
+    COUNT(*) AS n_kept,
+    STRING_AGG(tk, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(LEN(words) AS BIGINT) AS n_tokens FROM w
+)
+SELECT totals.doc_id, totals.n_tokens,
+  CAST(totals.n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(text_clean, '') AS text_clean
+FROM totals LEFT JOIN reassembled ON totals.doc_id = reassembled.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_quality_buckets: CCNet's head/middle/tail carve — per-language
 # quality terciles of the unigram-LM score (ntile over a per-lang
 # window), summarized per (lang, tier). The step between scoring and

@@ -486,6 +486,11 @@ QUERIES: list[QueryDef] = [
              "CCNet head/middle/tail carve: per-language quality "
              "terciles of the unigram-LM score (ntile per-lang window) "
              "summarized per (lang, tier)"),
+    QueryDef("q_dup_span_removal", curation_q.q_dup_span_removal,
+             curation_q.Q_DUP_SPAN_REMOVAL_SQL,
+             "Lee-et-al duplicate-substring removal: sliding 8-gram "
+             "first-occurrence keep, position-coverage delete, "
+             "reassembly (any-alignment companion to q_span_dedup)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -546,7 +551,7 @@ _WINDOW: list[str] = [
 # BPE trainer, rows-only) added after the r6 window locked.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
-    "q_quality_buckets",
+    "q_quality_buckets", "q_dup_span_removal",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
