@@ -63,10 +63,13 @@ HEADLINE = [
     "q_pagerank_trading_fast",
     "q_embedding_topk_ivfpq_search",
     # r6 additions: the hybrid-retrieval fusion (BM25 + dense legs +
-    # RRF merge in one plan) and the order-2 LM quality score (heaviest
-    # of the corpus-model scores: corpus-wide bigram model + equi-join).
+    # RRF merge in one plan), the order-2 LM quality score (heaviest
+    # of the corpus-model scores: corpus-wide bigram model + equi-join),
+    # and sliding-gram duplicate-substring removal (the positional
+    # dedup pass: gram agg + coverage explode + (doc,pos) anti-join).
     "q_hybrid_search_rrf",
     "q_bigram_lm",
+    "q_dup_span_removal",
 ]
 
 
