@@ -1648,3 +1648,35 @@ def test_remove_duplicate_spans_any_alignment_keep_first(spark):
     assert rows[3]["text_clean"] == "p q r" and rows[3]["n_removed"] == 3
     assert rows[4]["text_clean"] == "u v" and rows[4]["n_removed"] == 0
     assert all(r["n_removed"] <= r["n_tokens"] for r in rows.values())
+
+
+def test_cms_never_undercounts_and_small_sketch_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    keys = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 1], ["key"]
+    )
+    truth = {"a": 5, "b": 3, "c": 1}
+    cands = spark.createDataFrame([(k,) for k in truth], ["key"])
+    # wide sketch: 3 keys in 4x512 cells collide with probability ~0 —
+    # every estimate must be exact
+    wide = cms_estimate(cms_build(keys), cands)
+    assert {r["key"]: r["cms_estimate"] for r in wide.collect()} == truth
+    # brutally narrow sketch (width=1): every row is one bucket holding
+    # the full stream -> estimate = 9 for every key, still never under
+    narrow = cms_estimate(
+        cms_build(keys, width=1), cands, width=1
+    ).collect()
+    assert all(r["cms_estimate"] == 9 for r in narrow)
+    # the general invariant on a mid-width sketch
+    mid = cms_estimate(cms_build(keys, width=2), cands, width=2).collect()
+    assert all(r["cms_estimate"] >= truth[r["key"]] for r in mid)
+    # unseen key estimates 0 (all its cells may be empty) or collides up
+    ghost = spark.createDataFrame([("zzz",)], ["key"])
+    g = cms_estimate(cms_build(keys), ghost).collect()[0]
+    assert g["cms_estimate"] >= 0

@@ -705,6 +705,81 @@ HAVING COUNT(*) >= 5
 """
 
 # ---------------------------------------------------------------------------
+# q_cms_heavy_hitters: Count-Min sketch frequency estimation for the
+# exact top-20 tokens — the fixed-size (D=4 x W=512 integer cells)
+# summary that replaces a full-key-space groupBy at 100 TB. Built on
+# the md5-salted bucket idiom, so every cell and estimate is a
+# deterministic integer: the sketch itself is oracle-checked (the
+# HLL/quantile profile stays rows-only; this one need not be).
+# Estimates can only OVER-count; the oracle replays build + min-probe.
+# ---------------------------------------------------------------------------
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("key"))
+    cells = cms_build(toks, depth=4, width=512)
+    top = (
+        toks.groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("key"))
+        .limit(20)
+    )
+    est = cms_estimate(cells, top.select("key"), depth=4, width=512)
+    return top.join(est, "key").select(
+        F.col("key").alias("token"),
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") == F.col("true_count")).alias("is_exact"),
+    )
+
+
+Q_CMS_HEAVY_HITTERS_SQL = r"""
+WITH tok AS (
+  SELECT tok AS key
+  FROM documents,
+    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> ''))
+      AS u(tok)
+),
+pairs AS (
+  SELECT j AS row,
+    CAST(('0x' || substr(md5('r' || j || ':' || key), 1, 15)) AS BIGINT)
+      % 512 AS bucket
+  FROM tok, UNNEST([0, 1, 2, 3]) AS d(j)
+),
+cells AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY row, bucket
+),
+top AS (
+  SELECT key, true_count FROM (
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS true_count,
+      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, key) AS rn
+    FROM tok GROUP BY key
+  ) WHERE rn <= 20
+),
+probes AS (
+  SELECT key, j AS row,
+    CAST(('0x' || substr(md5('r' || j || ':' || key), 1, 15)) AS BIGINT)
+      % 512 AS bucket
+  FROM top, UNNEST([0, 1, 2, 3]) AS d(j)
+),
+est AS (
+  SELECT probes.key,
+    CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY probes.key
+)
+SELECT top.key AS token, top.true_count, est.cms_estimate,
+  est.cms_estimate = top.true_count AS is_exact
+FROM top JOIN est ON top.key = est.key
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_label_centroids: per-label embedding centroid via posexplode +
 # exact decimal sums — the array-aggregation idiom for cluster stats.
 # ---------------------------------------------------------------------------

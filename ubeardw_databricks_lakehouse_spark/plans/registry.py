@@ -491,6 +491,11 @@ QUERIES: list[QueryDef] = [
              "Lee-et-al duplicate-substring removal: sliding 8-gram "
              "first-occurrence keep, position-coverage delete, "
              "reassembly (any-alignment companion to q_span_dedup)"),
+    QueryDef("q_cms_heavy_hitters", llm_q.q_cms_heavy_hitters,
+             llm_q.Q_CMS_HEAVY_HITTERS_SQL,
+             "Count-Min sketch (D=4 x W=512, md5-salted rows) point "
+             "estimates for the exact top-20 tokens — deterministic "
+             "integer cells, oracle-checked sketch"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -551,7 +556,7 @@ _WINDOW: list[str] = [
 # BPE trainer, rows-only) added after the r6 window locked.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
-    "q_quality_buckets", "q_dup_span_removal",
+    "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
