@@ -1,27 +1,61 @@
-"""Count-Min sketch (Cormode & Muthukrishnan 2005) — the fixed-size
-frequency summary for 100 TB token/key streams: D salted hash rows x W
-buckets of exact integer counts. Estimates only ever OVER-count
-(collisions add, never subtract), with error <= 2N/W at probability
-1 - (1/2)^D — the heavy-hitter / frequency-capping workhorse when an
-exact groupBy over the full key space is too wide to materialize.
+"""Sketch aggregations — the sub-linear-memory path for 100 TB stats.
 
-Unlike the HLL/quantile sketches (`q_approx_profile`, rows-only —
-estimates are implementation-defined), this CMS is built from the
-md5-salted bucket idiom the battery already uses for MinHash/DSIR, so
+Exact distinct counts and quantiles shuffle every distinct value; at
+corpus scale the right tool is a mergeable sketch: HyperLogLog++ for
+cardinality (``approx_count_distinct``), a quantile sketch for
+percentiles (``percentile_approx``), and a Count-Min sketch for
+frequency point queries. The Spark-built-in sketches run as partial
+aggregates — map-side sketches merge on the reduce side, so the
+shuffle carries kilobytes per group regardless of input size.
+
+HLL/quantile outputs are implementation-defined (engine-specific
+estimates), so those ops are pytest-bounded against exact answers
+rather than DuckDB-hash-checked; the registry query is rows-only by
+design. The Count-Min sketch below is different: built from the
+md5-salted bucket idiom the battery already uses for MinHash/DSIR,
 every cell and every estimate is a deterministic integer both engines
-reproduce exactly — the sketch itself is oracle-checkable.
-
-Scale shape: the build is ONE map-only pass (each key occurrence
-explodes into its D (row, bucket) pairs) into ONE groupBy whose output
-is D*W cells — map-side combinable, and the result is kilobytes
-regardless of corpus size. Estimation broadcasts the cell table and
-touches only the candidate keys.
+reproduce exactly — that sketch IS oracle-checkable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def approx_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group HLL cardinality + approximate quantiles in one pass."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias(
+            f"approx_distinct_{distinct_col}"
+        ),
+        F.percentile_approx(
+            quantile_col, list(quantiles), 10_000
+        ).alias(f"approx_quantiles_{quantile_col}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): D salted hash rows x
+# W buckets of exact integer counts. Estimates only ever OVER-count
+# (collisions add, never subtract), with error <= 2N/W at probability
+# 1 - (1/2)^D — the heavy-hitter / frequency-capping workhorse when an
+# exact groupBy over the full key space is too wide to materialize.
+#
+# Scale shape: the build is ONE map-only pass (each key occurrence
+# explodes into its D (row, bucket) pairs) into ONE groupBy whose
+# output is D*W cells — map-side combinable, and the result is
+# kilobytes regardless of corpus size. Estimation broadcasts the cell
+# table and touches only the candidate keys.
+# ---------------------------------------------------------------------------
 
 DEPTH = 4
 WIDTH = 512
