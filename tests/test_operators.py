@@ -1680,3 +1680,21 @@ def test_cms_never_undercounts_and_small_sketch_is_exact(spark):
     ghost = spark.createDataFrame([("zzz",)], ["key"])
     g = cms_estimate(cms_build(keys), ghost).collect()[0]
     assert g["cms_estimate"] >= 0
+
+
+def test_winsorize_summary_hand_case(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.stats import (
+        winsorize_summary,
+    )
+
+    # group g: values 1..10 with p10/p90 = 1.9 / 9.1 (linear interp);
+    # exactly one value clamps at each side
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], ["grp", "value"]
+    )
+    r = winsorize_summary(df, "value", "grp", lower=0.1, upper=0.9).collect()[0]
+    assert r["n"] == 10
+    assert abs(r["p_lo"] - 1.9) < 1e-12 and abs(r["p_hi"] - 9.1) < 1e-12
+    assert r["n_clipped_low"] == 1 and r["n_clipped_high"] == 1
+    # winsorized sum: 1.9 + 2..9 + 9.1 = 55
+    assert abs(r["sum_winsorized"] - 55.0) < 1e-9

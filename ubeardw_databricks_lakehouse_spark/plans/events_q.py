@@ -331,6 +331,45 @@ WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# q_winsorized_stats: percentile outlier clipping (winsorization) of
+# event values per event_type — the robust-stats cleaning pass before a
+# numeric column feeds training. Spark's exact percentile() and
+# DuckDB's PERCENTILE_CONT share the linear-interpolation definition
+# bit-for-bit (probed), so boundaries, clip counts, and the
+# DECIMAL-policy winsorized mass are all oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import winsorize_summary
+
+    ev = t(spark, sf_dir, "events")
+    return winsorize_summary(ev, "value", "event_type")
+
+
+Q_WINSORIZED_STATS_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+    PERCENTILE_CONT(0.01) WITHIN GROUP (ORDER BY value) AS p_lo,
+    PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY value) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(p_lo) AS p_lo,
+  MIN(p_hi) AS p_hi,
+  CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_high,
+  CAST(SUM(CAST(ROUND(LEAST(GREATEST(value, p_lo), p_hi), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+FROM events e JOIN bounds USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_event_quantiles: exact discrete quantiles per group via grouped
 # applyInPandas (SURVEY §2.9 extension — custom grouped aggregation the
 # built-ins don't express exactly). Oracle: DuckDB quantile_disc.

@@ -496,6 +496,11 @@ QUERIES: list[QueryDef] = [
              "Count-Min sketch (D=4 x W=512, md5-salted rows) point "
              "estimates for the exact top-20 tokens — deterministic "
              "integer cells, oracle-checked sketch"),
+    QueryDef("q_winsorized_stats", events_q.q_winsorized_stats,
+             events_q.Q_WINSORIZED_STATS_SQL,
+             "percentile outlier clipping (winsorize p01/p99 per "
+             "event_type): exact-percentile bounds, clip counts, "
+             "DECIMAL-policy winsorized mass"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -557,6 +562,7 @@ _WINDOW: list[str] = [
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
+    "q_winsorized_stats",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
