@@ -1698,3 +1698,29 @@ def test_winsorize_summary_hand_case(spark):
     assert r["n_clipped_low"] == 1 and r["n_clipped_high"] == 1
     # winsorized sum: 1.9 + 2..9 + 9.1 = 55
     assert abs(r["sum_winsorized"] - 55.0) < 1e-9
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_above(spark):
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    # group small: 10 distinct keys < k=64 -> sketch holds all, exact.
+    # group big: 500 distinct keys -> estimate within the ~1/sqrt(k-2)
+    # relative-error envelope (generous 3-sigma bound)
+    rows = [("small", i) for i in range(10) for _ in range(3)]
+    rows += [("big", i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    out = {r["grp"]: r for r in kmv_distinct(df, "key", "grp", k=64).collect()}
+    assert out["small"]["n_distinct_sketch"] == 10
+    assert out["small"]["kmv_estimate"] == 10.0
+    assert out["big"]["n_distinct_sketch"] == 64
+    est = out["big"]["kmv_estimate"]
+    assert abs(est - 500) / 500 < 3 / (62 ** 0.5)
+    # determinism: rerun is bit-identical (md5 sketch, no RNG)
+    again = {
+        r["grp"]: r for r in kmv_distinct(df, "key", "grp", k=64).collect()
+    }
+    assert again["big"]["kmv_estimate"] == est

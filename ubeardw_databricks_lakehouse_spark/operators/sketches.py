@@ -98,6 +98,55 @@ def cms_build(
     )
 
 
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values cardinality sketch (Bar-Yossef et al. 2002) —
+    the deterministic counterpart to the HLL profile: hash every key to
+    a uniform fraction in [0,1) (md5 idiom), keep each group's ``k``
+    smallest DISTINCT hash values, and estimate distinct count as
+    ``(k-1) / h_k`` where ``h_k`` is the k-th smallest fraction. Groups
+    with fewer than ``k`` distinct keys report their exact count (the
+    sketch holds every hash). Because the hash is md5, the estimate is
+    a deterministic double both engines reproduce bit-for-bit — unlike
+    ``approx_count_distinct``'s engine-private HLL, this sketch is
+    oracle-checkable.
+
+    Returns (group, n_distinct_sketch, kmv_estimate): the number of
+    retained hashes and the estimate (DOUBLE).
+
+    Scale shape: one (group, hash) distinct (map-side combinable — the
+    whole point is collapsing repeats early), one per-GROUP window for
+    the k smallest (partitioned by the parallelism key, never global),
+    one tiny per-group fold. The retained state is k hashes per group
+    regardless of stream size — the mergeable-summary property that
+    lets 1000 executors sketch shards independently.
+    """
+    from pyspark.sql.window import Window
+
+    frac = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(16**15))
+    ).alias("h")
+    hashes = df.select(F.col(group_col), frac).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    mins = hashes.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    return mins.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_distinct_sketch"),
+        F.when(
+            F.count("*") < k, F.count("*").cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / F.max("h"))
+        .alias("kmv_estimate"),
+    )
+
+
 def cms_estimate(
     cells: DataFrame,
     candidates: DataFrame,

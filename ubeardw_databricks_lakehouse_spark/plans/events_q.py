@@ -370,6 +370,58 @@ GROUP BY e.event_type
 
 
 # ---------------------------------------------------------------------------
+# q_kmv_distinct: deterministic cardinality sketch — KMV (k minimum
+# md5-hash values) distinct-user estimate per event_type, reported next
+# to the exact count. The oracle-checkable counterpart to the rows-only
+# HLL profile: md5 fractions are bit-identical cross-engine, so the
+# ESTIMATE itself is exact-checked, and the estimate-vs-truth gap is
+# visible in the row.
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    ev = t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    est = kmv_distinct(ev, "user_id", "event_type", k=64)
+    return exact.join(est, "event_type")
+
+
+Q_KMV_DISTINCT_SQL = """
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / CAST(POWER(16, 15) AS DOUBLE) AS h
+  FROM events
+),
+mins AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= 64
+),
+sk AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_sketch,
+    CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE CAST(63 AS DOUBLE) / MAX(h) END AS kmv_estimate
+  FROM mins GROUP BY event_type
+),
+exact AS (
+  SELECT event_type,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT exact.event_type, exact_distinct, n_distinct_sketch, kmv_estimate
+FROM exact JOIN sk ON exact.event_type = sk.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_event_quantiles: exact discrete quantiles per group via grouped
 # applyInPandas (SURVEY §2.9 extension — custom grouped aggregation the
 # built-ins don't express exactly). Oracle: DuckDB quantile_disc.

@@ -501,6 +501,11 @@ QUERIES: list[QueryDef] = [
              "percentile outlier clipping (winsorize p01/p99 per "
              "event_type): exact-percentile bounds, clip counts, "
              "DECIMAL-policy winsorized mass"),
+    QueryDef("q_kmv_distinct", events_q.q_kmv_distinct,
+             events_q.Q_KMV_DISTINCT_SQL,
+             "KMV (k-minimum md5 values) cardinality sketch vs exact "
+             "distinct per event_type — the deterministic, "
+             "oracle-checked counterpart to the rows-only HLL profile"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -562,7 +567,7 @@ _WINDOW: list[str] = [
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
-    "q_winsorized_stats",
+    "q_winsorized_stats", "q_kmv_distinct",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
