@@ -299,3 +299,53 @@ def test_gapfill_window_is_key_partitioned(spark):
     assert "Window" in p
     # the window spec right after the Window operator must carry the key
     assert "user_id" in p.split("Window")[1][:400]
+
+
+def test_cms_and_kmv_sketch_plans(spark):
+    """The sketch family's 100 TB claims: the CMS estimate joins the
+    tiny cell table by BROADCAST (never shuffling candidates against a
+    2k-row summary), and the KMV window partitions by the GROUP key —
+    no single-partition global sort anywhere in either sketch."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_kmv_distinct,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        q_cms_heavy_hitters,
+    )
+
+    cms = _plan(q_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in cms
+    assert "CartesianProduct" not in cms
+    kmv = _plan(q_kmv_distinct(spark, SF))
+    assert "CartesianProduct" not in kmv
+    # the k-smallest window must hash-partition on event_type, not
+    # collapse to a single partition
+    assert "hashpartitioning(event_type" in kmv
+
+
+def test_winsorize_bounds_broadcast_no_resort(spark):
+    """The percentile-bounds table (|groups| rows) must broadcast back
+    onto the value stream; the clip pass may not re-sort the values."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_winsorized_stats,
+    )
+
+    p = _plan(q_winsorized_stats(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_span_removal_gram_agg_partial_and_no_cartesian(spark):
+    """Duplicate-substring removal: the gram first-pick must be a
+    partial (map-side-combinable) aggregation keyed on the gram — not a
+    window over hot grams — and no stage may cartesian."""
+    from ubeardw_databricks_lakehouse_spark.plans.curation_q import (
+        q_dup_span_removal,
+    )
+
+    p = _plan(q_dup_span_removal(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p or "partial_count" in p or "HashAggregate" in p
+    # keep-first is an agg, not a row_number over gram partitions
+    assert "row_number" not in p.lower()
