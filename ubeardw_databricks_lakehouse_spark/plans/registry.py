@@ -563,7 +563,13 @@ _WINDOW: list[str] = [
 # window so the next rotation promotes them, and that this list is
 # emptied at each rotation. r5: the r4 backlog of 24 rotated into the
 # window (contract honored). r6: q_bpe_encode (the encoder leg of the
-# BPE trainer, rows-only) added after the r6 window locked.
+# BPE trainer, rows-only) plus the eight late-r6 operators — hybrid RRF
+# search, bigram LM, MMR re-rank, CCNet quality buckets, duplicate-
+# substring removal, Count-Min heavy hitters, winsorization, KMV
+# distinct (all but MMR oracle-paired; every one green in the sf0.001 +
+# sf0.01 differentials this round) — added after the r6 window locked.
+# r7 demand check: 9 deferred + the 31-entry r4-latest staleness tier
+# = 40 of 50 slots.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
