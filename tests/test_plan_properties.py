@@ -349,3 +349,38 @@ def test_dup_span_removal_gram_agg_partial_and_no_cartesian(spark):
     assert "partial_min" in p or "partial_count" in p or "HashAggregate" in p
     # keep-first is an agg, not a row_number over gram partitions
     assert "row_number" not in p.lower()
+
+
+def test_tpch_completions_broadcast_dims_no_smj(spark):
+    """q02/q11/q16/q20 (the adapted TPC-H completions): every dim side
+    broadcasts, nothing sort-merges, nothing cartesians except q11's
+    deliberate 1-row scalar-threshold broadcast join."""
+    from ubeardw_databricks_lakehouse_spark.plans import relational as R
+
+    for fn in (
+        R.q02_min_cost_supplier, R.q16_supplier_diversity,
+        R.q20_dominant_suppliers,
+    ):
+        p = _plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in p, fn.__name__
+        assert "SortMergeJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+    # q11: the global threshold joins as a 1-row broadcast nested loop —
+    # that's the decorrelation, not a data cartesian
+    p = _plan(R.q11_important_parts(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_per_part_total_is_window_not_self_join(spark):
+    """The per-part 1997 total must come from a window sum over the
+    grouped result (one exchange), not an agg-to-agg self-join."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q20_dominant_suppliers,
+    )
+
+    p = _plan(q20_dominant_suppliers(spark, SF))
+    assert "Window" in p
+    # exactly one scan of lineitem: the decorrelated-join form reads it
+    # once too, but the window form must not regress to two
+    assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2

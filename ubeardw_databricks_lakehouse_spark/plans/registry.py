@@ -506,6 +506,28 @@ QUERIES: list[QueryDef] = [
              "KMV (k-minimum md5 values) cardinality sketch vs exact "
              "distinct per event_type — the deterministic, "
              "oracle-checked counterpart to the rows-only HLL profile"),
+    # -- the four TPC-H numbers the battery was missing (02/11/16/20),
+    # -- adapted to this schema's lineitem-as-partsupp bridge; with
+    # -- these the full classic 22 are covered (q01..q22).
+    QueryDef("q02_min_cost_supplier", relational.q02_min_cost_supplier,
+             relational.Q02_SQL,
+             "adapted TPC-H Q02: cheapest EUROPE supplier per STANDARD "
+             "part (per-part window min with suppkey tiebreak, "
+             "decorrelated from the classic correlated MIN)"),
+    QueryDef("q11_important_parts", relational.q11_important_parts,
+             relational.Q11_SQL,
+             "adapted TPC-H Q11: parts above 0.1% of ASIA-region "
+             "revenue — global scalar threshold via 1-row broadcast, "
+             "decimal-exact two-level total"),
+    QueryDef("q16_supplier_diversity", relational.q16_supplier_diversity,
+             relational.Q16_SQL,
+             "adapted TPC-H Q16: distinct-supplier counts per part spec "
+             "with a NOT-IN denylist (left-anti) over deficit suppliers"),
+    QueryDef("q20_dominant_suppliers", relational.q20_dominant_suppliers,
+             relational.Q20_SQL,
+             "adapted TPC-H Q20: AMERICA suppliers shipping >50% of a "
+             "red part's 1997 volume (nested correlated agg "
+             "decorrelated into two-level grouped sums)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -568,12 +590,17 @@ _WINDOW: list[str] = [
 # substring removal, Count-Min heavy hitters, winsorization, KMV
 # distinct (all but MMR oracle-paired; every one green in the sf0.001 +
 # sf0.01 differentials this round) — added after the r6 window locked.
-# r7 demand check: 9 deferred + the 31-entry r4-latest staleness tier
-# = 40 of 50 slots.
+# ... and the four adapted TPC-H completions (q02/q11/q16/q20 — the
+# battery now covers the classic 22 end-to-end), likewise added after
+# the lock and green in both differentials.
+# r7 demand check: 13 deferred + the 31-entry r4-latest staleness tier
+# = 44 of 50 slots.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
     "q_winsorized_stats", "q_kmv_distinct",
+    "q02_min_cost_supplier", "q11_important_parts",
+    "q16_supplier_diversity", "q20_dominant_suppliers",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -1826,3 +1826,280 @@ FROM customer
 WHERE c_mktsegment <> 'AUTOMOBILE'
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# q02 min-cost supplier (adapted TPC-H Q02 — this schema has no partsupp,
+# so "supply cost" is the observed unit sale price per (part, supplier)
+# from lineitem). For every STANDARD part up to size 15 sold by a
+# EUROPE-region supplier, pick the cheapest such supplier (row_number
+# with a suppkey tiebreak — the classic correlated MIN decorrelated into
+# a per-part window). Mirrors reference/warehouse Q02 semantics
+# (SURVEY.md §2.3 J2/W1).
+#
+# Scale: lineitem is the only big table — one groupBy shuffle on
+# (partkey, suppkey); part/supplier/nation/region all broadcast; the
+# per-part window re-uses the partkey hash partitioning (no extra
+# exchange beyond the window sort).
+# ---------------------------------------------------------------------------
+
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_eu), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "p_name", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                 F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q02_SQL = """
+WITH cost AS (
+  SELECT l_partkey, p_name, l_suppkey, s_name, s_acctbal, n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY l_partkey, p_name, l_suppkey, s_name, s_acctbal, n_name
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rn
+  FROM cost
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM (
+  SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name, unit_cost,
+    ROW_NUMBER() OVER (
+      ORDER BY s_acctbal DESC, n_name, s_name, l_partkey) AS rk
+  FROM best WHERE rn = 1
+)
+WHERE rk <= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 important parts (adapted TPC-H Q11 — value held in a region's
+# supplier network instead of partsupp stock): per-part revenue through
+# ASIA-region suppliers, keeping parts above 0.1% of the regional total.
+# The global scalar is a 1-row broadcast cross-join, never a collect.
+#
+# Scale: one groupBy(partkey) shuffle over the filtered lineitem; the
+# grand total re-aggregates the small per-part result (second shuffle is
+# over |parts| rows, not |lineitem|); threshold compare is map-side.
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup_asia = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    # Carry the per-part sum as exact DECIMAL through BOTH aggregation
+    # levels (re-casting the surfaced double back to decimal would hit
+    # engine-specific double->decimal rounding); the only double casts
+    # are the two surface ones, applied to identical exact rationals.
+    per_part_dec = (
+        li.join(F.broadcast(sup_asia), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(vol).alias("_value_dec"))
+    )
+    total = per_part_dec.agg(
+        F.sum("_value_dec").cast("double").alias("_total")
+    )
+    per_part = per_part_dec.select(
+        "p_partkey", F.col("_value_dec").cast("double").alias("value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("_total"))
+        .select("p_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+Q11_SQL = """
+WITH per_part_dec AS (
+  SELECT l_partkey AS p_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part_dec
+WHERE CAST(value_dec AS DOUBLE) > CAST(0.001 AS DOUBLE) * (
+  SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part_dec)
+ORDER BY value DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 supplier diversity (adapted TPC-H Q16 — observed suppliers per part
+# spec from lineitem instead of partsupp; the "complaints" exclusion is
+# suppliers in deficit, s_acctbal < 0): distinct supplier counts per
+# (brand, type, size) for selected sizes, excluding Brand#5 and PROMO.
+#
+# Scale: broadcast the part filter and the (tiny) deficit-supplier
+# denylist as a left-anti join; count_distinct runs as the standard
+# two-level partial-distinct aggregate — one shuffle on the group key.
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = [1, 4, 9, 16, 25, 36, 49]
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(_Q16_SIZES)
+    )
+    deficit = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(deficit), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 dominant suppliers (adapted TPC-H Q20 — "excess stock" becomes
+# market dominance: AMERICA-region suppliers who shipped more than half
+# of a red part's total 1997 volume). The classic nested IN-with-
+# correlated-agg decorrelates into two aggregates joined on partkey.
+#
+# Scale: one (partkey, suppkey) groupBy shuffle on the date+name-pruned
+# lineitem; the per-part total re-aggregates that small result; the
+# region filter broadcasts. DISTINCT output is over ≤|suppliers| rows.
+# ---------------------------------------------------------------------------
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red "))
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sup_am = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    # Exact DECIMAL carried through both aggregation levels; doubles
+    # only at the surface (see q11's determinism note). The per-part
+    # total is an unbounded window sum over the SAME grouped result —
+    # one exchange on the grouped keys, no agg-to-agg self-join (the
+    # naive decorrelation costs a SortMergeJoin here).
+    per_ps_dec = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty_dec"))
+    )
+    w = Window.partitionBy("l_partkey")
+    shares = per_ps_dec.select(
+        "l_suppkey",
+        F.col("_qty_dec").cast("double").alias("supp_qty"),
+        F.sum("_qty_dec").over(w).cast("double").alias("part_qty"),
+    )
+    return (
+        shares.filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .join(F.broadcast(sup_am), shares.l_suppkey == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH per_ps_dec AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), shares AS (
+  SELECT l_suppkey, CAST(qty_dec AS DOUBLE) AS supp_qty,
+    CAST(SUM(qty_dec) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+  FROM per_ps_dec
+)
+SELECT DISTINCT s_name, n_name
+FROM shares
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE supp_qty > CAST(0.5 AS DOUBLE) * part_qty AND r_name = 'AMERICA'
+ORDER BY s_name
+"""
