@@ -384,3 +384,40 @@ def test_q20_per_part_total_is_window_not_self_join(spark):
     # exactly one scan of lineitem: the decorrelated-join form reads it
     # once too, but the window form must not regress to two
     assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2
+
+
+def test_triangle_query_no_cartesian_one_scalar_broadcast(spark):
+    """The triangle pipeline is equi-joins end to end: the only
+    nested-loop is the deliberate 1-row mean-weight threshold
+    broadcast; the wedge self-join and closing join must hash."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_triangle_suppliers,
+    )
+
+    p = _plan(q_triangle_suppliers(spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_fuzzy_match_verify_is_post_blocking_join(spark):
+    """levenshtein must verify within blocks (equi-join on the blocking
+    key), never all-pairs: no cartesian, and the join is hash-based."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_fuzzy_part_match,
+    )
+
+    p = _plan(q_fuzzy_part_match(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p.lower()
+
+
+def test_value_histogram_bounds_broadcast(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_value_histogram,
+    )
+
+    p = _plan(q_value_histogram(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -255,3 +255,55 @@ def test_interpolate_linear_midpoints(spark):
     assert got["2024-01-02"] == (20.0, False)
     assert got["2024-01-03"] == (30.0, False)
     assert got["2024-01-04"] == (40.0, True)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_k4_and_path(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4: every node sits in C(3,2)=3 triangles; 4 triangles total
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a path has no triangles -> empty result
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    assert triangle_counts(path).count() == 0
+
+
+def test_triangle_counts_ignores_direction_dups_and_loops(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # one triangle fed as a messy multigraph: reversed edges, repeats,
+    # and a self-loop must not change the count
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(messy).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_hub_graph_string_nodes(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # hub h connected to 5 spokes, spokes s0-s1 and s2-s3 closed:
+    # 2 triangles; h in both, each closing spoke in exactly one.
+    edges = [("h", f"s{i}") for i in range(5)] + [("s0", "s1"), ("s2", "s3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"h": 2, "s0": 1, "s1": 1, "s2": 1, "s3": 1}

@@ -1,5 +1,6 @@
 """Graph analytics over warehouse relations: PageRank on the
-customer–supplier trading graph.
+customer–supplier trading graph, and triangle counting on unipartite
+projections (supplier co-supply).
 
 Companion to the connected-components engines in `operators/dedup`
 (label propagation, large-star/small-star): CC answers "which rows are
@@ -138,3 +139,74 @@ def pagerank(
         if (it + 1) % 5 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").cast(out_type).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts: (node, triangles).
+
+    The classic distributed triangle counter done skew-aware: every
+    undirected edge is ORIENTED from its lower-(degree, id) endpoint
+    to its higher one, wedges are enumerated only at each edge's
+    lower endpoint, and a candidate closing pair is confirmed with
+    one equi-join back against the oriented edge set. Counts are
+    orientation-invariant, so ANY deterministic orientation gives the
+    same answer — degree ordering is purely the scale choice: a
+    degree-d hub generates O(d^2) wedge candidates under naive id
+    ordering, while degree orientation bounds every node's out-degree
+    by O(sqrt(|E|)) (arboricity), which is what keeps the wedge
+    explosion polynomial on power-law graphs at 100 TB.
+
+    Plan shape: one distinct (shuffle on the canonical edge), one
+    degree groupBy, two node-keyed joins to fold degrees onto
+    endpoints (AQE broadcasts the degree table when small), ONE
+    self-join on the wedge pivot `u`, one closing equi-join, and the
+    final count groupBy. No driver-side state, no iteration.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = und.join(da, "a").join(db, "b")
+    # orient low-(deg, id) -> high; struct comparison is lexicographic
+    lower_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "deg_v"
+        ),
+    ).localCheckpoint(eager=True)  # reused 3x below (wedge x2 + closure)
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("deg_v").alias("deg_x")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("deg_v").alias("deg_y")
+    )
+    # wedge (x, y) at pivot u, canonicalized by the SAME (deg, id)
+    # order as the orientation — so the closing edge, if present, is
+    # stored exactly as (x -> y) in `oriented`.
+    wedges = e1.join(e2, "u").filter(
+        F.struct("deg_x", "x") < F.struct("deg_y", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

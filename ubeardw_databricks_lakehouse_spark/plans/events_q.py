@@ -1100,3 +1100,113 @@ SELECT user_id, CAST(day AS DATE) AS day,
   bucket_value IS NOT NULL AS observed
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# q_event_transitions: first-order Markov transition matrix over each
+# user's event sequence (extension — sequence mining: the "what do
+# users do next" shape behind funnel design and next-event models).
+# lag over (user_id, ts) gives the (prev -> next) pairs; the
+# probability row-normalizes per prev state.
+#
+# Scale: one window shuffle on user_id (bounded per-user sequences),
+# then a groupBy over at most |types|^2 rows — the transition matrix
+# itself is tiny at any corpus size; the normalizing window runs over
+# those few rows, not the events.
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("transitions").cast("bigint").alias("transitions"),
+        (
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(norm).cast("double")
+        ).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+    LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, next_type, COUNT(*) AS transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(transitions AS BIGINT) AS transitions,
+  CAST(transitions AS DOUBLE) / CAST(SUM(transitions) OVER (
+    PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_value_histogram: per-type equi-width histogram of event values
+# (extension — the distribution-profiling shape behind data-quality
+# dashboards and drift monitors). Bounds come from a per-type min/max
+# agg joined back broadcast; the bucket index is pure row-local
+# arithmetic, clamped so value == max lands in the last bucket.
+# DuckDB (this build) lacks width_bucket, so BOTH engines compute the
+# identical FLOOR((v-mn)*10/(mx-mn)) expression — same IEEE ops, same
+# bits — rather than Spark's native width_bucket with subtly different
+# edge semantics.
+#
+# Scale: two scans of events (one agg, one bucketize) and a broadcast
+# join on the tiny bounds table; the groupBy output is |types| x 10.
+# ---------------------------------------------------------------------------
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            * F.lit(10.0)
+            / (F.col("mx") - F.col("mn"))
+        ).cast("int"),
+        F.lit(9),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("mx") > F.col("mn"))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q_VALUE_HISTOGRAM_SQL = """
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  LEAST(CAST(FLOOR((e.value - mn) * 10.0 / (mx - mn)) AS INT), 9) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events e JOIN bounds USING (event_type)
+WHERE mx > mn
+GROUP BY e.event_type, bucket
+ORDER BY event_type, bucket
+"""

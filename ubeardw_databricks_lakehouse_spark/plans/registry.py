@@ -528,6 +528,25 @@ QUERIES: list[QueryDef] = [
              "adapted TPC-H Q20: AMERICA suppliers shipping >50% of a "
              "red part's 1997 volume (nested correlated agg "
              "decorrelated into two-level grouped sums)"),
+    # -- late-r6 analytics batch 2: graph triangles, record linkage,
+    # -- sequence mining, distribution profiling.
+    QueryDef("q_triangle_suppliers", relational.q_triangle_suppliers,
+             relational.Q_TRIANGLE_SUPPLIERS_SQL,
+             "triangle counting on the supplier co-supply graph "
+             "(degree-oriented wedge join; completes the graph trio "
+             "with PageRank and connected components)"),
+    QueryDef("q_fuzzy_part_match", relational.q_fuzzy_part_match,
+             relational.Q_FUZZY_PART_MATCH_SQL,
+             "record linkage: noun-blocked levenshtein fuzzy join over "
+             "part names (blocking-key + verify, never all-pairs)"),
+    QueryDef("q_event_transitions", events_q.q_event_transitions,
+             events_q.Q_EVENT_TRANSITIONS_SQL,
+             "first-order Markov transition matrix over per-user event "
+             "sequences (lag window + row-normalized probabilities)"),
+    QueryDef("q_value_histogram", events_q.q_value_histogram,
+             events_q.Q_VALUE_HISTOGRAM_SQL,
+             "per-type equi-width value histogram (broadcast min/max "
+             "bounds + clamped bucket arithmetic)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -593,14 +612,19 @@ _WINDOW: list[str] = [
 # ... and the four adapted TPC-H completions (q02/q11/q16/q20 — the
 # battery now covers the classic 22 end-to-end), likewise added after
 # the lock and green in both differentials.
-# r7 demand check: 13 deferred + the 31-entry r4-latest staleness tier
-# = 44 of 50 slots.
+# ... and the late-r6 analytics batch 2 (triangle counting, fuzzy
+# record linkage, Markov event transitions, equi-width histograms) —
+# all four oracle-paired and green in both differentials.
+# r7 demand check: 17 deferred + the 31-entry r4-latest staleness tier
+# = 48 of 50 slots.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
     "q_winsorized_stats", "q_kmv_distinct",
     "q02_min_cost_supplier", "q11_important_parts",
     "q16_supplier_diversity", "q20_dominant_suppliers",
+    "q_triangle_suppliers", "q_fuzzy_part_match",
+    "q_event_transitions", "q_value_histogram",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

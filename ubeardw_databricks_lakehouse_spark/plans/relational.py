@@ -2103,3 +2103,132 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE supp_qty > CAST(0.5 AS DOUBLE) * part_qty AND r_name = 'AMERICA'
 ORDER BY s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# q_triangle_suppliers: triangle counting on the supplier co-supply
+# graph (extension — completes the graph-analytics trio with PageRank
+# and connected components; mirrors the reference's entity-importance
+# use, SURVEY.md §2.3 J2 over a derived relation). Edges connect two
+# suppliers whose shared-order count exceeds 1.05x the mean pair
+# weight (a scale-free cut: the raw projection of any hub-shaped
+# bipartite relation is near-complete, so thresholding on relative
+# co-occurrence is what keeps the graph sparse at any SF).
+#
+# Scale: the per-order supplier fan is bounded (TPC-H orders carry
+# <=7 lineitems), so the pair self-join is linear in lineitem; the
+# mean-weight cut is a 1-row broadcast; triangle_counts then runs the
+# degree-oriented wedge join (see operators/graph.py) — the oriented
+# out-degree is O(sqrt(E)) so no hub quadratic blowup.
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mean_w = pairs.agg(
+        (F.sum("cnt").cast("double") / F.count("*")).alias("_mean")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("cnt").cast("double") > F.lit(1.05) * F.col("_mean"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    return (
+        triangle_counts(edges)
+        .select("node", F.col("triangles").cast("bigint").alias("triangles"))
+        .orderBy(F.desc("triangles"), F.asc("node"))
+        .limit(50)
+    )
+
+
+Q_TRIANGLE_SUPPLIERS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+edges AS (
+  SELECT s1 AS a, s2 AS b FROM pairs
+  WHERE CAST(cnt AS DOUBLE) > 1.05 * (
+    SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) FROM pairs)
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+ORDER BY triangles DESC, node
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_fuzzy_part_match: record linkage / entity resolution (extension —
+# the fuzzy-join shape every dedup-adjacent warehouse needs): part
+# names blocked on their final token (the "noun" blocking key), then
+# verified with edit distance <= 4 — color/adjective variants of the
+# same product line ("red widget" ~ "blue widget").
+#
+# Scale: classic blocking-key design — levenshtein never runs
+# all-pairs; the block equi-join bounds candidates to within-block
+# pairs, and the verify is a map-side expression. Same architecture
+# as the MinHash->verify near-dup path (operators/dedup.py), applied
+# to short entity strings instead of documents.
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = names.select(
+        "p_name", F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk")
+    )
+    a = keyed.select(F.col("p_name").alias("name_a"), "blk")
+    b = keyed.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )
+
+
+Q_FUZZY_PART_MATCH_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+keyed AS (
+  SELECT p_name, regexp_extract(p_name, '([^ ]+)$', 1) AS blk FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY name_a, name_b
+"""
