@@ -70,6 +70,10 @@ HEADLINE = [
     "q_hybrid_search_rrf",
     "q_bigram_lm",
     "q_dup_span_removal",
+    # late-r6: the heaviest of the TPC-H completions (per-(part,supplier)
+    # groupBy over lineitem + per-part window min) — the join+window
+    # breadth anchor for the classic-22 battery.
+    "q02_min_cost_supplier",
 ]
 
 

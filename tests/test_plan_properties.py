@@ -370,6 +370,12 @@ def test_tpch_completions_broadcast_dims_no_smj(spark):
     p = _plan(R.q11_important_parts(spark, SF))
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    # the per-part aggregate is checkpointed and reused by BOTH the
+    # threshold branch and the output branch — lineitem must NOT be
+    # re-scanned in the final plan (ReuseExchange does not fire here;
+    # without the checkpoint the big table aggregates twice)
+    assert "lineitem" not in p
+    assert "ExistingRDD" in p or "LogicalRDD" in p
 
 
 def test_q20_per_part_total_is_window_not_self_join(spark):

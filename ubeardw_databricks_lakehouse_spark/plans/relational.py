@@ -1939,10 +1939,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # levels (re-casting the surfaced double back to decimal would hit
     # engine-specific double->decimal rounding); the only double casts
     # are the two surface ones, applied to identical exact rationals.
+    # localCheckpoint: the per-part aggregate feeds BOTH the threshold
+    # total and the output rows, and Spark's ReuseExchange does NOT
+    # canonicalize the two branches (alias exprIds differ), so without
+    # it lineitem is scanned+aggregated twice. Materializing |parts|
+    # rows once costs one small job and halves the big-table work —
+    # the decisive trade at 100 TB where lineitem is the 100 TB.
     per_part_dec = (
         li.join(F.broadcast(sup_asia), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(vol).alias("_value_dec"))
+        .localCheckpoint(eager=True)
     )
     total = per_part_dec.agg(
         F.sum("_value_dec").cast("double").alias("_total")
