@@ -547,6 +547,11 @@ QUERIES: list[QueryDef] = [
              events_q.Q_VALUE_HISTOGRAM_SQL,
              "per-type equi-width value histogram (broadcast min/max "
              "bounds + clamped bucket arithmetic)"),
+    QueryDef("q_entity_clusters", relational.q_entity_clusters,
+             relational.Q_ENTITY_CLUSTERS_SQL,
+             "entity resolution capstone: blocked fuzzy join -> "
+             "connected components -> canonical representative "
+             "(recursive-reachability oracle)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -613,10 +618,11 @@ _WINDOW: list[str] = [
 # battery now covers the classic 22 end-to-end), likewise added after
 # the lock and green in both differentials.
 # ... and the late-r6 analytics batch 2 (triangle counting, fuzzy
-# record linkage, Markov event transitions, equi-width histograms) —
-# all four oracle-paired and green in both differentials.
-# r7 demand check: 17 deferred + the 31-entry r4-latest staleness tier
-# = 48 of 50 slots.
+# record linkage, Markov event transitions, equi-width histograms,
+# entity-resolution clustering) — all five oracle-paired and green in
+# both differentials.
+# r7 demand check: 18 deferred + the 31-entry r4-latest staleness tier
+# = 49 of 50 slots.
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
@@ -625,6 +631,7 @@ _DEFERRED_NEW: list[str] = [
     "q16_supplier_diversity", "q20_dominant_suppliers",
     "q_triangle_suppliers", "q_fuzzy_part_match",
     "q_event_transitions", "q_value_histogram",
+    "q_entity_clusters",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

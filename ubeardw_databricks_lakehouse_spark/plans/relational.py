@@ -2239,3 +2239,75 @@ FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 ORDER BY name_a, name_b
 """
+
+
+# ---------------------------------------------------------------------------
+# q_entity_clusters: full entity-resolution pipeline (extension — the
+# capstone over q_fuzzy_part_match): blocking-key fuzzy join -> verified
+# match pairs -> connected components -> canonical representative per
+# cluster. The same block/verify/cluster architecture the near-dup
+# pipeline uses on documents (operators/dedup.py), applied to entity
+# strings — "red widget" / "blue widget" / "hot widget" collapse to one
+# canonical product line.
+#
+# Scale: the pair list is block-bounded (never all-pairs); min-label CC
+# converges in diameter rounds (entity-variant clusters are shallow);
+# cluster size + canonical pick are one groupBy + window over |entities|
+# rows. Oracle replays the clustering as a recursive reachability CTE.
+# ---------------------------------------------------------------------------
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = names.select(
+        "p_name", F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk")
+    )
+    a = keyed.select(F.col("p_name").alias("id_a"), "blk")
+    b = keyed.select(F.col("p_name").alias("id_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("id_a", "id_b") <= 4)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, names, id_col="p_name")
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("p_name").alias("entity"),
+        F.col("component").alias("cluster_rep"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("p_name") == F.col("component")).alias("is_canonical"),
+    ).orderBy("cluster_rep", "entity")
+
+
+Q_ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+keyed AS (
+  SELECT p_name, regexp_extract(p_name, '([^ ]+)$', 1) AS blk FROM names
+),
+pairs AS (
+  SELECT a.p_name AS id_a, b.p_name AS id_b
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT id_a AS v, id_b AS u FROM pairs
+  UNION ALL
+  SELECT id_b AS v, id_a AS u FROM pairs
+),
+reach(v, r) AS (
+  SELECT p_name, p_name FROM names
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.v
+),
+comp AS (
+  SELECT v AS entity, MIN(r) AS cluster_rep FROM reach GROUP BY v
+)
+SELECT entity, cluster_rep,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+  entity = cluster_rep AS is_canonical
+FROM comp
+ORDER BY cluster_rep, entity
+"""
