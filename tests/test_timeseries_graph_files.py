@@ -307,3 +307,41 @@ def test_triangle_counts_hub_graph_string_nodes(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {"h": 2, "s0": 1, "s1": 1, "s2": 1, "s3": 1}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """degree- and id-orientation must produce identical counts on a
+    graph with hubs, chains, and overlapping triangles."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(a, b) for a in range(3) for b in range(n) if a < b}  # 3 hubs
+    while len(edges) < 140:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    by_deg = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, orient="degree").collect()
+    }
+    by_id = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, orient="id").collect()
+    }
+    assert by_deg == by_id and sum(by_deg.values()) > 0
+
+
+def test_triangle_counts_rejects_unknown_orient(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        triangle_counts(df, orient="random").count()

@@ -141,29 +141,15 @@ def pagerank(
     return ranks.select("node", F.col("rank").cast(out_type).alias("rank"))
 
 
-def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+def _oriented_edges(
+    edges: DataFrame, src: str, dst: str, orient: str
 ) -> DataFrame:
-    """Per-node triangle participation counts: (node, triangles).
-
-    The classic distributed triangle counter done skew-aware: every
-    undirected edge is ORIENTED from its lower-(degree, id) endpoint
-    to its higher one, wedges are enumerated only at each edge's
-    lower endpoint, and a candidate closing pair is confirmed with
-    one equi-join back against the oriented edge set. Counts are
-    orientation-invariant, so ANY deterministic orientation gives the
-    same answer — degree ordering is purely the scale choice: a
-    degree-d hub generates O(d^2) wedge candidates under naive id
-    ordering, while degree orientation bounds every node's out-degree
-    by O(sqrt(|E|)) (arboricity), which is what keeps the wedge
-    explosion polynomial on power-law graphs at 100 TB.
-
-    Plan shape: one distinct (shuffle on the canonical edge), one
-    degree groupBy, two node-keyed joins to fold degrees onto
-    endpoints (AQE broadcasts the degree table when small), ONE
-    self-join on the wedge pivot `u`, one closing equi-join, and the
-    final count groupBy. No driver-side state, no iteration.
-    """
+    """Canonical oriented edge set (u, v, ord_v): every undirected edge
+    exactly once, pointed from its lower-ordered endpoint. ``ord_v``
+    is v's ordering key (a struct under degree orientation, the bare
+    id under id orientation) so wedge pairs can be canonicalized by
+    the SAME order downstream. Split out so the stress harness can
+    measure wedge candidates per orientation directly."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -172,6 +158,15 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if orient == "id":
+        # canonical (a < b) IS the orientation — no degree pass
+        return und.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.struct(F.col("b")).alias("ord_v"),
+        )
+    if orient != "degree":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -183,25 +178,58 @@ def triangle_counts(
     keyed = und.join(da, "a").join(db, "b")
     # orient low-(deg, id) -> high; struct comparison is lexicographic
     lower_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
-    oriented = keyed.select(
+    return keyed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
-            "deg_v"
-        ),
-    ).localCheckpoint(eager=True)  # reused 3x below (wedge x2 + closure)
+        F.struct(
+            F.when(lower_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("d"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("n"),
+        ).alias("ord_v"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Per-node triangle participation counts: (node, triangles).
+
+    The classic distributed triangle counter done skew-aware: every
+    undirected edge is ORIENTED from its lower-(degree, id) endpoint
+    to its higher one, wedges are enumerated only at each edge's
+    lower endpoint, and a candidate closing pair is confirmed with
+    one equi-join back against the oriented edge set. Counts are
+    orientation-invariant (pytest-pinned), so ANY deterministic
+    orientation gives the same answer — ``orient="degree"`` (default)
+    is purely the scale choice: a degree-d hub generates O(d^2) wedge
+    candidates under naive id ordering (``orient="id"``, kept as the
+    measurable baseline), while degree orientation bounds every node's
+    out-degree by O(sqrt(|E|)) (arboricity), which is what keeps the
+    wedge explosion polynomial on power-law graphs at 100 TB.
+
+    Plan shape: one distinct (shuffle on the canonical edge), one
+    degree groupBy, two node-keyed joins to fold degrees onto
+    endpoints (AQE broadcasts the degree table when small), ONE
+    self-join on the wedge pivot `u`, one closing equi-join, and the
+    final count groupBy. No driver-side state, no iteration.
+    """
+    oriented = _oriented_edges(edges, src, dst, orient).localCheckpoint(
+        eager=True
+    )  # reused 3x below (wedge x2 + closure)
     e1 = oriented.select(
-        F.col("u"), F.col("v").alias("x"), F.col("deg_v").alias("deg_x")
+        F.col("u"), F.col("v").alias("x"), F.col("ord_v").alias("ord_x")
     )
     e2 = oriented.select(
-        F.col("u"), F.col("v").alias("y"), F.col("deg_v").alias("deg_y")
+        F.col("u"), F.col("v").alias("y"), F.col("ord_v").alias("ord_y")
     )
-    # wedge (x, y) at pivot u, canonicalized by the SAME (deg, id)
-    # order as the orientation — so the closing edge, if present, is
-    # stored exactly as (x -> y) in `oriented`.
-    wedges = e1.join(e2, "u").filter(
-        F.struct("deg_x", "x") < F.struct("deg_y", "y")
-    )
+    # wedge (x, y) at pivot u, canonicalized by the SAME order as the
+    # orientation — so the closing edge, if present, is stored exactly
+    # as (x -> y) in `oriented`.
+    wedges = e1.join(e2, "u").filter(F.col("ord_x") < F.col("ord_y"))
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
     corners = (
