@@ -1210,3 +1210,55 @@ WHERE mx > mn
 GROUP BY e.event_type, bucket
 ORDER BY event_type, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# q_trailing_7day: time-RANGE window frame (extension — the one window
+# frame kind the battery lacked: RANGE BETWEEN over event time, vs the
+# ROWS frames in q_moving_value). Daily per-user totals with a trailing
+# 7-day rolling sum — the retention/LTV dashboard shape. Spark's
+# rangeBetween needs a numeric ORDER BY, so the frame runs over the
+# day's epoch ordinal (datediff from a fixed origin); DuckDB expresses
+# the identical frame as RANGE BETWEEN INTERVAL 6 DAY PRECEDING.
+# Day sums aggregate as exact DECIMAL; the rolling sum folds those
+# decimals and casts once at the surface (plans/common policy).
+#
+# Scale: one groupBy(user, day) shuffle, then the window re-uses the
+# user_id hash partitioning (sort within partitions only); per-user
+# day counts are bounded, no global sort before the final ORDER BY.
+# ---------------------------------------------------------------------------
+
+
+def q_trailing_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("_dv"))
+    day_ord = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_ord)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("_dv").cast("double").alias("day_value"),
+        F.sum("_dv").over(w).cast("double").alias("trailing_7d"),
+    ).orderBy("user_id", "day")
+
+
+Q_TRAILING_7DAY_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    SUM(CAST(value AS DECIMAL(12,2))) AS dv
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+)
+SELECT user_id, day, CAST(dv AS DOUBLE) AS day_value,
+  CAST(SUM(dv) OVER (
+    PARTITION BY user_id ORDER BY day
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d
+FROM daily
+ORDER BY user_id, day
+"""

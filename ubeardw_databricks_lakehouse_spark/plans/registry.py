@@ -552,6 +552,11 @@ QUERIES: list[QueryDef] = [
              "entity resolution capstone: blocked fuzzy join -> "
              "connected components -> canonical representative "
              "(recursive-reachability oracle)"),
+    QueryDef("q_trailing_7day", events_q.q_trailing_7day,
+             events_q.Q_TRAILING_7DAY_SQL,
+             "time-RANGE window frame: per-user trailing 7-day rolling "
+             "sum over daily DECIMAL totals (rangeBetween on the day "
+             "ordinal == RANGE INTERVAL 6 DAY PRECEDING)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -621,8 +626,9 @@ _WINDOW: list[str] = [
 # record linkage, Markov event transitions, equi-width histograms,
 # entity-resolution clustering) — all five oracle-paired and green in
 # both differentials.
-# r7 demand check: 18 deferred + the 31-entry r4-latest staleness tier
-# = 49 of 50 slots.
+# r7 demand check: 19 deferred + the 31-entry r4-latest staleness tier
+# = 50 of 50 slots (exactly full; anything added past this point must
+# displace the youngest r4-latest entries, which stay fresh until r8).
 _DEFERRED_NEW: list[str] = [
     "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
     "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
@@ -632,6 +638,7 @@ _DEFERRED_NEW: list[str] = [
     "q_triangle_suppliers", "q_fuzzy_part_match",
     "q_event_transitions", "q_value_histogram",
     "q_entity_clusters",
+    "q_trailing_7day",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
