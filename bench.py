@@ -111,12 +111,21 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # BENCH_REPS>1 reports per-query MEDIANS — the round-over-round
+    # comparison signal (single reps carry a documented ±10-13% spread;
+    # see the SCALING.md recheck protocol). The driver's per-round run
+    # stays single-rep for wall-clock budget; medians are for analysis.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = by_name[name]
-        t0 = time.perf_counter()
-        materialize(q.fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     # end-to-end medallion pipeline throughput: synth CDC (2k trips,
     # ~13k events) -> bronze -> silver -> full gold star schema
