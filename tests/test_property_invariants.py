@@ -311,3 +311,42 @@ def test_gapfill_grid_is_dense_and_fill_is_last_observed(spark, rows):
             else:
                 assert not r["observed"] and r["bucket_value"] is None
             assert float(r["filled_value"]) == last
+
+
+# --- triangle counts: equal a brute-force reference on any graph ----------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@PROP
+@given(edge_lists)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in und for n in e})
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    if not und:
+        return  # createDataFrame needs rows; empty graph is covered above
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    for orient in ("degree", "id"):
+        got = {
+            r["node"]: r["triangles"]
+            for r in triangle_counts(df, orient=orient).collect()
+        }
+        assert got == expect, orient
