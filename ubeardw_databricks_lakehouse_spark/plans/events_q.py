@@ -1223,9 +1223,14 @@ ORDER BY event_type, bucket
 # Day sums aggregate as exact DECIMAL; the rolling sum folds those
 # decimals and casts once at the surface (plans/common policy).
 #
-# Scale: one groupBy(user, day) shuffle, then the window re-uses the
-# user_id hash partitioning (sort within partitions only); per-user
-# day counts are bounded, no global sort before the final ORDER BY.
+# Scale: two hash exchanges by design — the groupBy(user, day) one
+# moves only PARTIAL aggregates (map-side combine runs below it), and
+# the window's user_id re-exchange moves only |users|x|days| daily
+# rows. The one-exchange alternative (repartition raw events by
+# user_id so both the agg and the window reuse it) shuffles the full
+# un-aggregated event stream — strictly more bytes at any scale where
+# events-per-(user,day) > 1. Per-user day counts are bounded, so the
+# window sort is cheap; the final ORDER BY is the only range exchange.
 # ---------------------------------------------------------------------------
 
 
