@@ -600,13 +600,13 @@ _WINDOW: list[str] = [
     "q08_market_share",
 ]
 
-# End-of-round full-gate mirror: ALL 115 oracle-paired entries swept
+# End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
 # green vs DuckDB at sf0.01 (the driver's grading scale) on 2026-08-14
-# (r6, incl. the new q_hybrid_search_rrf / q_bigram_lm) —
-# `tools/oracle_sweep.py`, 0 failures in 201 s, under the HARDENED
-# criteria (values + dtype_match + driver_safe: no DECIMAL/HUGEINT
-# final kinds anywhere — the r5 hash-red class is now structurally
-# unreachable).
+# (r6 final, incl. the TPC-H completions and the late-r6 analytics
+# batch) — `tools/oracle_sweep.py`, 0 failures in 273 s, under the
+# HARDENED criteria (values + dtype_match + driver_safe: no
+# DECIMAL/HUGEINT final kinds anywhere — the r5 hash-red class is now
+# structurally unreachable). Full pytest the same session: 346 passed.
 # Queries ADDED mid-round after the window was already saturated: they
 # carry in-repo differential evidence (pytest sf0.001 sweep + sf0.01
 # oracle_sweep run) and MUST rotate into the window next round —
