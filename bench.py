@@ -125,7 +125,13 @@ def main() -> None:
             materialize(q.fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[name] = round(med, 3)
 
     # end-to-end medallion pipeline throughput: synth CDC (2k trips,
     # ~13k events) -> bronze -> silver -> full gold star schema

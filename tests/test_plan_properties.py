@@ -389,7 +389,7 @@ def test_q20_per_part_total_is_window_not_self_join(spark):
     assert "Window" in p
     # exactly one scan of lineitem: the decorrelated-join form reads it
     # once too, but the window form must not regress to two
-    assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2
+    assert p.count("lineitem.parquet") == 1
 
 
 def test_triangle_query_no_cartesian_one_scalar_broadcast(spark):

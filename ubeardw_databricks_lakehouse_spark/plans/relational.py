@@ -2140,11 +2140,16 @@ def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
     )
+    # localCheckpoint: the pair-weight aggregate feeds BOTH the mean
+    # threshold and the edge filter, and ReuseExchange does not fire
+    # across the branches (same failure as q11's per-part aggregate) —
+    # without it the lineitem self-join + groupBy runs twice.
     pairs = (
         a.join(b, "ok")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     mean_w = pairs.agg(
         (F.sum("cnt").cast("double") / F.count("*")).alias("_mean")
@@ -2208,10 +2213,20 @@ LIMIT 50
 # ---------------------------------------------------------------------------
 
 
-def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+# One source of truth for the match definition — q_fuzzy_part_match
+# and q_entity_clusters (and their SQL twins) must agree on the block
+# key and the distance threshold or the capstone silently diverges.
+_FUZZY_BLOCK_RE = r"([^ ]+)$"
+_FUZZY_MAX_DIST = 4
+
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, dist): verified fuzzy matches over distinct
+    part names — last-token block, levenshtein <= threshold inside
+    blocks, never all-pairs."""
     names = t(spark, sf_dir, "part").select("p_name").distinct()
     keyed = names.select(
-        "p_name", F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk")
+        "p_name", F.regexp_extract("p_name", _FUZZY_BLOCK_RE, 1).alias("blk")
     )
     a = keyed.select(F.col("p_name").alias("name_a"), "blk")
     b = keyed.select(F.col("p_name").alias("name_b"), "blk")
@@ -2223,9 +2238,12 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b",
             F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
         )
-        .filter(F.col("dist") <= 4)
-        .orderBy("name_a", "name_b")
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
     )
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy_name_pairs(spark, sf_dir).orderBy("name_a", "name_b")
 
 
 Q_FUZZY_PART_MATCH_SQL = """
@@ -2261,16 +2279,8 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     names = t(spark, sf_dir, "part").select("p_name").distinct()
-    keyed = names.select(
-        "p_name", F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk")
-    )
-    a = keyed.select(F.col("p_name").alias("id_a"), "blk")
-    b = keyed.select(F.col("p_name").alias("id_b"), "blk")
-    pairs = (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("id_a", "id_b") <= 4)
-        .select("id_a", "id_b")
+    pairs = _fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
     )
     cc = connected_components(pairs, names, id_col="p_name")
     w = Window.partitionBy("component")
