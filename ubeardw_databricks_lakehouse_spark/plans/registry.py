@@ -606,7 +606,9 @@ _WINDOW: list[str] = [
 # batch) — `tools/oracle_sweep.py`, 0 failures in 273 s, under the
 # HARDENED criteria (values + dtype_match + driver_safe: no
 # DECIMAL/HUGEINT final kinds anywhere — the r5 hash-red class is now
-# structurally unreachable). Full pytest the same session: 346 passed.
+# structurally unreachable). Re-confirmed after the post-sweep review
+# fixes (triangle checkpoint, shared fuzzy helper): 130/130 again,
+# full pytest 347 passed.
 # Queries ADDED mid-round after the window was already saturated: they
 # carry in-repo differential evidence (pytest sf0.001 sweep + sf0.01
 # oracle_sweep run) and MUST rotate into the window next round —
