@@ -563,41 +563,40 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r6 window rationale (from CORRECTNESS_r01-r05 evidence):
-# - 5 hash-red entries from r5 (never driver-green; final-DECIMAL
-#   outputs now cast to DOUBLE per plans/common policy) -> MUST re-run.
-# - q_masked_read changed shape this round (sum_acctbal DECIMAL ->
-#   DOUBLE, same latent hash bug) -> its r5 green no longer covers it.
-# - the 25 entries whose latest green is r3 hit the 3-report staleness
-#   horizon when CORRECTNESS_r06 lands -> all in (flagship
-#   q_user_lifecycle_pivot, q01, the MinHash/LSH family, ...).
-# - remaining 19 slots: head of the r4-latest tier in definition order
-#   (includes the bench-regressed q05_region_revenue/q_rollup_revenue);
-#   the other 31 r4-latest entries rotate in r7 (still fresh until r8).
+# r7 window rationale (from CORRECTNESS_r01-r06 evidence; r6 verdict
+# "Next round #1"):
+# - the 19 r6 _DEFERRED_NEW entries (added after the r6 window locked;
+#   never driver-graded — 13% of the battery) promote first, per the
+#   test_deferred_new_queue contract.
+# - the 31 entries whose newest green is CORRECTNESS_r04 fall off the
+#   3-report horizon when CORRECTNESS_r07 lands — all in (computed
+#   mechanically from the reports; test_no_query_goes_stale_unchecked
+#   enumerated exactly this set after r06 landed).
+# 19 + 31 = 50/50: exactly full. Everything NOT in this window has
+# green evidence in r5 or r6 (fresh through r8).
 _WINDOW: list[str] = [
-    # r5 hash-red lane (DOUBLE-final fix, must turn green)
-    "q_bm25_search", "q_gapfill_daily", "q_interpolate_daily",
-    "q_pagerank_trading", "q_customer_percentiles",
-    # output-shape-changed-this-round lane
-    "q_masked_read",
-    # r3-latest-green lane (staleness horizon binds at r6)
-    "q_text_profile", "q_exact_dedup", "q_jaccard_pairs",
-    "q_minhash_signatures", "q_lsh_candidates", "q_neardup_verified",
-    "q_embedding_topk", "q_embedding_neardup", "q_multimodal_features",
-    "q_chunking", "q_vocabulary", "q_label_centroids",
-    "q_stratified_sample", "q_dim_time", "q01_pricing_summary",
-    "q_user_lifecycle_pivot", "q03_shipping_priority",
-    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
-    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
-    "q_sample_per_source", "q_stream_attribution",
-    # oldest r4-latest lane (tier-5 head; rest rotate in r7)
-    "q05_region_revenue", "q06_forecast_revenue", "q_market_segment",
-    "q_top_customers", "q_order_gaps", "q_union_entities",
-    "q_customers_no_orders", "q_priority_filters", "q_customer_tiers",
-    "q_rollup_revenue", "q_cube_orders", "q_part_stats",
-    "q12_late_shipments", "q14_promo_revenue", "q04_priority_semi",
-    "q10_returned_items", "q_customer_deciles", "q07_nation_volume",
-    "q08_market_share",
+    # never-driver-graded lane (r6 deferred-new queue, in queue order)
+    "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
+    "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
+    "q_winsorized_stats", "q_kmv_distinct",
+    "q02_min_cost_supplier", "q11_important_parts",
+    "q16_supplier_diversity", "q20_dominant_suppliers",
+    "q_triangle_suppliers", "q_fuzzy_part_match",
+    "q_event_transitions", "q_value_histogram",
+    "q_entity_clusters",
+    "q_trailing_7day",
+    # r4-latest-green lane (staleness horizon binds when r07 lands)
+    "q_token_stats", "q_embedding_dedup_fast", "q_repetition_profile",
+    "q_unigram_lm", "q_dsir", "q_sessionization", "q_scd2_history",
+    "q_streaming_event_counts", "q_streaming_windowed_counts",
+    "q_funnel", "q_retention_cohorts", "q_asof_attribution",
+    "q_cohort_set_ops", "q_salted_brand_revenue", "q_unpivot_balances",
+    "q_dim_date", "q09_product_profit", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q22_idle_customers", "q_props_json", "q_moving_value",
+    "q_daily_timeseries", "q_top_purchasers", "q_event_quantiles",
+    "q_time_rollup_multires", "q_error_after_purchase",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -628,20 +627,11 @@ _WINDOW: list[str] = [
 # record linkage, Markov event transitions, equi-width histograms,
 # entity-resolution clustering) — all five oracle-paired and green in
 # both differentials.
-# r7 demand check: 19 deferred + the 31-entry r4-latest staleness tier
-# = 50 of 50 slots (exactly full; anything added past this point must
-# displace the youngest r4-latest entries, which stay fresh until r8).
-_DEFERRED_NEW: list[str] = [
-    "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
-    "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
-    "q_winsorized_stats", "q_kmv_distinct",
-    "q02_min_cost_supplier", "q11_important_parts",
-    "q16_supplier_diversity", "q20_dominant_suppliers",
-    "q_triangle_suppliers", "q_fuzzy_part_match",
-    "q_event_transitions", "q_value_histogram",
-    "q_entity_clusters",
-    "q_trailing_7day",
-]
+# r7 rotation: the 19-entry r6 queue promoted into the window above
+# and this list emptied (contract honored — r5 rotated 24, r6 rotated
+# none because the staleness tiers saturated the window). Queries added
+# mid-r7 after the window locked go here, in addition order.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
