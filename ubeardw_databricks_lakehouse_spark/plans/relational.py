@@ -2218,20 +2218,43 @@ LIMIT 50
 # key and the distance threshold or the capstone silently diverges.
 _FUZZY_BLOCK_RE = r"([^ ]+)$"
 _FUZZY_MAX_DIST = 4
+# Secondary blocking: levenshtein(a, b) >= abs(len(a) - len(b)), so a
+# pair within the threshold differs in length by at most _FUZZY_MAX_DIST
+# — with band width threshold+1, its two length bands differ by at most
+# 1. Joining on (blk, band) with the probe side exploded to its three
+# adjacent bands is therefore RECALL-LOSSLESS: the candidate set shrinks
+# (hot suffix blocks like "inc"/"llc" split by name length instead of
+# going all-pairs) while the verified result is provably identical —
+# which is why the SQL twins keep the plain last-token block: the oracle
+# match is the equivalence proof. Candidates drop from O(n_blk^2) to
+# O(sum n_band * (n_band + n_adjacent)) per block; a same-length
+# adversarial block degrades gracefully to the old bound (and a
+# same-length hot block that IS one fuzzy cluster has a quadratic true
+# result anyway). Measured on a 100k-name hot-suffix synthetic in
+# SCALING.md (fuzzy-hot-block row).
+_FUZZY_BAND = _FUZZY_MAX_DIST + 1
 
 
 def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(name_a, name_b, dist): verified fuzzy matches over distinct
-    part names — last-token block, levenshtein <= threshold inside
-    blocks, never all-pairs."""
+    part names — (last-token, length-band) block, levenshtein <=
+    threshold inside blocks, never all-pairs."""
     names = t(spark, sf_dir, "part").select("p_name").distinct()
     keyed = names.select(
-        "p_name", F.regexp_extract("p_name", _FUZZY_BLOCK_RE, 1).alias("blk")
+        "p_name",
+        F.regexp_extract("p_name", _FUZZY_BLOCK_RE, 1).alias("blk"),
+        (F.length("p_name") / _FUZZY_BAND).cast("int").alias("band"),
     )
-    a = keyed.select(F.col("p_name").alias("name_a"), "blk")
-    b = keyed.select(F.col("p_name").alias("name_b"), "blk")
+    a = keyed.select(F.col("p_name").alias("name_a"), "blk", "band")
+    b = keyed.select(
+        F.col("p_name").alias("name_b"),
+        "blk",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "band"])
         .filter(F.col("name_a") < F.col("name_b"))
         .select(
             "name_a",
