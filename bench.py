@@ -91,9 +91,14 @@ def main() -> None:
     # Warm-up: run each query once at the smallest SF so WholeStageCodegen
     # compilation and JVM JIT are paid before timing (steady-state
     # throughput is the comparable number). Disable with BENCH_WARMUP=0.
+    # BENCH_ONLY=a,b,c restricts the timed set (outlier-recheck runs);
+    # the headline JSON stays comparable only when unset.
+    only = {n for n in os.environ.get("BENCH_ONLY", "").split(",") if n}
+    headline = [n for n in HEADLINE if not only or n in only]
+
     if os.environ.get("BENCH_WARMUP", "1") != "0":
         warm_sf = "/root/testdata/sf0.001"
-        for name in HEADLINE:
+        for name in headline:
             if os.path.isdir(warm_sf) or os.path.exists(f"{warm_sf}/region.parquet"):
                 try:
                     materialize(by_name[name].fn(spark, warm_sf))
@@ -105,7 +110,7 @@ def main() -> None:
         # SCALING.md) runs before the clock starts, exactly as a
         # warehouse would serve queries from a materialized index table.
         for name in ("q_embedding_topk_ivfpq_search",):
-            if name in HEADLINE:
+            if name in headline:
                 try:
                     materialize(by_name[name].fn(spark, SF_DIR))
                 except Exception:
@@ -117,7 +122,7 @@ def main() -> None:
     # stays single-rep for wall-clock budget; medians are for analysis.
     reps = max(1, int(os.environ.get("BENCH_REPS", "1")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = by_name[name]
         samples = []
         for _ in range(reps):
@@ -135,6 +140,9 @@ def main() -> None:
 
     # end-to-end medallion pipeline throughput: synth CDC (2k trips,
     # ~13k events) -> bronze -> silver -> full gold star schema
+    if only:
+        _emit(timings, sf)
+        return
     import tempfile
 
     from ubeardw_databricks_lakehouse_spark.pipelines.gold import run_gold_job
@@ -164,7 +172,15 @@ def main() -> None:
         )
         timings["pipeline_gold_13k_events"] = round(time.perf_counter() - t0, 3)
 
+    _emit(timings, sf)
+
+
+def _emit(timings: dict[str, float], sf: str) -> None:
     total = round(sum(timings.values()), 3)
+    # loadavg at emit time attributes uniform round-over-round drift to
+    # machine load from the artifact alone (the r6 lesson: a +21%
+    # suite-wide driver-run cluster with no plan changes).
+    load1, load5, load15 = os.getloadavg()
     print(
         json.dumps(
             {
@@ -173,6 +189,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "reps": max(1, int(os.environ.get("BENCH_REPS", "1"))),
             }
         )
     )

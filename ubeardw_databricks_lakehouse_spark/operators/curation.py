@@ -304,6 +304,12 @@ def bigram_logprob_score(
     )
 
 
+# Per-document token bound for the packed (doc, start) BIGINT ordinal
+# in remove_duplicate_spans: start must fit in one slot or cross-doc
+# first-occurrence ordering silently corrupts.
+_ORD_SLOT = 1_000_000
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -332,13 +338,30 @@ def remove_duplicate_spans(
     groupBy. Nothing collects to the driver.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    # packed (doc, start) ordinal below: one BIGINT min instead of a
+    # struct min — same comparator on both engines. Valid only while
+    # every doc has < 1e6 tokens (start stays inside its slot); an
+    # oversized doc must fail loudly, not corrupt cross-doc ordering.
+    toked = toked.withColumn(
+        "_toks",
+        F.when(
+            F.size("_toks") < _ORD_SLOT, F.col("_toks")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "remove_duplicate_spans: document exceeds the "
+                        f"{_ORD_SLOT}-token packed-ordinal bound: id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        ),
+    )
     grams = toked.select(
         id_col, F.posexplode(ngram_list(F.col("_toks"), k)).alias("start", "g")
     )
-    # packed (doc, start) ordinal: one BIGINT min instead of a struct
-    # min — same comparator on both engines (docs are far below the
-    # 1e6-token bound; the guard keeps silent wraparound impossible)
-    ordc = (F.col(id_col) * F.lit(1_000_000) + F.col("start")).alias("ord")
+    ordc = (F.col(id_col) * F.lit(_ORD_SLOT) + F.col("start")).alias("ord")
     occ = grams.select("g", ordc)
     firsts = occ.groupBy("g").agg(
         F.min("ord").alias("first_ord"), F.count("*").alias("n_occ")

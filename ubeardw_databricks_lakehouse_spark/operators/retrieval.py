@@ -182,7 +182,18 @@ def rrf_fuse(
     """
     if rank_cols is None:
         rank_cols = [f"rank_{i}" for i in range(len(ranked_lists))]
-    assert len(ranked_lists) == len(rank_cols) >= 2
+    # ValueError, not assert: under `python -O` an assert is stripped
+    # and a mismatched zip would silently truncate legs.
+    if len(ranked_lists) != len(rank_cols):
+        raise ValueError(
+            f"rrf_fuse got {len(ranked_lists)} ranked lists but "
+            f"{len(rank_cols)} rank columns — they must pair 1:1"
+        )
+    if len(ranked_lists) < 2:
+        raise ValueError(
+            "rrf_fuse fuses at least two ranked lists; got "
+            f"{len(ranked_lists)}"
+        )
     fused = ranked_lists[0].select(id_col, rank_cols[0])
     for df, rc in zip(ranked_lists[1:], rank_cols[1:]):
         fused = fused.join(df.select(id_col, rc), id_col, "full_outer")

@@ -99,14 +99,19 @@ def topk_brute_force(
     )
 
     spark = corpus.sparkSession
-    n_queries = queries.count()
-    if n_queries > max_query_rows:
+    # Budget enforcement WITHOUT a separate count() job (the r6 guard
+    # cost one extra scan per call — a measured 2× on q_embedding_topk):
+    # limit(max+1) caps what reaches the driver to the same bound, and
+    # one extra row is proof of overflow.
+    qids, qmat = _collect_matrix(
+        queries.limit(max_query_rows + 1), id_col, vec_col
+    )
+    if len(qids) > max_query_rows:
         raise ValueError(
             f"topk_brute_force collects the query set to the driver and "
-            f"got {n_queries} rows (> {max_query_rows}); use topk_lsh / "
+            f"got more than {max_query_rows} rows; use topk_lsh / "
             f"topk_ivf / ivfpq for query sets past the driver budget"
         )
-    qids, qmat = _collect_matrix(queries, id_col, vec_col)
     schema_empty = "query_id long, neighbor_id long, rank int"
     if len(qids) == 0:
         return spark.createDataFrame([], schema_empty)
@@ -611,6 +616,18 @@ def mmr_rerank(
     import numpy as np
 
     spark = corpus.sparkSession
+    qids, qmat = _collect_matrix(query, id_col, vec_col)
+    if len(qids) != 1:
+        # A multi-row query would mix every query's recall pool into one
+        # candidate list while relevance scored against the first query
+        # only — wrong picks, silently. Match topk_brute_force's
+        # explicit-contract style: route per-query instead.
+        raise ValueError(
+            f"mmr_rerank reranks ONE query vector and got {len(qids)} "
+            f"query rows; call it per query (loop / applyInPandas over "
+            f"query_id), with topk_brute_force or an ANN path for the "
+            f"batch recall stage"
+        )
     cand = topk_brute_force(
         corpus, query, id_col=id_col, vec_col=vec_col, k=pool
     )
@@ -630,8 +647,7 @@ def mmr_rerank(
     ids = np.array([r["neighbor_id"] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype="float64")
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    qids, qmat = _collect_matrix(query, id_col, vec_col)
-    rel = qmat[0] @ mat.T  # relevance to the (single) query
+    rel = qmat[0] @ mat.T  # relevance to the (single, enforced) query
     inter = mat @ mat.T  # candidate-candidate similarity
     selected: list[int] = []
     remaining = list(range(len(ids)))

@@ -1171,6 +1171,12 @@ ORDER BY prev_type, next_type
 #
 # Scale: two scans of events (one agg, one bucketize) and a broadcast
 # join on the tiny bounds table; the groupBy output is |types| x 10.
+#
+# Degenerate distributions: a type whose values are all identical
+# (mx == mn) has no width to bucket and is DROPPED from the profile —
+# intentionally, and mirrored by the mx > mn predicate in the SQL twin.
+# Callers profiling for constant-column detection should read the
+# bounds agg (mn == mx) instead of inferring absence from this output.
 # ---------------------------------------------------------------------------
 
 
