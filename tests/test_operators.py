@@ -1724,3 +1724,128 @@ def test_kmv_distinct_exact_below_k_and_bounded_above(spark):
         r["grp"]: r for r in kmv_distinct(df, "key", "grp", k=64).collect()
     }
     assert again["big"]["kmv_estimate"] == est
+
+
+def test_fuzzy_block_pairs_uncapped_matches_exact_twin(spark):
+    """The production operator with no cap (and with a never-binding
+    cap) must reproduce the oracle-paired exact pipeline on the part
+    names — same (last-token, length-band) blocking, same verify."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        _fuzzy_name_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.name_a, r.name_b, r.dist)
+        for r in _fuzzy_name_pairs(spark, sf).collect()
+    }
+    names = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_name"
+    )
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_block_pairs(names, name_col="p_name").collect()
+    }
+    assert got == exact and len(exact) > 0
+    capped = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_block_pairs(
+            names, name_col="p_name", block_cap=10**6
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_fuzzy_block_pairs_cap_modes(spark):
+    """A hot block (every name shares the suffix and the length band)
+    exercises the cap: 'salt' keeps a same-salt subset of the exact
+    pairs, 'drop' removes the oversized cell, 'error' raises with the
+    offending block named."""
+    import pytest as _pytest
+
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+    )
+
+    # 60 names, same last token "inc", same length -> one hot cell;
+    # pairwise distance 2 within each stem family (digits differ).
+    rows = [(f"acme{i:02d} st{j} inc",) for i in range(6) for j in range(10)]
+    names = spark.createDataFrame(rows, ["name"])
+    exact = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(names, max_dist=4).collect()
+    }
+    assert len(exact) > 0
+
+    salted = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(names, max_dist=4, block_cap=10).collect()
+    }
+    assert salted <= exact and 0 < len(salted) < len(exact)
+
+    dropped = fuzzy_block_pairs(
+        names, max_dist=4, block_cap=10, on_oversize="drop"
+    ).collect()
+    assert dropped == []
+
+    with _pytest.raises(ValueError, match="block_cap=10"):
+        fuzzy_block_pairs(
+            names, max_dist=4, block_cap=10, on_oversize="error"
+        ).collect()
+
+    with _pytest.raises(ValueError, match="on_oversize"):
+        fuzzy_block_pairs(names, block_cap=10, on_oversize="explode")
+
+
+def test_resolve_entities_matches_registry_capstone(spark):
+    """resolve_entities (uncapped) over part names == q_entity_clusters
+    rows (modulo ordering)."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        resolve_entities,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_entity_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    names = spark.read.parquet(f"{sf}/part.parquet").select("p_name")
+    got = {
+        (r.entity, r.cluster_rep, r.cluster_size, r.is_canonical)
+        for r in resolve_entities(names, name_col="p_name").collect()
+    }
+    want = {
+        (r.entity, r.cluster_rep, r.cluster_size, r.is_canonical)
+        for r in q_entity_clusters(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_multi_pass_recovers_capped_recall(spark):
+    """One hot last-token block, capped: single-pass salting loses
+    cross-salt pairs; adding an independent first-token key recovers
+    them (variants here share their first token)."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+        fuzzy_block_pairs_multi,
+    )
+
+    rows = [(f"stem{i:02d} branch{j} inc",) for i in range(6) for j in range(10)]
+    names = spark.createDataFrame(rows, ["name"])
+    exact = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(names, max_dist=4).collect()
+    }
+    single = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(names, max_dist=4, block_cap=10).collect()
+    }
+    multi = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs_multi(
+            names, max_dist=4, block_cap=10
+        ).collect()
+    }
+    assert single < multi <= exact

@@ -1,0 +1,251 @@
+"""Production fuzzy record linkage: capped blocking + edit-distance
+verify + entity resolution.
+
+The oracle-paired registry twins (`plans/relational.q_fuzzy_part_match`
+/ `q_entity_clusters`) run the EXACT pipeline: (last-token, length-band)
+blocking with no cap, provably recall-lossless for the levenshtein
+threshold. This module is the scale path the r6 verdict asked for on
+top of that: with a bounded last-token vocabulary (real entity data has
+hot suffixes — "inc", "llc", "gmbh"), uncapped blocks grow O(N) and
+candidate pairs O(N²/V). `fuzzy_block_pairs` adds a HARD per-block
+bound: oversized (block, band) cells are salted into sub-blocks of at
+most ``block_cap`` expected rows, making total candidates O(N·cap) by
+construction — the same skew discipline the MinHash path applies to
+hot bands.
+
+Semantics contract (documented recall trade): within a salted cell,
+only same-salt pairs survive — expected recall for a random oversized-
+cell pair is 1/n_salt. Hot blocking keys are by definition weakly
+discriminative (everything ends in "inc"), so capped ER standard
+practice accepts this; callers that cannot may pass
+``on_oversize="error"`` to fail loudly or ``"drop"`` to skip oversized
+cells entirely (and get them reported). The exact twin in
+plans/relational.py is the recall oracle at test scale.
+
+100 TB shape: one count agg over (block, band) cells (tiny — bounded by
+the key vocabulary x length bands), broadcast back; the candidate join
+is an equi-join on (block, band, salt); levenshtein runs map-side on
+join output only. Nothing all-pairs, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LAST_TOKEN_RE = r"([^ ]+)$"
+
+
+def _default_block(name_col: str) -> Column:
+    return F.regexp_extract(name_col, _LAST_TOKEN_RE, 1)
+
+
+def fuzzy_block_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    block: Column | None = None,
+    max_dist: int = 4,
+    block_cap: int | None = None,
+    on_oversize: str = "salt",
+) -> DataFrame:
+    """Verified fuzzy match pairs (name_a, name_b, dist) over distinct
+    ``name_col`` values, never all-pairs.
+
+    Blocking = (``block`` key [default: last token], length band of
+    width ``max_dist + 1``). The band is recall-lossless: levenshtein
+    >= |len difference|, so a within-threshold pair sits in the same or
+    an adjacent band, and the probe side fans out to exactly those
+    three bands. With ``block_cap`` set, any (block, band) cell larger
+    than the cap is salted into ``ceil(cell/cap)`` xxhash64 sub-blocks
+    (``on_oversize="salt"``), dropped (``"drop"``), or an error
+    (``"error"``) — candidates are then O(N·cap) by construction.
+    """
+    if on_oversize not in ("salt", "drop", "error"):
+        raise ValueError(
+            f"on_oversize must be 'salt', 'drop' or 'error'; "
+            f"got {on_oversize!r}"
+        )
+    band_w = max_dist + 1
+    blk = block if block is not None else _default_block(name_col)
+    keyed = (
+        names.select(name_col)
+        .distinct()
+        .select(
+            F.col(name_col).alias("_name"),
+            blk.alias("_blk"),
+            (F.length(name_col) / band_w).cast("int").alias("_band"),
+        )
+    )
+
+    if block_cap is None:
+        a = keyed.select(
+            F.col("_name").alias("name_a"), "_blk", "_band"
+        )
+        b = keyed.select(
+            F.col("_name").alias("name_b"),
+            "_blk",
+            F.explode(
+                F.array(
+                    F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+                )
+            ).alias("_band"),
+        )
+        join_keys = ["_blk", "_band"]
+    else:
+        # cell census: tiny (|block vocab| x |length bands| rows), so
+        # the join back is a broadcast — no extra shuffle of names.
+        cells = keyed.groupBy("_blk", "_band").agg(
+            F.ceil(F.count("*") / F.lit(block_cap)).cast("int").alias("_nsalt")
+        )
+        oversized = cells.filter(F.col("_nsalt") > 1)
+        if on_oversize == "error" and oversized.limit(1).count() > 0:
+            sample = oversized.limit(5).collect()
+            raise ValueError(
+                f"fuzzy_block_pairs: blocks exceed block_cap={block_cap}: "
+                + ", ".join(
+                    f"(blk={r['_blk']!r}, band={r['_band']}, "
+                    f"~{r['_nsalt'] * block_cap} rows)"
+                    for r in sample
+                )
+                + " — raise the cap, pass on_oversize='salt'/'drop', or "
+                "use a more discriminative block key"
+            )
+        if on_oversize == "drop":
+            cells = cells.withColumn(
+                "_nsalt",
+                F.when(F.col("_nsalt") > 1, F.lit(0)).otherwise(F.lit(1)),
+            )
+        sized = keyed.join(F.broadcast(cells), ["_blk", "_band"]).filter(
+            F.col("_nsalt") > 0
+        )
+        # anchor side: salt under its OWN cell's modulus
+        a = sized.select(
+            F.col("_name").alias("name_a"),
+            "_blk",
+            "_band",
+            F.pmod(F.xxhash64("_name"), F.col("_nsalt")).alias("_salt"),
+        )
+        # probe side: fan out to the three reachable bands, then salt
+        # under the TARGET cell's modulus so both sides agree on the
+        # bucket arithmetic of the cell they meet in.
+        probe = keyed.select(
+            F.col("_name").alias("name_b"),
+            "_blk",
+            F.explode(
+                F.array(
+                    F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+                )
+            ).alias("_band"),
+        )
+        b = probe.join(F.broadcast(cells), ["_blk", "_band"]).filter(
+            F.col("_nsalt") > 0
+        ).select(
+            "name_b",
+            "_blk",
+            "_band",
+            F.pmod(F.xxhash64("name_b"), F.col("_nsalt")).alias("_salt"),
+        )
+        join_keys = ["_blk", "_band", "_salt"]
+
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_block_pairs_multi(
+    names: DataFrame,
+    name_col: str = "name",
+    blocks: list[Column] | None = None,
+    max_dist: int = 4,
+    block_cap: int | None = None,
+    on_oversize: str = "salt",
+) -> DataFrame:
+    """Multi-key blocking: union of ``fuzzy_block_pairs`` over several
+    blocking keys, distinct on the pair.
+
+    The recall-recovery discipline for capped blocking — a pair lost to
+    salting under a hot non-discriminative key (everything ends in
+    "inc") usually survives under an independent key (first token,
+    length prefix). Cost is additive over passes and each pass is
+    O(N·cap); classic multi-pass ER (Hernández & Stolfo 1998, the
+    sorted-neighborhood multi-pass result).
+    """
+    if blocks is None:
+        blocks = [
+            _default_block(name_col),
+            F.regexp_extract(name_col, r"^([^ ]+)", 1),
+        ]
+    if not blocks:
+        raise ValueError("fuzzy_block_pairs_multi needs >= 1 block key")
+    out = None
+    for blk in blocks:
+        p = fuzzy_block_pairs(
+            names,
+            name_col=name_col,
+            block=blk,
+            max_dist=max_dist,
+            block_cap=block_cap,
+            on_oversize=on_oversize,
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["name_a", "name_b"])
+
+
+def resolve_entities(
+    names: DataFrame,
+    name_col: str = "name",
+    block: Column | None = None,
+    blocks: list[Column] | None = None,
+    max_dist: int = 4,
+    block_cap: int | None = None,
+    on_oversize: str = "salt",
+) -> DataFrame:
+    """Entity-resolution capstone at production settings: capped fuzzy
+    pairs (multi-pass when ``blocks`` is given) -> connected components
+    -> canonical representative.
+
+    Returns (entity, cluster_rep, cluster_size, is_canonical) — the
+    same surface as the oracle-paired `q_entity_clusters`, which is the
+    exact-recall twin at test scale.
+    """
+    from .dedup import connected_components
+
+    if blocks is not None:
+        pairs = fuzzy_block_pairs_multi(
+            names,
+            name_col=name_col,
+            blocks=blocks,
+            max_dist=max_dist,
+            block_cap=block_cap,
+            on_oversize=on_oversize,
+        )
+    else:
+        pairs = fuzzy_block_pairs(
+            names,
+            name_col=name_col,
+            block=block,
+            max_dist=max_dist,
+            block_cap=block_cap,
+            on_oversize=on_oversize,
+        )
+    pairs = pairs.select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    verts = names.select(name_col).distinct()
+    cc = connected_components(pairs, verts, id_col=name_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col(name_col).alias("entity"),
+        F.col("component").alias("cluster_rep"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col(name_col) == F.col("component")).alias("is_canonical"),
+    )
