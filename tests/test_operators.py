@@ -1849,3 +1849,34 @@ def test_fuzzy_multi_pass_recovers_capped_recall(spark):
         ).collect()
     }
     assert single < multi <= exact
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment(A->B) == 1.0
+    while Jaccard is far below any near-dup threshold — the asymmetric
+    detector's whole point. Also pins directionality (B is not
+    contained in A) and the prefix-filter's losslessness on a pair
+    whose shared shingles are globally common."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, f"{filler} {quote}"),
+            (3, "completely different text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, n=2, threshold=0.7).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
+    jac = jaccard_pairs(df, n=2, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quote entirely

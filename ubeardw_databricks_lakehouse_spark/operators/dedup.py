@@ -163,6 +163,87 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Directed shingle-containment pairs: C(A→B) = |A∩B| / |A| >
+    ``threshold`` — the quote / excerpt / subset-duplicate detector.
+    Jaccard misses a short document embedded in a long one (the union
+    dwarfs the intersection); containment is the asymmetric measure
+    that catches it (Broder 1997's "resemblance and containment").
+
+    Candidate generation is PREFIX FILTERING (SSJoin, Chaudhuri et al.
+    2006): order each doc's shingles by ascending global document
+    frequency and take the first floor((1-t)*|A|)+1 as its prefix —
+    if C(A→B) > t then |A\\B| < (1-t)*|A|, so at least one prefix
+    shingle of A must appear in B (lossless). Candidates are then a
+    shingle equi-join of A-prefixes against the full inverted index,
+    and the exact verify runs once per surviving pair.
+
+    100 TB shape: one groupBy for document frequencies; the prefix cut
+    keeps the join's probe side to the ~(1-t) RAREST shingles per doc,
+    so postings hit are the short tails, not the hot head; verify is
+    per-candidate map-side array math. No all-pairs anywhere.
+
+    Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common,
+    containment) for ordered pairs id_a != id_b — all integer-derived
+    except the final division, identical IEEE in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    sh = with_shingles(df, id_col, text_col, n).filter(F.size("_sh") > 0)
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    prefix_len = (
+        F.floor(F.lit(1.0 - threshold) * F.size("_sh")).cast("int") + 1
+    )
+    sized = sh.select(
+        F.col(id_col).alias("_id"), "_sh", prefix_len.alias("_plen")
+    )
+    ranked = (
+        ex.join(dfreq, "g")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("g"))
+            ),
+        )
+    )
+    prefix = (
+        ranked.join(sized.select("_id", "_plen"), "_id")
+        .filter(F.col("_rn") <= F.col("_plen"))
+        .select(F.col("_id").alias("id_a"), "g")
+    )
+    cand = (
+        prefix.join(ex.select(F.col("_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_a = F.size(F.col("sh_a"))
+    n_b = F.size(F.col("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_a.alias("n_shingles_a"),
+            n_b.alias("n_shingles_b"),
+            n_common.alias("n_common"),
+            (n_common.cast("double") / n_a).alias("containment"),
+        )
+        .filter(F.col("containment") > threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -169,6 +169,47 @@ WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
 """
 
 # ---------------------------------------------------------------------------
+# q_containment_pairs: directed shingle containment |A∩B|/|A| — the
+# quote/excerpt/subset detector Jaccard misses (extension; Broder 1997
+# containment). Spark side is the prefix-filtered SSJoin candidate
+# path (rarest-(1-t) shingles vs inverted index, provably lossless —
+# operators/dedup.containment_pairs); the DuckDB twin is the NAIVE
+# all-pairs definition, so the oracle independently proves the prefix
+# filter drops nothing at test scale.
+# ---------------------------------------------------------------------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=2, threshold=0.7).select(
+        "id_a", "id_b", "n_shingles_a", "n_common", "containment"
+    )
+
+
+Q_CONTAINMENT_PAIRS_SQL = r"""
+WITH sh0 AS (
+  SELECT doc_id,
+    LIST_DISTINCT(
+      LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) - 1, 0)),
+        i -> LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i]
+             || ' ' ||
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')[i+1]
+      )
+    ) AS s
+  FROM documents
+), sh AS (SELECT doc_id, s FROM sh0 WHERE LEN(s) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  LEN(a.s) AS n_shingles_a,
+  LEN(LIST_INTERSECT(a.s, b.s)) AS n_common,
+  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(a.s) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(a.s) > 0.7
+"""
+
+# ---------------------------------------------------------------------------
 # q_minhash_signatures + q_lsh_candidates: the scale path for near-dup.
 # md5-based minhash makes even the signatures exactly oracle-checkable.
 # ---------------------------------------------------------------------------

@@ -557,6 +557,28 @@ QUERIES: list[QueryDef] = [
              "time-RANGE window frame: per-user trailing 7-day rolling "
              "sum over daily DECIMAL totals (rangeBetween on the day "
              "ordinal == RANGE INTERVAL 6 DAY PRECEDING)"),
+    # Tier 9 — added in r7 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_containment_pairs", llm_q.q_containment_pairs,
+             llm_q.Q_CONTAINMENT_PAIRS_SQL,
+             "directed shingle containment |A∩B|/|A| (quote/excerpt "
+             "detector): prefix-filtered SSJoin candidates vs a naive "
+             "all-pairs oracle"),
+    QueryDef("q_pareto_parts", relational.q_pareto_parts,
+             relational.Q_PARETO_PARTS_SQL,
+             "2-D Pareto skyline via sort-scan window vs an "
+             "independent NOT-EXISTS dominance oracle"),
+    QueryDef("q_column_profile", relational.q_column_profile,
+             relational.Q_COLUMN_PROFILE_SQL,
+             "ANALYZE-style per-column profile (nulls / exact distinct "
+             "/ min / max as text) in one aggregate pass"),
+    QueryDef("q_kanon_risk", relational.q_kanon_risk,
+             relational.Q_KANON_RISK_SQL,
+             "k-anonymity equivalence-class audit over the customer "
+             "quasi-identifier pair (governance)"),
+    QueryDef("q_benford_totals", relational.q_benford_totals,
+             relational.Q_BENFORD_TOTALS_SQL,
+             "Benford first-digit profile of order totals with inlined "
+             "expected mass (fraud/data-entry screen)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -631,7 +653,14 @@ _WINDOW: list[str] = [
 # and this list emptied (contract honored — r5 rotated 24, r6 rotated
 # none because the staleness tiers saturated the window). Queries added
 # mid-r7 after the window locked go here, in addition order.
-_DEFERRED_NEW: list[str] = []
+# r7 additions (tier 9): containment dedup, Pareto skyline, column
+# profile, k-anonymity audit, Benford profile — all oracle-paired,
+# green in the sf0.001 + sf0.01 differentials this round; they rotate
+# into the r8 window.
+_DEFERRED_NEW: list[str] = [
+    "q_containment_pairs", "q_pareto_parts", "q_column_profile",
+    "q_kanon_risk", "q_benford_totals",
+]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)

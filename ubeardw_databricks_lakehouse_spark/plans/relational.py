@@ -11,6 +11,8 @@ single shuffle is, what AQE is expected to do.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2343,4 +2345,203 @@ SELECT entity, cluster_rep,
   entity = cluster_rep AS is_canonical
 FROM comp
 ORDER BY cluster_rep, entity
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_pareto_parts: 2-D skyline / Pareto frontier (extension — the
+# multi-criteria shortlist every procurement/ranking dashboard wants):
+# parts not dominated on (minimize retail price, maximize size).
+#
+# Spark side is the SORT-SCAN skyline: distinct (price, size) points,
+# one window ordered by (price asc, size desc) keeping a running max of
+# size over the preceding rows — a point is on the frontier iff its
+# size beats every cheaper-or-equal point's. O(P log P) on |distinct
+# points|, a single window after a groupBy that collapses the base
+# table map-side. The DuckDB twin is the NAIVE dominance NOT EXISTS
+# (O(P^2)) — an independent formulation, so the oracle proves the
+# window algorithm, not just re-runs it.
+#
+# Scale: the frontier computation runs on the aggregated point set
+# (bounded by |price x size| cardinality, not row count). For a
+# frontier over billions of DISTINCT points, partition by price range
+# and merge per-partition frontiers — same window, two passes.
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").alias("size"),
+    ).agg(F.count("*").cast("bigint").alias("n_parts"))
+    w = (
+        Window.orderBy(F.asc("retail_price"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("_best_prev", F.max("size").over(w))
+        .filter(
+            F.col("_best_prev").isNull()
+            | (F.col("size") > F.col("_best_prev"))
+        )
+        .select("retail_price", "size", "n_parts")
+        .orderBy("retail_price", "size")
+    )
+
+
+Q_PARETO_PARTS_SQL = """
+WITH pts AS (
+  SELECT p_retailprice AS retail_price, p_size AS size,
+    CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT retail_price, size, n_parts
+FROM pts q
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts p
+  WHERE p.retail_price <= q.retail_price AND p.size >= q.size
+    AND (p.retail_price < q.retail_price OR p.size > q.size)
+)
+ORDER BY retail_price, size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_column_profile: per-column data-profile of orders (extension — the
+# ANALYZE-style profile behind data-quality dashboards and catalog
+# stats): null count, exact distinct count, min/max rendered as text.
+# One pass, one aggregate row, inlined to (column, stats) rows — the
+# unpivot runs on a 1-row aggregate, not on data. Exact distinct counts
+# use Spark's Expand (one shuffle per distinct column merged into one
+# agg); at 100 TB swap approx_count_distinct in — the frame is
+# identical, the agg expression is the knob.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.inline(F.array(*structs))).orderBy("column_name")
+
+
+Q_COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+# ---------------------------------------------------------------------------
+# q_kanon_risk: k-anonymity audit of the customer quasi-identifier
+# combination (nation, market segment) — the governance measure behind
+# "can this projection be published": any combination shared by fewer
+# than k individuals re-identifies them (Sweeney 2002). Output is the
+# per-combination equivalence-class size and the at-risk flag; one
+# groupBy, map-side combinable, |nations x segments| output rows.
+# Companion to the masking path (storage/access.py q_masked_read).
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < _KANON_K)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+Q_KANON_RISK_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  COUNT(*) < {_KANON_K} AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_benford_totals: first-significant-digit profile of order totals vs
+# Benford's law (extension — the classic fraud/data-entry anomaly
+# screen). Digit extraction is string-based (first char of the casted
+# value) so both engines agree bit-for-bit without log10 edge cases;
+# the expected Benford mass log10(1 + 1/d) is generated ONCE in Python
+# and inlined as the same literal doubles into both plans. One groupBy
+# on 9 keys + a scalar total — trivially map-side at any scale.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, e in _BENFORD.items() for x in (d, e)]
+        ),
+        F.col("digit"),
+    )
+    w = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "freq", F.col("n").cast("double") / F.sum("n").over(w)
+        )
+        .withColumn("expected_freq", expected)
+        .orderBy("digit")
+    )
+
+
+Q_BENFORD_TOTALS_SQL = f"""
+WITH counts AS (
+  SELECT CAST(SUBSTR(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+)
+SELECT digit, n,
+  CAST(n AS DOUBLE) / SUM(n) OVER () AS freq,
+  CAST(CASE digit
+    {" ".join(f"WHEN {d} THEN {e!r}" for d, e in _BENFORD.items())}
+  END AS DOUBLE) AS expected_freq
+FROM counts
+ORDER BY digit
 """
