@@ -1273,3 +1273,97 @@ SELECT user_id, day, CAST(dv AS DOUBLE) AS day_value,
 FROM daily
 ORDER BY user_id, day
 """
+
+
+# ---------------------------------------------------------------------------
+# q_event_lift: market-basket association over event types at user
+# grain (extension — support / confidence / lift, the classic
+# co-occurrence rule mining surface, Agrawal & Srikant 1994 shape but
+# for pairs): which event types co-occur in the same user's history
+# more than independence predicts.
+#
+# All inputs to the final ratios are EXACT integer counts (distinct
+# users per type / per pair / total), so the doubles are single
+# divisions of the same integers in both engines — bit-identical.
+# Lift deliberately stays a RATIO, not its log (PMI): a log's last ulp
+# is libm-dependent across engines, a ratio of casts is not.
+#
+# Scale: user-distinct pairs via one self-join on user_id — per-user
+# cost is |types-per-user|², bounded by the type vocabulary (not the
+# event count); the per-type counts and the user total broadcast back.
+# ---------------------------------------------------------------------------
+
+
+def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_type")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_type.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_type").alias("n_a"),
+            )),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_type").alias("n_b"),
+            )),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (F.col("n_ab").cast("double") / F.col("n_users")).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+        (
+            (F.col("n_ab").cast("double") * F.col("n_users").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    ).orderBy("type_a", "type_b")
+
+
+Q_EVENT_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type FROM ut GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ta.n_type AS n_a, tb.n_type AS n_b, p.n_ab,
+  CAST(p.n_ab AS DOUBLE) / t.n_users AS support,
+  CAST(p.n_ab AS DOUBLE) / ta.n_type AS confidence,
+  (CAST(p.n_ab AS DOUBLE) * CAST(t.n_users AS DOUBLE))
+    / (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)) AS lift
+FROM pairs p
+JOIN per_type ta ON ta.event_type = p.type_a
+JOIN per_type tb ON tb.event_type = p.type_b
+CROSS JOIN tot t
+ORDER BY type_a, type_b
+"""

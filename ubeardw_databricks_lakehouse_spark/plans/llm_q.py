@@ -2078,3 +2078,71 @@ SELECT query_id, neighbor_id, rank FROM (
 )
 WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# q_oov_rate: out-of-vocabulary rate per source against a reference
+# vocabulary (extension — the tokenizer-health / domain-shift metric a
+# training-data pipeline tracks when mixing sources: a source whose
+# OOV rate spikes against the tokenizer-training corpus is drifting).
+# Reference vocab = distinct whitespace tokens of source 'src0';
+# each source's token stream is left-joined against it and the miss
+# rate is one division of exact counts (bit-identical cross-engine).
+#
+# Scale: vocab is a distinct over the reference slice (broadcastable
+# for real tokenizer vocabs — 32-256k entries); the join is
+# token-level but map-side with the broadcast, and the per-source agg
+# is map-combinable. No driver-side state.
+# ---------------------------------------------------------------------------
+
+_OOV_REF_SOURCE = "src0"
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tk")
+    )
+    vocab = (
+        tok.filter(F.col("source") == _OOV_REF_SOURCE)
+        .select("tk")
+        .distinct()
+        .withColumn("_in_vocab", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_OOV_RATE_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+vocab AS (
+  SELECT DISTINCT tk FROM tok WHERE source = '{_OOV_REF_SOURCE}'
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
+GROUP BY t.source
+ORDER BY t.source
+"""

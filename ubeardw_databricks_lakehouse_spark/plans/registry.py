@@ -579,6 +579,15 @@ QUERIES: list[QueryDef] = [
              relational.Q_BENFORD_TOTALS_SQL,
              "Benford first-digit profile of order totals with inlined "
              "expected mass (fraud/data-entry screen)"),
+    QueryDef("q_event_lift", events_q.q_event_lift,
+             events_q.Q_EVENT_LIFT_SQL,
+             "market-basket association (support/confidence/lift) over "
+             "event-type pairs at user grain — ratios of exact counts, "
+             "no logs"),
+    QueryDef("q_oov_rate", llm_q.q_oov_rate,
+             llm_q.Q_OOV_RATE_SQL,
+             "out-of-vocabulary rate per source vs a reference-corpus "
+             "vocabulary (tokenizer health / domain drift)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -659,7 +668,7 @@ _WINDOW: list[str] = [
 # into the r8 window.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
-    "q_kanon_risk", "q_benford_totals",
+    "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
