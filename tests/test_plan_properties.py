@@ -427,3 +427,45 @@ def test_value_histogram_bounds_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_containment_pairs_never_all_pairs(spark):
+    """The prefix-filtered containment join must be equi-joins all the
+    way down — no cartesian / nested-loop anywhere in the plan, and the
+    parquet-free synthetic keeps the assert plan-only."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 17).cast("string"),
+            F.lit(" tok"), (F.col("id") % 23).cast("string"),
+            F.lit(" tok"), (F.col("id") % 29).cast("string"),
+        ).alias("text"),
+    )
+    p = _plan(containment_pairs(docs, n=2, threshold=0.7))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_block_pairs_capped_is_equi_join(spark):
+    """The capped linkage path joins on (block, band, salt) — pin that
+    the physical plan stays hash-join shaped."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+    )
+
+    names = spark.range(500).select(
+        F.concat(
+            F.lit("entity "), F.col("id").cast("string"), F.lit(" inc")
+        ).alias("name")
+    )
+    p = _plan(fuzzy_block_pairs(names, block_cap=50))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
