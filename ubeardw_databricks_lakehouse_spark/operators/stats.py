@@ -60,3 +60,58 @@ def winsorize_summary(
             .alias("sum_winsorized"),
         )
     )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier report via median absolute deviation:
+    median m, MAD = median(|x - m|), and the count/rate of rows with
+    |x - m| > k * MAD (Hampel identifier; the robust cousin of the
+    z-score screen — immune to the outliers it hunts, unlike
+    mean/stddev, which the outliers themselves drag).
+
+    A zero-MAD group (majority-constant values) flags every deviating
+    row: the strict ``>`` keeps exact-median rows in, which is the
+    standard convention.
+
+    Cross-engine determinism: Spark's exact ``percentile(x, 0.5)`` is
+    bit-identical to DuckDB's PERCENTILE_CONT (probed — see
+    winsorize_summary); |x - m|, k * MAD and the comparison are single
+    IEEE ops on those identical doubles.
+
+    Scale shape: two groupBy passes (median, then MAD over deviations),
+    each a partial-aggregated exact percentile per group with the group
+    as the parallelism unit; both boundary tables broadcast back
+    (|groups| rows). The value stream is never globally sorted. At
+    extreme group cardinality swap approx_percentile into the SAME
+    frame — the agg expression is the knob, as in q_column_profile.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("_dev") > F.lit(float(k)) * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate", F.col("n_outliers").cast("double") / F.col("n")
+        )
+    )

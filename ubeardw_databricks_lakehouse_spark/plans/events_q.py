@@ -1367,3 +1367,135 @@ JOIN per_type tb ON tb.event_type = p.type_b
 CROSS JOIN tot t
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# q_mad_outliers: Hampel robust-outlier screen of event values per
+# event_type — median + MAD instead of mean + stddev, so the screen is
+# immune to the very outliers it hunts (the companion to
+# q_winsorized_stats, which CLIPS; this one COUNTS and rates). Both
+# medians are Spark's exact percentile() == DuckDB PERCENTILE_CONT
+# (probed bit-identical); the deviation, the 3*MAD threshold, and the
+# rate are single IEEE ops on those identical doubles.
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mad_outlier_summary
+
+    ev = t(spark, sf_dir, "events")
+    return mad_outlier_summary(ev, "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+Q_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type,
+    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, med, ABS(value - med) AS d
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY d) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(d.med) AS med,
+  MIN(m.mad) AS mad,
+  CAST(SUM(CASE WHEN d.d > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  CAST(SUM(CASE WHEN d.d > 3.0 * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_user_streaks: gaps-and-islands — per-user consecutive-active-day
+# streaks (the engagement-streak metric, and the canonical
+# "islands" idiom: day_ordinal - row_number() is constant within a
+# consecutive run, so one window + one groupBy finds every island
+# without a self-join). Everything is integer/date arithmetic —
+# oracle-exact by construction.
+#
+# Scale: grain collapses to distinct user-days first (map-side), the
+# window partitions by user (no global sort), and the island groupBy
+# keys on (user, island) — all shuffles on the user key. The output is
+# |users| rows.
+# ---------------------------------------------------------------------------
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    # the longest streak's start via a total-order rank (len desc, then
+    # latest start) — DuckDB's max_by takes no struct key, so BOTH
+    # engines pick through the same deterministic row_number instead
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.desc("start_day")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.max(
+                F.when(F.col("rk") == 1, F.col("start_day"))
+            ).alias("longest_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+    CAST(day - DATE '2024-01-01' AS BIGINT)
+      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+    MIN(day) AS start_day
+  FROM islands GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY len DESC, start_day DESC
+  ) AS rk
+  FROM streaks
+)
+SELECT user_id,
+  CAST(SUM(len) AS BIGINT) AS n_active_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  CAST(MAX(len) AS BIGINT) AS longest_streak,
+  MAX(CASE WHEN rk = 1 THEN start_day END) AS longest_start
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -2146,3 +2146,115 @@ FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
 GROUP BY t.source
 ORDER BY t.source
 """
+
+
+# ---------------------------------------------------------------------------
+# q_chisq_drift: chi-square distribution-drift screen — does each
+# source's document-length distribution diverge from the corpus-wide
+# one? The contingency test behind ingest-drift monitors (and the
+# log-free cousin of PSI, which this battery deliberately avoids for
+# its ln()). Lengths bin into five fixed buckets; expected cell mass is
+# row_total*col_total/N; the statistic is sum((o-e)^2/e) over the FULL
+# source x bucket grid (absent cells contribute their expected mass —
+# the grid cross-join makes the zero cells explicit in BOTH engines).
+#
+# Cross-engine determinism: o, row/col totals and N are exact BIGINTs
+# whose double conversions are exact; e and each cell contribution are
+# single IEEE ops on them — identical bits. The 5-term per-source SUM
+# would be the one order-sensitive step, so each contribution rounds to
+# DECIMAL(22,8) first and the sum is exact (the plans/common policy).
+# The drift flag compares against the chi-square 95% critical value for
+# 4 dof, inlined as the same literal.
+#
+# Scale: one groupBy to the |sources| x 5 cell table, two tiny rollups,
+# a cross-join of two broadcast-sized dimension tables, and a final
+# |sources|-row agg. The document stream is scanned once, map-side.
+# ---------------------------------------------------------------------------
+
+_CHISQ_CRIT_4DOF_95 = 9.487729036781154
+
+
+def q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 250, 1)
+        .when(F.col("n_chars") < 350, 2)
+        .when(F.col("n_chars") < 450, 3)
+        .otherwise(4)
+    )
+    cells = (
+        docs.select(F.col("source"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").alias("row_total"))
+    ct = cells.groupBy("bucket").agg(F.sum("o").alias("col_total"))
+    n = cells.agg(F.sum("o").alias("n_total"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["source", "bucket"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    return (
+        grid.withColumn("contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.min("row_total").cast("bigint").alias("n_docs"),
+            F.sum(F.round(F.col("contrib"), 8).cast("decimal(22,8)"))
+            .cast("double")
+            .alias("chi2"),
+        )
+        .withColumn("drift_flag", F.col("chi2") > F.lit(_CHISQ_CRIT_4DOF_95))
+        .orderBy("source")
+    )
+
+
+Q_CHISQ_DRIFT_SQL = f"""
+WITH cells AS (
+  SELECT source,
+    CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 250 THEN 1
+         WHEN n_chars < 350 THEN 2 WHEN n_chars < 450 THEN 3
+         ELSE 4 END AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+grid AS (
+  SELECT rt.source, ct.bucket, rt.row_total, ct.col_total, n.n_total,
+    COALESCE(cells.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN cells ON cells.source = rt.source AND cells.bucket = ct.bucket
+),
+contribs AS (
+  SELECT source, row_total,
+    (CAST(o AS DOUBLE)
+       - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+         / CAST(n_total AS DOUBLE))
+    * (CAST(o AS DOUBLE)
+       - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+         / CAST(n_total AS DOUBLE))
+    / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+       / CAST(n_total AS DOUBLE)) AS contrib
+  FROM grid
+)
+SELECT source,
+  CAST(MIN(row_total) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(ROUND(contrib, 8) AS DECIMAL(22,8))) AS DOUBLE) AS chi2,
+  CAST(SUM(CAST(ROUND(contrib, 8) AS DECIMAL(22,8))) AS DOUBLE)
+    > {_CHISQ_CRIT_4DOF_95!r} AS drift_flag
+FROM contribs
+GROUP BY source
+ORDER BY source
+"""

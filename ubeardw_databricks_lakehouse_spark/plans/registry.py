@@ -588,6 +588,29 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_OOV_RATE_SQL,
              "out-of-vocabulary rate per source vs a reference-corpus "
              "vocabulary (tokenizer health / domain drift)"),
+    QueryDef("q_copurchase_brands", relational.q_copurchase_brands,
+             relational.Q_COPURCHASE_BRANDS_SQL,
+             "item-item collaborative filtering over order baskets: "
+             "co-occurrence counts scored by cosine (IEEE-exact sqrt) "
+             "and overlap coefficient"),
+    QueryDef("q_gini_revenue", relational.q_gini_revenue,
+             relational.Q_GINI_REVENUE_SQL,
+             "Gini concentration of customer revenue per market "
+             "segment — integer-cents rank formula, one final double "
+             "division"),
+    QueryDef("q_mad_outliers", events_q.q_mad_outliers,
+             events_q.Q_MAD_OUTLIERS_SQL,
+             "Hampel median/MAD robust-outlier screen per event_type "
+             "(counts + rates; companion to the winsorize clip)"),
+    QueryDef("q_user_streaks", events_q.q_user_streaks,
+             events_q.Q_USER_STREAKS_SQL,
+             "gaps-and-islands: per-user consecutive-active-day "
+             "streaks via the day_ordinal - row_number island key"),
+    QueryDef("q_chisq_drift", llm_q.q_chisq_drift,
+             llm_q.Q_CHISQ_DRIFT_SQL,
+             "chi-square length-distribution drift per source vs the "
+             "corpus over the full contingency grid (log-free PSI "
+             "cousin)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -666,9 +689,17 @@ _WINDOW: list[str] = [
 # profile, k-anonymity audit, Benford profile — all oracle-paired,
 # green in the sf0.001 + sf0.01 differentials this round; they rotate
 # into the r8 window.
+# r7 additions batch 2 (statistics/analytics family): brand co-purchase
+# CF, Gini concentration, MAD outliers, gaps-and-islands streaks,
+# chi-square drift — likewise oracle-paired and green in both
+# differentials. Rotation math: 33 entries are r5-latest-green (stale
+# at r8) + the 12 here = 45 <= 50, so the r8 window absorbs all of
+# these without displacing anything fresh.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
+    "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
+    "q_user_streaks", "q_chisq_drift",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -2545,3 +2545,170 @@ SELECT digit, n,
 FROM counts
 ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# q_copurchase_brands: item-item collaborative filtering over the order
+# basket (extension — the "customers who bought X also bought Y" score
+# every recommender bootstrap starts from; Linden 2003 item-item CF).
+# Grain: distinct (order, brand) incidence from lineitem x part; the
+# within-order self-join (brand_a < brand_b) yields co-occurrence
+# counts, scored by cosine n_both/sqrt(n_a*n_b) and overlap
+# n_both/min(n_a,n_b). Both scores are single IEEE ops over exact
+# BIGINT counts — sqrt is correctly rounded per IEEE-754, so the
+# doubles are bit-identical across engines (unlike log/exp, which the
+# battery deliberately avoids).
+#
+# Scale: candidate pairs grow with sum_orders(basket_brands^2), NOT
+# corpus^2 — the basket is the block, exactly the bounded-block
+# discipline of the fuzzy-linkage join. TPC-H baskets are <= 7 items;
+# real carts need the same cap-and-salt treatment as
+# operators/linkage.fuzzy_block_pairs for pathological mega-baskets.
+# The brand-count join is a broadcast (|brands| rows).
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    bc = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_orders"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n_orders").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_both",
+            (F.col("n_both").cast("double")
+             / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+             ).alias("cosine_sim"),
+            (F.col("n_both").cast("double")
+             / F.least(F.col("n_a"), F.col("n_b"))).alias("overlap_coef"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+Q_COPURCHASE_BRANDS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+bc AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders FROM ob GROUP BY 1
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+    CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both,
+  CAST(n_both AS DOUBLE)
+    / SQRT(CAST(ca.n_orders * cb.n_orders AS DOUBLE)) AS cosine_sim,
+  CAST(n_both AS DOUBLE) / LEAST(ca.n_orders, cb.n_orders) AS overlap_coef
+FROM pairs
+JOIN bc ca ON brand_a = ca.brand
+JOIN bc cb ON brand_b = cb.brand
+ORDER BY brand_a, brand_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_gini_revenue: Gini concentration of customer revenue within each
+# market segment (extension — the inequality/concentration KPI behind
+# "top 1% of customers drive X%" dashboards; also the standard
+# label-imbalance screen on training-data source mixes).
+#
+# G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) over the
+# revenue-ascending ranking i = 1..n. Everything up to the final
+# division is INTEGER arithmetic: revenue folds to exact BIGINT cents
+# (decimal sum * 100), ranks come from row_number with a custkey
+# tiebreak (ties share equal x so the rank permutation cannot change
+# the sum), and the two BIGINT aggregates convert exactly to double
+# (magnitudes << 2^53 at any plausible segment size) for ONE final
+# division — bit-identical across engines, no decimal-promotion rules
+# in play.
+#
+# Scale: one orders groupBy to |customers| rows, a per-segment window
+# rank (the segment is the parallelism unit — no global sort), one
+# groupBy to |segments| rows. At extreme per-segment cardinality the
+# rank becomes the scan-sort bottleneck; the fix is the standard
+# two-pass histogram Gini on binned revenue, same downstream formula.
+# ---------------------------------------------------------------------------
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    return g.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_customers",
+        (F.col("s").cast("double") / 100).alias("total_revenue"),
+        (
+            (2 * F.col("s1") - (F.col("n_customers") + 1) * F.col("s"))
+            .cast("double")
+            / (F.col("n_customers") * F.col("s")).cast("double")
+        ).alias("gini"),
+    ).orderBy("segment")
+
+
+Q_GINI_REVENUE_SQL = """
+WITH rev AS (
+  SELECT c_mktsegment, c_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+    ) AS i
+  FROM rev
+),
+g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS BIGINT) AS s,
+    CAST(SUM(i * cents) AS BIGINT) AS s1
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment AS segment, n_customers,
+  CAST(s AS DOUBLE) / 100 AS total_revenue,
+  CAST(2 * s1 - (n_customers + 1) * s AS DOUBLE)
+    / CAST(n_customers * s AS DOUBLE) AS gini
+FROM g
+ORDER BY segment
+"""
