@@ -180,3 +180,169 @@ def test_copurchase_no_cartesian_counts_broadcast(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bfs_hops_hand_graph(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus branch 2-6: from node 1, dists are
+    # {1:0, 2:1, 3:2, 6:2, 4:3}; 5 is 4 hops out and must NOT appear
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)], ["src", "dst"]
+    )
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}
+
+
+def test_bfs_hops_cycle_takes_shortest(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    # triangle 1-2-3: node 3 is reachable at hop 1 (direct) and hop 2
+    # (via 2) — the anti-join must keep the FIRST (shortest) label
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_conversion_latency_counts_match_funnel(spark):
+    """Each step's converted count equals the q_funnel stage count
+    (same first-touch chain), and latency stats are positive and
+    ordered median <= p90."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_conversion_latency,
+        q_funnel,
+    )
+
+    f = q_funnel(spark, SF_DIR).collect()[0]
+    rows = {r["step"]: r for r in q_conversion_latency(spark, SF_DIR).collect()}
+    assert rows["1_signup_to_view"]["n_converted"] == f["n_view"]
+    assert rows["2_view_to_click"]["n_converted"] == f["n_click"]
+    assert rows["3_click_to_purchase"]["n_converted"] == f["n_purchase"]
+    assert rows["4_signup_to_purchase"]["n_converted"] == f["n_purchase"]
+    for r in rows.values():
+        assert 0 < r["median_s"] <= r["p90_s"]
+        assert r["mean_s"] > 0
+
+
+def test_fk_integrity_clean_on_generated_data(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_fk_integrity,
+    )
+
+    rows = q_fk_integrity(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_rows"] > 0
+        assert r["n_orphans"] == 0 and r["orphan_rate"] == 0.0
+
+
+def test_fk_integrity_detects_planted_orphans(spark):
+    """Plant orphans through the same per-edge shape the query uses:
+    child keys with no parent AND a NULL child key both count."""
+    import tempfile
+
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_fk_integrity,
+    )
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "r1")], ["r_regionkey", "r_name"]
+    ).write.parquet(f"{d}/region.parquet")
+    spark.createDataFrame(
+        [(1, 1), (2, 9), (3, None)],
+        "n_nationkey int, n_regionkey int",
+    ).write.parquet(f"{d}/nation.parquet")
+    for name in ("customer", "supplier", "orders", "lineitem", "part"):
+        src = {
+            "customer": [(1, 1)], "supplier": [(1, 1)],
+            "orders": [(1, 1)], "part": [(1,)],
+            "lineitem": [(1, 1, 1)],
+        }[name]
+        schema = {
+            "customer": "c_custkey int, c_nationkey int",
+            "supplier": "s_suppkey int, s_nationkey int",
+            "orders": "o_orderkey int, o_custkey int",
+            "part": "p_partkey int",
+            "lineitem": "l_orderkey int, l_partkey int, l_suppkey int",
+        }[name]
+        spark.createDataFrame(src, schema).write.parquet(f"{d}/{name}.parquet")
+    row = {
+        r["fk_edge"]: r for r in q_fk_integrity(spark, d).collect()
+    }["nation.n_regionkey->region.r_regionkey"]
+    assert row["n_rows"] == 3 and row["n_orphans"] == 2
+    assert row["orphan_rate"] == pytest.approx(2 / 3)
+
+
+def test_revenue_concentration_python_replay(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_revenue_concentration,
+    )
+
+    got = {
+        r["segment"]: (r["n_customers"], r["k50"], r["k90"], r["top_decile_share"])
+        for r in q_revenue_concentration(spark, SF_DIR).collect()
+    }
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for seg, g in j.groupby("c_mktsegment"):
+        cents = sorted(
+            g.groupby("c_custkey")["o_totalprice"].sum().map(
+                lambda v: round(v * 100)
+            ),
+            reverse=True,
+        )
+        n, tot = len(cents), sum(cents)
+        cum, k50, k90, top = 0, None, None, 0
+        kd = (n + 9) // 10
+        for i, x in enumerate(cents, start=1):
+            cum += x
+            if k50 is None and 2 * cum >= tot:
+                k50 = i
+            if k90 is None and 10 * cum >= 9 * tot:
+                k90 = i
+            if i <= kd:
+                top += x
+        assert got[seg] == (n, k50, k90, pytest.approx(top / tot, abs=1e-15))
+
+
+def test_corr_profile_matches_numpy(spark):
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_corr_profile,
+    )
+
+    got = {r["l_returnflag"]: r for r in q_corr_profile(spark, SF_DIR).collect()}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        q = (g["l_quantity"].astype(float) * 100).round()
+        p = (g["l_extendedprice"].astype(float) * 100).round()
+        d = (g["l_discount"].astype(float) * 100).round()
+        r = got[flag]
+        assert r["n"] == len(g)
+        assert r["corr_qty_price"] == pytest.approx(np.corrcoef(q, p)[0, 1], rel=1e-9)
+        assert r["corr_price_disc"] == pytest.approx(np.corrcoef(p, d)[0, 1], rel=1e-9)
+        assert r["corr_qty_disc"] == pytest.approx(np.corrcoef(q, d)[0, 1], rel=1e-9)
+        for c in ("corr_qty_price", "corr_price_disc", "corr_qty_disc"):
+            assert -1.0 <= r[c] <= 1.0
+
+
+def test_corr_profile_single_scan_partial_agg(spark):
+    """The sufficient-statistics design promise: ONE lineitem scan and
+    a partial (map-side) aggregation before the shuffle."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_corr_profile,
+    )
+
+    plan = (
+        q_corr_profile(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "partial_" in plan  # map-side combine fired

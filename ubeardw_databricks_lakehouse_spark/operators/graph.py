@@ -238,3 +238,59 @@ def triangle_counts(
         .unionByName(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-hop breadth-first distances over an UNDIRECTED reading
+    of ``edges``: (node, dist) for every node within ``max_hops`` of
+    the seed set (dist 0). With ``seeds=None`` the seed is the single
+    smallest node id — a deterministic default both engines can
+    reproduce. Completes the graph trio's reachability leg (CC answers
+    "same component", PageRank "how central", BFS "how far").
+
+    Scale shape — frontier-parallel BFS, the textbook distributed form:
+    each round is ONE equi-join (undirected edges x current frontier)
+    + distinct + ONE anti-join against the visited set; no driver-side
+    state, no per-node loop. The driver loop is bounded by
+    ``max_hops`` (fixed, small); ``visited`` is localCheckpoint-ed
+    every round because round h+1 both anti-joins against it and
+    unions into it — without truncation the plan re-derives every
+    prior frontier twice per round (the q11/triangle ReuseExchange
+    lesson). Frontier size is bounded by |V|; at web scale the
+    visited set stays a (node, dist) pair table — never collected.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if seeds is None:
+        seeds = und.agg(F.min("u").alias("node"))
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            und.join(frontier, und["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = reached.join(
+            visited.select("node"), "node", "left_anti"
+        ).withColumn("dist", F.lit(h))
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = visited.where(F.col("dist") == h).select("node")
+    return visited

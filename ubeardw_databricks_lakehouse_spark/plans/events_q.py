@@ -1499,3 +1499,126 @@ FROM ranked
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_conversion_latency: time-to-convert distribution per funnel step —
+# for each user, the strictly-ordered first-touch chain signup -> view
+# -> click -> purchase (the q_funnel chain), then per-step latency
+# stats: converted count, median, p90, and mean seconds (extension —
+# the "how long does each step take" half of funnel analytics; the
+# count half lives in q_funnel).
+#
+# Latencies are exact BIGINT microseconds (unix_micros / epoch_us —
+# no truncation-unit ambiguity between engines); percentile() ==
+# PERCENTILE_CONT interpolates the same doubles (the winsorize probe),
+# and every /1e6 rescale is one IEEE division applied identically in
+# both engines. The mean divides the exact integer sum once.
+#
+# Scale: the chain is per-user conditional mins (narrow aggs + user-
+# keyed joins — the q_funnel decorrelation, no window over the whole
+# log); the stack unpivot is map-only; the final agg is 4 rows.
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, step: str, prev_col: str, out: str) -> DataFrame:
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+        return prev.join(nxt, "user_id", "left")
+
+    t1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    chain = first_after(t1, "view", "t_signup", "t_view")
+    chain = first_after(chain, "click", "t_view", "t_click")
+    chain = first_after(chain, "purchase", "t_click", "t_purchase")
+    lat = chain.select(
+        F.expr(
+            "stack(4,"
+            " '1_signup_to_view',   unix_micros(t_view) - unix_micros(t_signup),"
+            " '2_view_to_click',    unix_micros(t_click) - unix_micros(t_view),"
+            " '3_click_to_purchase',unix_micros(t_purchase) - unix_micros(t_click),"
+            " '4_signup_to_purchase', unix_micros(t_purchase) - unix_micros(t_signup)"
+            ") AS (step, lat_us)"
+        )
+    ).where(F.col("lat_us").isNotNull())
+    return (
+        lat.groupBy("step")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            (F.expr("percentile(lat_us, 0.5)") / F.lit(1e6)).alias(
+                "median_s"
+            ),
+            (F.expr("percentile(lat_us, 0.9)") / F.lit(1e6)).alias("p90_s"),
+            (
+                F.sum("lat_us").cast("double")
+                / F.count("*")
+                / F.lit(1e6)
+            ).alias("mean_s"),
+        )
+        .orderBy("step")
+    )
+
+
+Q_CONVERSION_LATENCY_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t_signup
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t_view
+  GROUP BY e.user_id
+),
+t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t_click
+  GROUP BY e.user_id
+),
+chain AS (
+  SELECT t1.user_id, t_signup, t_view, t_click, t_purchase
+  FROM t1
+  LEFT JOIN t2 ON t1.user_id = t2.user_id
+  LEFT JOIN t3 ON t1.user_id = t3.user_id
+  LEFT JOIN t4 ON t1.user_id = t4.user_id
+),
+lat AS (
+  SELECT '1_signup_to_view' AS step,
+    epoch_us(t_view) - epoch_us(t_signup) AS lat_us FROM chain
+  UNION ALL
+  SELECT '2_view_to_click',
+    epoch_us(t_click) - epoch_us(t_view) FROM chain
+  UNION ALL
+  SELECT '3_click_to_purchase',
+    epoch_us(t_purchase) - epoch_us(t_click) FROM chain
+  UNION ALL
+  SELECT '4_signup_to_purchase',
+    epoch_us(t_purchase) - epoch_us(t_signup) FROM chain
+)
+SELECT step, CAST(COUNT(*) AS BIGINT) AS n_converted,
+  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY lat_us) / 1e6 AS median_s,
+  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY lat_us) / 1e6 AS p90_s,
+  CAST(SUM(lat_us) AS DOUBLE) / COUNT(*) / 1e6 AS mean_s
+FROM lat
+WHERE lat_us IS NOT NULL
+GROUP BY step
+ORDER BY step
+"""

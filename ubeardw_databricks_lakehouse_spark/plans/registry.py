@@ -611,6 +611,28 @@ QUERIES: list[QueryDef] = [
              "chi-square length-distribution drift per source vs the "
              "corpus over the full contingency grid (log-free PSI "
              "cousin)"),
+    QueryDef("q_conversion_latency", events_q.q_conversion_latency,
+             events_q.Q_CONVERSION_LATENCY_SQL,
+             "per-funnel-step time-to-convert stats (median/p90/mean "
+             "seconds) over the strictly-ordered first-touch chain"),
+    QueryDef("q_fk_integrity", relational.q_fk_integrity,
+             relational.Q_FK_INTEGRITY_SQL,
+             "referential-integrity audit: orphan counts and rates "
+             "for every FK edge of the star schema in one report"),
+    QueryDef("q_revenue_concentration", relational.q_revenue_concentration,
+             relational.Q_REVENUE_CONCENTRATION_SQL,
+             "Lorenz head stats per segment: min top-k customers "
+             "covering 50%/90% of revenue and the top-decile share "
+             "(integer cumulative-sum thresholds)"),
+    QueryDef("q_corr_profile", relational.q_corr_profile,
+             relational.Q_CORR_PROFILE_SQL,
+             "Pearson correlation matrix from exact integer "
+             "sufficient statistics (one scan, decimal(38,0) sums), "
+             "not order-sensitive streaming corr()"),
+    QueryDef("q_supplier_reach", relational.q_supplier_reach,
+             relational.Q_SUPPLIER_REACH_SQL,
+             "bounded 3-hop BFS reachability over the supplier "
+             "co-supply graph (frontier join + anti-join per hop)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -692,14 +714,20 @@ _WINDOW: list[str] = [
 # r7 additions batch 2 (statistics/analytics family): brand co-purchase
 # CF, Gini concentration, MAD outliers, gaps-and-islands streaks,
 # chi-square drift — likewise oracle-paired and green in both
-# differentials. Rotation math: 33 entries are r5-latest-green (stale
-# at r8) + the 12 here = 45 <= 50, so the r8 window absorbs all of
-# these without displacing anything fresh.
+# differentials.
+# r7 additions batch 3 (funnel latency, FK audit, Lorenz concentration,
+# exact-sufficient-statistics correlation, bounded-hop BFS): the last
+# five slots. Rotation math: 33 entries are r5-latest-green (stale at
+# r8) + the 17 here = EXACTLY 50, so the r8 window is full with no
+# displacement; further additions must wait for r9 or displace a
+# youngest-fresh entry with a written rationale.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
     "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
-    "q_user_streaks", "q_chisq_drift",
+    "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
+    "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
+    "q_supplier_reach",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -2132,9 +2132,10 @@ ORDER BY s_name
 # ---------------------------------------------------------------------------
 
 
-def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import triangle_counts
-
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded supplier co-supply projection — the shared graph for
+    q_triangle_suppliers and q_supplier_reach (edge semantics and the
+    1.05x-mean sparsity cut documented at q_triangle_suppliers)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
@@ -2156,11 +2157,17 @@ def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_w = pairs.agg(
         (F.sum("cnt").cast("double") / F.count("*")).alias("_mean")
     )
-    edges = (
+    return (
         pairs.crossJoin(F.broadcast(mean_w))
         .filter(F.col("cnt").cast("double") > F.lit(1.05) * F.col("_mean"))
         .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
     )
+
+
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    edges = _cosupply_edges(spark, sf_dir)
     return (
         triangle_counts(edges)
         .select("node", F.col("triangles").cast("bigint").alias("triangles"))
@@ -2711,4 +2718,383 @@ SELECT c_mktsegment AS segment, n_customers,
     / CAST(n_customers * s AS DOUBLE) AS gini
 FROM g
 ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_reach: bounded-hop BFS over the supplier co-supply graph —
+# how many suppliers sit 0/1/2/3 hops from the smallest supplier in the
+# graph (extension — the reachability leg of the graph trio: CC answers
+# "same component", PageRank "how central", BFS "how far"; the
+# neighborhood-expansion primitive behind supply-chain blast-radius and
+# fraud-ring queries). Graph and sparsity cut are shared with
+# q_triangle_suppliers via _cosupply_edges.
+#
+# All arithmetic is integer (node ids, hop counters, counts, id sums) —
+# oracle-exact by construction. The SQL twin unrolls the 3 bounded
+# frontiers as CTE set-differences; Spark runs the same frontier
+# algebra through operators/graph.bfs_hops (equi-join + anti-join per
+# round, visited set checkpointed — no driver state).
+#
+# Scale: each hop is one shuffle join keyed on node ids; frontier and
+# visited are (node, dist) tables bounded by |V|. The co-supply edge
+# build dominates (same cost envelope as the triangle query).
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    dists = bfs_hops(_cosupply_edges(spark, sf_dir), max_hops=3)
+    return (
+        dists.groupBy("dist")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("node").cast("bigint").alias("node_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+Q_SUPPLIER_REACH_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+edges AS (
+  SELECT s1 AS a, s2 AS b FROM pairs
+  WHERE CAST(cnt AS DOUBLE) > 1.05 * (
+    SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) FROM pairs)
+),
+und AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+),
+d0 AS (SELECT MIN(u) AS node FROM und),
+d1 AS (
+  SELECT DISTINCT v AS node FROM und JOIN d0 ON und.u = d0.node
+  WHERE v NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT v AS node FROM und JOIN d1 ON und.u = d1.node
+  WHERE v NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT v AS node FROM und JOIN d2 ON und.u = d2.node
+  WHERE v NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+                  UNION ALL SELECT node FROM d2)
+),
+dists AS (
+  SELECT node, 0 AS dist FROM d0
+  UNION ALL SELECT node, 1 FROM d1
+  UNION ALL SELECT node, 2 FROM d2
+  UNION ALL SELECT node, 3 FROM d3
+)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(node) AS BIGINT) AS node_sum
+FROM dists
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_fk_integrity: referential-integrity audit across every foreign-key
+# edge of the star schema in one report (extension — the data-quality
+# sweep run before any warehouse is trusted; the relational sibling of
+# q_column_profile). One row per FK edge: child rowcount, orphan count
+# (child keys with no parent — NULL child keys count as orphans, the
+# strict reading), orphan rate.
+#
+# Counts are exact integers; the rate is one double division —
+# oracle-exact by construction.
+#
+# Scale: each edge is ONE left join against the DISTINCT parent keys
+# followed by a count/sum agg that partial-aggregates map-side; the
+# dimension parents (nation, region, customer, supplier, part)
+# broadcast, and the one big-parent edge (lineitem->orders) is a plain
+# shuffled equi-join AQE can re-plan. Seven tiny 1-row results union.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reports = []
+    for child, ckey, parent, pkey, in _FK_EDGES:
+        pk = (
+            t(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("_pk"))
+            .distinct()
+        )
+        rep = (
+            t(spark, sf_dir, child)
+            .select(F.col(ckey).alias("_ck"))
+            .join(pk, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("_pk").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("fk_edge")
+
+
+Q_FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{ckey}->{parent}.{pkey}' AS fk_edge,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_orphans,
+  CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+FROM {child}
+LEFT JOIN (SELECT DISTINCT {pkey} AS _pk FROM {parent}) p
+  ON {ckey} = p._pk"""
+    for child, ckey, parent, pkey in _FK_EDGES
+) + "\nORDER BY fk_edge"
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_concentration: Lorenz-curve head statistics per market
+# segment — the "how many whales cover half the revenue" companion to
+# q_gini_revenue's single scalar (extension — contribution analysis /
+# ABC classification; on training corpora the same query sizes how few
+# sources dominate a mixture). Per segment: customer count, the
+# minimum number of top customers covering >=50% and >=90% of revenue,
+# and the share held by the top decile (ceil(n/10) customers).
+#
+# Revenue folds to exact BIGINT cents (the q_gini_revenue policy); the
+# coverage thresholds compare 2*cum >= total and 10*cum >= 9*total in
+# INTEGER arithmetic (no 0.5*total double); the only doubles are the
+# two final share divisions — oracle-exact by construction.
+#
+# Scale: one orders groupBy to |customers| rows, one per-segment
+# window pass (rank + running sum share a single sort, the segment is
+# the parallelism unit), one groupBy to |segments| rows. At extreme
+# per-segment cardinality the same statistics come from a binned
+# histogram (the q_gini_revenue escape hatch).
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("c_custkey")
+    )
+    part = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cents").over(part).alias("tot"),
+        F.count("*").over(part).alias("n"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("rk")))
+            .cast("bigint")
+            .alias("k50"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("rk")))
+            .cast("bigint")
+            .alias("k90"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("rk") <= F.expr("(n + 9) div 10"),
+                        F.col("cents"),
+                    )
+                ).cast("double")
+                / F.max("tot").cast("double")
+            ).alias("top_decile_share"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_customers",
+            "k50",
+            "k90",
+            "top_decile_share",
+        )
+        .orderBy("segment")
+    )
+
+
+Q_REVENUE_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT c_mktsegment, c_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+    ) AS rk,
+    SUM(cents) OVER (
+      PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum,
+    SUM(cents) OVER (PARTITION BY c_mktsegment) AS tot,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM rev
+)
+SELECT c_mktsegment AS segment,
+  CAST(MAX(n) AS BIGINT) AS n_customers,
+  CAST(MIN(CASE WHEN 2 * cum >= tot THEN rk END) AS BIGINT) AS k50,
+  CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk END) AS BIGINT) AS k90,
+  CAST(SUM(CASE WHEN rk <= (n + 9) // 10 THEN cents END) AS DOUBLE)
+    / CAST(MAX(tot) AS DOUBLE) AS top_decile_share
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_corr_profile: Pearson correlation matrix over lineitem's numeric
+# triple (quantity, extendedprice, discount) per return flag
+# (extension — the feature-correlation screen run before any modeling
+# or mixture design; the bivariate companion to q_column_profile's
+# univariate stats). NOT Spark's corr()/DuckDB's CORR(): both are
+# order-sensitive streaming doubles that can disagree in the last
+# bits. Instead the five sufficient statistics (sum x, sum y, sum xy,
+# sum x^2, sum y^2) accumulate EXACTLY — values fold to integer cents,
+# per-row products stay within BIGINT, and the sums carry
+# DECIMAL(38,0) so a 100 TB rowcount cannot overflow — then each
+# correlation is one identical double expression on the exact sums:
+# r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2)).
+#
+# Scale: ONE scan, one partial-aggregating groupBy to |flags| rows.
+# The entire correlation matrix costs exactly one shuffle of 5 numbers
+# per (group, pair) — the sufficient-statistics trick is what makes
+# feature screens affordable at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def _pearson_from_sums(n, sx, sy, sxy, sxx, syy):
+    nd = n.cast("double")
+    return (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) / F.sqrt(
+        (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+        * (nd * syy.cast("double") - sy.cast("double") * sy.cast("double"))
+    )
+
+
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("q"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        (F.col("l_discount").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("d"),
+    )
+
+    def s(colexpr, alias):
+        return F.sum(colexpr.cast("decimal(38,0)")).alias(alias)
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        s(F.col("q"), "sq"), s(F.col("p"), "sp"), s(F.col("d"), "sd"),
+        s(F.col("q") * F.col("p"), "sqp"),
+        s(F.col("p") * F.col("d"), "spd"),
+        s(F.col("q") * F.col("d"), "sqd"),
+        s(F.col("q") * F.col("q"), "sqq"),
+        s(F.col("p") * F.col("p"), "spp"),
+        s(F.col("d") * F.col("d"), "sdd"),
+    )
+    c = F.col
+    return sums.select(
+        "l_returnflag",
+        "n",
+        _pearson_from_sums(
+            c("n"), c("sq"), c("sp"), c("sqp"), c("sqq"), c("spp")
+        ).alias("corr_qty_price"),
+        _pearson_from_sums(
+            c("n"), c("sp"), c("sd"), c("spd"), c("spp"), c("sdd")
+        ).alias("corr_price_disc"),
+        _pearson_from_sums(
+            c("n"), c("sq"), c("sd"), c("sqd"), c("sqq"), c("sdd")
+        ).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+def _sql_pearson(sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    return (
+        f"({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+        f" / SQRT(({n} * CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+        f" * ({n} * CAST({syy} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+    )
+
+
+Q_CORR_PROFILE_SQL = f"""
+WITH ints AS (
+  SELECT l_returnflag,
+    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+    SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+    SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+    SUM(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+    SUM(CAST(p * d AS DECIMAL(38,0))) AS spd,
+    SUM(CAST(q * d AS DECIMAL(38,0))) AS sqd,
+    SUM(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+    SUM(CAST(p * p AS DECIMAL(38,0))) AS spp,
+    SUM(CAST(d * d AS DECIMAL(38,0))) AS sdd
+  FROM ints GROUP BY 1
+)
+SELECT l_returnflag, n,
+  {_sql_pearson('sq', 'sp', 'sqp', 'sqq', 'spp')} AS corr_qty_price,
+  {_sql_pearson('sp', 'sd', 'spd', 'spp', 'sdd')} AS corr_price_disc,
+  {_sql_pearson('sq', 'sd', 'sqd', 'sqq', 'sdd')} AS corr_qty_disc
+FROM sums
+ORDER BY l_returnflag
 """
