@@ -346,3 +346,21 @@ def test_corr_profile_single_scan_partial_agg(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert "partial_" in plan  # map-side combine fired
+
+
+def test_fk_integrity_scans_each_child_once(spark):
+    """lineitem carries three FK edges but must be scanned ONCE — the
+    single-pass chained-join design promise."""
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_fk_integrity,
+    )
+
+    plan = (
+        q_fk_integrity(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1

@@ -2811,51 +2811,68 @@ ORDER BY dist
 # Counts are exact integers; the rate is one double division —
 # oracle-exact by construction.
 #
-# Scale: each edge is ONE left join against the DISTINCT parent keys
-# followed by a count/sum agg that partial-aggregates map-side; the
-# dimension parents (nation, region, customer, supplier, part)
-# broadcast, and the one big-parent edge (lineitem->orders) is a plain
-# shuffled equi-join AQE can re-plan. Seven tiny 1-row results union.
+# Scale: every child table is scanned ONCE — a child with several FK
+# columns (lineitem has three) audits them all in a single pass of
+# chained left joins against DISTINCT parent keys, then one agg row
+# whose null-counters unpivot into the per-edge report (stack is
+# map-only on a 1-row frame). The dimension parents (nation, region,
+# customer, supplier, part) broadcast; the one big-parent edge
+# (lineitem->orders) is a plain shuffled equi-join AQE can re-plan.
 # ---------------------------------------------------------------------------
 
-_FK_EDGES = [
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-]
+# child -> [(child_key, parent, parent_key)], one audit pass per child
+_FK_EDGES = {
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "orders": [("o_custkey", "customer", "c_custkey")],
+    "customer": [("c_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    "nation": [("n_regionkey", "region", "r_regionkey")],
+}
 
 
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports = []
-    for child, ckey, parent, pkey, in _FK_EDGES:
-        pk = (
-            t(spark, sf_dir, parent)
-            .select(F.col(pkey).alias("_pk"))
-            .distinct()
+    for child, edges in _FK_EDGES.items():
+        j = t(spark, sf_dir, child).select(
+            *[F.col(ckey) for ckey, _, _ in edges]
         )
-        rep = (
-            t(spark, sf_dir, child)
-            .select(F.col(ckey).alias("_ck"))
-            .join(pk, F.col("_ck") == F.col("_pk"), "left")
-            .agg(
-                F.count("*").cast("bigint").alias("n_rows"),
-                F.sum(F.col("_pk").isNull().cast("int"))
+        for i, (ckey, parent, pkey) in enumerate(edges):
+            pk = (
+                t(spark, sf_dir, parent)
+                .select(F.col(pkey).alias(f"_pk{i}"))
+                .distinct()
+            )
+            j = j.join(pk, F.col(ckey) == F.col(f"_pk{i}"), "left")
+        agg = j.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(F.col(f"_pk{i}").isNull().cast("int"))
                 .cast("bigint")
-                .alias("n_orphans"),
-            )
-            .select(
-                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("fk_edge"),
-                "n_rows",
-                "n_orphans",
-                (
-                    F.col("n_orphans").cast("double")
-                    / F.col("n_rows").cast("double")
-                ).alias("orphan_rate"),
-            )
+                .alias(f"_orph{i}")
+                for i in range(len(edges))
+            ],
+        )
+        arms = ", ".join(
+            f"'{child}.{ckey}->{parent}.{pkey}', _orph{i}"
+            for i, (ckey, parent, pkey) in enumerate(edges)
+        )
+        rep = agg.select(
+            F.expr(
+                f"stack({len(edges)}, {arms}) AS (fk_edge, n_orphans)"
+            ),
+            "n_rows",
+        ).select(
+            "fk_edge",
+            "n_rows",
+            "n_orphans",
+            (
+                F.col("n_orphans").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("orphan_rate"),
         )
         reports.append(rep)
     out = reports[0]
@@ -2874,7 +2891,8 @@ Q_FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
 FROM {child}
 LEFT JOIN (SELECT DISTINCT {pkey} AS _pk FROM {parent}) p
   ON {ckey} = p._pk"""
-    for child, ckey, parent, pkey in _FK_EDGES
+    for child, edges in _FK_EDGES.items()
+    for ckey, parent, pkey in edges
 ) + "\nORDER BY fk_edge"
 
 
