@@ -91,9 +91,13 @@ def mad_outlier_summary(
     frame — the agg expression is the knob, as in q_column_profile.
     """
     v = F.col(value_col)
+    # checkpoint med (|groups| rows): it is re-joined by BOTH the MAD
+    # pass and the final pass — without it each downstream branch
+    # recomputes the median scan (ReuseExchange does not fire across
+    # them), turning the 3-scan two-pass shape into 4 scans.
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "_dev", F.abs(v - F.col("med"))
     )

@@ -1525,6 +1525,13 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
     def first_after(prev: DataFrame, step: str, prev_col: str, out: str) -> DataFrame:
+        # checkpoint prev: it feeds BOTH the strictly-after filter and
+        # the final left join, and each stage otherwise re-derives every
+        # earlier stage — 8 events scans for the 4-step chain
+        # (ReuseExchange does not fire across the branches). The chain
+        # is |users| rows; checkpointed, events is scanned once per
+        # step, each a pushed-down event_type filter.
+        prev = prev.localCheckpoint(eager=True)
         nxt = (
             ev.where(F.col("event_type") == step)
             .join(prev, "user_id")

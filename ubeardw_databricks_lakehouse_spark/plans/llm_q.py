@@ -2183,10 +2183,15 @@ def q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") < 450, 3)
         .otherwise(4)
     )
+    # localCheckpoint: the cell table feeds FOUR branches (row totals,
+    # column totals, grand total, and the grid's left join) — without
+    # it each branch rescans documents (ReuseExchange does not fire
+    # across them). The cell table is |sources| x 5 rows.
     cells = (
         docs.select(F.col("source"), bucket.alias("bucket"))
         .groupBy("source", "bucket")
         .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
     )
     rt = cells.groupBy("source").agg(F.sum("o").alias("row_total"))
     ct = cells.groupBy("bucket").agg(F.sum("o").alias("col_total"))

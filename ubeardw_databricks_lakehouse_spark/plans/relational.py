@@ -2578,10 +2578,15 @@ ORDER BY digit
 def q_copurchase_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
+    # localCheckpoint: ob feeds the brand counts AND both legs of the
+    # self-join — four plan branches that would each recompute the
+    # lineitem x part join (ReuseExchange does not fire across them,
+    # the q11/triangle lesson). One materialization, one big-table scan.
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bc = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_orders"))
     a = ob.alias("a")
