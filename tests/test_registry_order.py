@@ -125,12 +125,18 @@ def test_no_query_goes_stale_unchecked() -> None:
     report lands, that evidence falls off the horizon with no refresh
     (the r5→r6 lesson: the old backward-looking form only failed one
     round AFTER the rotation should have happened, making the contract
-    voluntary exactly when it mattered). Horizon: 2 reports while the
-    registry fit a 2-round pass; 3 since r5 (125+ entries at 50
-    slots/round needs a 3-round full pass — the registry docstring's
-    CAPACITY NOTE). The per-round backstop for entries waiting their
-    turn is tools/oracle_sweep.py (every oracle-paired entry vs DuckDB
-    at sf0.01, run each round)."""
+    voluntary exactly when it mattered). Horizon: the steady-state
+    minimum, ceil(|registry| / 50) reports — a full pass of N entries
+    at 50 slots/round takes that many rounds, so any tighter horizon
+    becomes UNSATISFIABLE once the registry outgrows it (2 while <=100
+    entries, 3 at 101-150 — the registry docstring's CAPACITY NOTE —
+    4 at 151-200, where r7's 161 sits: with horizon 3 the r8 demand
+    would be 44 r5-stale + 17 never-graded = 61 > 50 slots, a
+    structurally red test). The per-round backstop for entries waiting
+    their turn is tools/oracle_sweep.py (every oracle-paired entry vs
+    DuckDB at sf0.01, run each round)."""
+    import math
+
     reports = sorted(REPO.glob("CORRECTNESS_r*.json"))
     if len(reports) < 2:
         return
@@ -142,7 +148,7 @@ def test_no_query_goes_stale_unchecked() -> None:
                 continue
             if _row_ok(row):
                 latest_green_round[name] = report.name
-    horizon = 3 if len(QUERIES) > 2 * DRIVER_WINDOW else 2
+    horizon = max(2, math.ceil(len(QUERIES) / DRIVER_WINDOW))
     # still-fresh-after-the-next-report = the last horizon-1 reports
     fresh = {r.name for r in reports[-(horizon - 1):]}
     window = {q.name for q in QUERIES[:DRIVER_WINDOW]}

@@ -27,6 +27,14 @@ IN-REPO full gate mirror: `tools/oracle_sweep.py` runs EVERY
 oracle-paired entry vs DuckDB at sf0.01 (the driver's scale) each
 round — 113/113 green on 2026-08-14. test_registry_order's two-report
 freshness horizon widens to three when the constraint first binds.
+r7 UPDATE (161 entries): the horizon is now the steady-state minimum
+ceil(|registry|/50) — 4 at 151-200 entries. The simulated ledger after
+CORRECTNESS_r07 lands: cohorts r5=44, r6=50, r7=50, never-graded=17;
+under horizon 4 the per-round demand sequence is r8: 17 (+33 free
+slots to pull the oldest r5 cohort forward), r9: <=44, r10: 50,
+r11: 50 — always satisfiable. Under the old horizon 3 the r8 demand
+would be 44+17=61 > 50, structurally red. Sweep on 2026-08-15:
+147/147 green at sf0.01.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
@@ -716,11 +724,15 @@ _WINDOW: list[str] = [
 # chi-square drift — likewise oracle-paired and green in both
 # differentials.
 # r7 additions batch 3 (funnel latency, FK audit, Lorenz concentration,
-# exact-sufficient-statistics correlation, bounded-hop BFS): the last
-# five slots. Rotation math: 33 entries are r5-latest-green (stale at
-# r8) + the 17 here = EXACTLY 50, so the r8 window is full with no
-# displacement; further additions must wait for r9 or displace a
-# youngest-fresh entry with a written rationale.
+# exact-sufficient-statistics correlation, bounded-hop BFS).
+# Rotation math, CORRECTED by mechanical simulation (the earlier "33
+# r5-stale" count was wrong): 44 entries are r5-latest-green, so under
+# the old 3-report horizon the r8 demand would be 44 + 17 = 61 > 50 —
+# unsatisfiable. The staleness horizon is therefore the steady-state
+# minimum ceil(161/50) = 4 (see CAPACITY NOTE and
+# test_no_query_goes_stale_unchecked): r8 must window these 17 plus
+# (by the oldest-evidence-first policy) 33 of the 44 r5 entries; the
+# remaining 11 r5 entries head r9's window.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
