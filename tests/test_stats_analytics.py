@@ -238,16 +238,14 @@ def test_fk_integrity_clean_on_generated_data(spark):
         assert r["n_orphans"] == 0 and r["orphan_rate"] == 0.0
 
 
-def test_fk_integrity_detects_planted_orphans(spark):
+def test_fk_integrity_detects_planted_orphans(spark, tmp_path):
     """Plant orphans through the same per-edge shape the query uses:
     child keys with no parent AND a NULL child key both count."""
-    import tempfile
-
     from ubeardw_databricks_lakehouse_spark.plans.relational import (
         q_fk_integrity,
     )
 
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     spark.createDataFrame(
         [(1, "r1")], ["r_regionkey", "r_name"]
     ).write.parquet(f"{d}/region.parquet")
@@ -364,3 +362,44 @@ def test_fk_integrity_scans_each_child_once(spark):
         .toString()
     )
     assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
+
+
+def test_bfs_hops_empty_graph_returns_empty(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([], "src int, dst int")
+    assert bfs_hops(edges, max_hops=3).count() == 0
+
+
+def test_bfs_hops_early_break_on_exhausted_component(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    # single edge: the whole component is seen at hop 1; hops 2..9
+    # must break early and add nothing
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, max_hops=9).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_pearson_zero_variance_is_null_not_nan(spark):
+    """A constant column has undefined correlation — both engines must
+    emit NULL (guarded), never an engine-dependent NaN/Inf."""
+    from pyspark.sql import functions as F2
+
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        _pearson_from_sums,
+    )
+
+    # x constant 5, y = 1..4: sx=20,sxx=100,n=4 -> vx = 0
+    df = spark.range(1).select(
+        F2.lit(4).alias("n"), F2.lit(20).alias("sx"), F2.lit(10).alias("sy"),
+        F2.lit(50).alias("sxy"), F2.lit(100).alias("sxx"),
+        F2.lit(30).alias("syy"),
+    )
+    r = df.select(
+        _pearson_from_sums(
+            F2.col("n"), F2.col("sx"), F2.col("sy"), F2.col("sxy"),
+            F2.col("sxx"), F2.col("syy"),
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert r is None

@@ -258,13 +258,16 @@ def bfs_hops(
     each round is ONE equi-join (undirected edges x current frontier)
     + distinct + ONE anti-join against the visited set; no driver-side
     state, no per-node loop. The driver loop is bounded by
-    ``max_hops`` (fixed, small); ``visited`` is localCheckpoint-ed
-    every round because round h+1 both anti-joins against it and
-    unions into it — without truncation the plan re-derives every
-    prior frontier twice per round (the q11/triangle ReuseExchange
-    lesson). Frontier size is bounded by |V|; at web scale the
+    ``max_hops`` (fixed, small) and breaks early on an exhausted
+    frontier. Checkpoint discipline (the q11/triangle ReuseExchange
+    lesson, at one write per row): ``edges`` at entry — both union
+    branches of the symmetrize would otherwise re-derive a caller's
+    pipeline; then only each hop's NEW frontier — the visited set is a
+    union of already-checkpointed per-hop leaves, so nothing is ever
+    re-materialized. Frontier size is bounded by |V|; at web scale the
     visited set stays a (node, dist) pair table — never collected.
     """
+    edges = edges.localCheckpoint(eager=True)
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
@@ -274,23 +277,38 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     if seeds is None:
+        # min over an EMPTY edge set is a single NULL row — drop it so
+        # an empty graph yields an empty result, not a phantom seed
+        # (the pagerank empty-graph guard, BFS form).
         seeds = und.agg(F.min("u").alias("node"))
-    visited = (
+    hop0 = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .where(F.col(seeds.columns[0]).isNotNull())
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    hops = [hop0]
+    frontier = hop0.select("node")
     for h in range(1, max_hops + 1):
         reached = (
             und.join(frontier, und["u"] == frontier["node"])
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        new = reached.join(
-            visited.select("node"), "node", "left_anti"
-        ).withColumn("dist", F.lit(h))
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = visited.where(F.col("dist") == h).select("node")
-    return visited
+        visited_nodes = hops[0].select("node")
+        for f in hops[1:]:
+            visited_nodes = visited_nodes.unionByName(f.select("node"))
+        new = (
+            reached.join(visited_nodes, "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if not new.take(1):  # frontier exhausted — component fully seen
+            break
+        hops.append(new)
+        frontier = new.select("node")
+    out = hops[0]
+    for f in hops[1:]:
+        out = out.unionByName(f)
+    return out

@@ -799,10 +799,20 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _first_touch_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user strictly-ordered first-touch chain (t_signup, t_view,
+    t_click, t_purchase) — the shared core of q_funnel (counts) and
+    q_conversion_latency (latency stats). Each stage is a narrow agg +
+    user-keyed join; the previous stage is checkpointed because it
+    feeds BOTH the strictly-after filter and the left join — without it
+    each stage re-derives every earlier one (8 events scans for 4
+    steps; ReuseExchange does not fire across the branches). The chain
+    is |users| rows; events is scanned once per step, each a
+    pushed-down event_type filter."""
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
     def first_after(prev: DataFrame, step: str, prev_col: str, out: str) -> DataFrame:
+        prev = prev.localCheckpoint(eager=True)
         nxt = (
             ev.where(F.col("event_type") == step)
             .join(prev, "user_id")
@@ -819,8 +829,11 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain = first_after(t1, "view", "t_signup", "t_view")
     chain = first_after(chain, "click", "t_view", "t_click")
-    chain = first_after(chain, "purchase", "t_click", "t_purchase")
-    return chain.agg(
+    return first_after(chain, "purchase", "t_click", "t_purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _first_touch_chain(spark, sf_dir).agg(
         F.count("t_signup").alias("n_signup"),
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click"),
@@ -1522,34 +1535,7 @@ ORDER BY user_id
 
 
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def first_after(prev: DataFrame, step: str, prev_col: str, out: str) -> DataFrame:
-        # checkpoint prev: it feeds BOTH the strictly-after filter and
-        # the final left join, and each stage otherwise re-derives every
-        # earlier stage — 8 events scans for the 4-step chain
-        # (ReuseExchange does not fire across the branches). The chain
-        # is |users| rows; checkpointed, events is scanned once per
-        # step, each a pushed-down event_type filter.
-        prev = prev.localCheckpoint(eager=True)
-        nxt = (
-            ev.where(F.col("event_type") == step)
-            .join(prev, "user_id")
-            .where(F.col("ts") > F.col(prev_col))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-        return prev.join(nxt, "user_id", "left")
-
-    t1 = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
-    )
-    chain = first_after(t1, "view", "t_signup", "t_view")
-    chain = first_after(chain, "click", "t_view", "t_click")
-    chain = first_after(chain, "purchase", "t_click", "t_purchase")
-    lat = chain.select(
+    lat = _first_touch_chain(spark, sf_dir).select(
         F.expr(
             "stack(4,"
             " '1_signup_to_view',   unix_micros(t_view) - unix_micros(t_signup),"

@@ -2777,7 +2777,10 @@ edges AS (
 und AS (
   SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
 ),
-d0 AS (SELECT MIN(u) AS node FROM und),
+d0 AS (
+  SELECT node FROM (SELECT MIN(u) AS node FROM und) s
+  WHERE node IS NOT NULL
+),
 d1 AS (
   SELECT DISTINCT v AS node FROM und JOIN d0 ON und.u = d0.node
   WHERE v NOT IN (SELECT node FROM d0)
@@ -3034,11 +3037,14 @@ ORDER BY segment
 
 
 def _pearson_from_sums(n, sx, sy, sxy, sxx, syy):
+    # zero-variance guard: a constant column makes its n*sxx - sx^2
+    # term 0 and r undefined (0/0). Emit NULL — in BOTH engines (the
+    # SQL twin mirrors the CASE) — rather than engine-dependent NaN.
     nd = n.cast("double")
-    return (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) / F.sqrt(
-        (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
-        * (nd * syy.cast("double") - sy.cast("double") * sy.cast("double"))
-    )
+    vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    return F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
 
 
 def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,10 +3092,12 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pearson(sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
     n = "CAST(n AS DOUBLE)"
+    vx = f"({n} * CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+    vy = f"({n} * CAST({syy} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    num = f"({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
     return (
-        f"({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
-        f" / SQRT(({n} * CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
-        f" * ({n} * CAST({syy} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 "
+        f"THEN {num} / SQRT({vx} * {vy}) END"
     )
 
 
