@@ -350,3 +350,39 @@ def test_triangle_counts_match_bruteforce(spark, edges):
             for r in triangle_counts(df, orient=orient).collect()
         }
         assert got == expect, orient
+
+
+# --- BFS: distances match a python BFS on random graphs ------------------
+
+
+@PROP
+@given(edge_lists, st.integers(min_value=1, max_value=4))
+def test_bfs_hops_matches_python_bfs(spark, edges, max_hops):
+    from collections import deque
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    und = {(a, b) for a, b in edges if a != b}
+    if not und:
+        return  # empty graph covered by the dedicated unit test
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj)  # the operator's deterministic default
+    expect = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if expect[u] == max_hops:
+            continue
+        for v in adj[u]:
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                q.append(v)
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(df, max_hops=max_hops).collect()
+    }
+    assert got == expect
