@@ -403,3 +403,18 @@ def test_pearson_zero_variance_is_null_not_nan(spark):
         ).alias("r")
     ).collect()[0]["r"]
     assert r is None
+
+
+def test_bfs_hops_multi_source_seeds(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    # two seeds on a path 1-2-3-4-5-6: dist = min hops to EITHER seed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (6,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, max_hops=2, seeds=seeds).collect()
+    }
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
