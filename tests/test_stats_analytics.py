@@ -418,3 +418,104 @@ def test_bfs_hops_multi_source_seeds(spark):
         for r in bfs_hops(edges, max_hops=2, seeds=seeds).collect()
     }
     assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_label_agreement_python_replay(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        q_label_agreement,
+    )
+
+    got = {r["source"]: r for r in q_label_agreement(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for src, g in docs.groupby("source"):
+        a = (g["n_chars"] >= 250).astype(int)
+        b = g["text"].str.endswith(".").astype(int)
+        n, na, nb = len(g), int(a.sum()), int(b.sum())
+        n11 = int((a & b).sum())
+        n00 = n - na - nb + n11
+        po = (n11 + n00) / n
+        pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+        r = got[src]
+        assert (r["n"], r["na"], r["nb"], r["n11"]) == (n, na, nb, n11)
+        assert r["po"] == pytest.approx(po, abs=1e-15)
+        if pe == 1.0:
+            assert r["kappa"] is None
+        else:
+            assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+        assert -1.0 <= r["kappa"] <= 1.0
+
+
+def _md5_frac_py(salt: str, key: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+    return int(h[:15], 16) / float(16**15)
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    """The grid-block + 3x3 probe must find EXACTLY the all-pairs
+    within-radius set (the probe is lossless when cell side == r)."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        _GEO_R,
+        q_geo_radius_join,
+    )
+
+    got = {
+        r["c_nationkey"]: (r["n_pairs"], r["n_customers_covered"])
+        for r in q_geo_radius_join(spark, SF_DIR).collect()
+    }
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    spts = [
+        (_md5_frac_py("sx:", k), _md5_frac_py("sy:", k))
+        for k in supp["s_suppkey"]
+    ]
+    want: dict[int, list] = {}
+    for _, c in cust.iterrows():
+        px, py = _md5_frac_py("cx:", c.c_custkey), _md5_frac_py("cy:", c.c_custkey)
+        hits = sum(
+            1
+            for qx, qy in spts
+            if (px - qx) ** 2 + (py - qy) ** 2 < _GEO_R * _GEO_R
+        )
+        if hits:
+            want.setdefault(int(c.c_nationkey), []).append(hits)
+    assert got == {
+        k: (sum(v), len(v)) for k, v in want.items()
+    }
+    assert got, "sf0.001 must produce at least one within-radius pair"
+
+
+def test_geo_radius_join_is_equi_join(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_geo_radius_join,
+    )
+
+    plan = (
+        q_geo_radius_join(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_lag1_autocorr_numpy_replay(spark):
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_lag1_autocorr,
+    )
+
+    got = {r["event_type"]: r for r in q_lag1_autocorr(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    for et, g in ev.groupby("event_type"):
+        v = (g["value"].round(3) * 1000).round().to_numpy()
+        x, y = v[:-1], v[1:]
+        r = got[et]
+        assert r["n_pairs"] == len(x)
+        assert r["autocorr_lag1"] == pytest.approx(
+            np.corrcoef(x, y)[0, 1], rel=1e-9
+        )

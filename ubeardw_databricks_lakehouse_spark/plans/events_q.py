@@ -1615,3 +1615,99 @@ WHERE lat_us IS NOT NULL
 GROUP BY step
 ORDER BY step
 """
+
+
+# ---------------------------------------------------------------------------
+# q_lag1_autocorr: lag-1 autocorrelation of event values per type
+# (extension — the serial-dependence screen for time series: is this
+# metric a random stream or does it trend? the windowed cousin of
+# q_corr_profile, built on the SAME exact-sufficient-statistics
+# machinery). Consecutive pairs come from lead() over the total order
+# (ts, event_id); each value folds to exact integer MILLI-units
+# (round-3 then x1e3 through decimal — Pearson is scale-invariant), so
+# per-row products stay within BIGINT, the sums carry DECIMAL(38,0),
+# and the final expression is the shared _pearson_from_sums — NULL on
+# zero variance. TWO measured cross-engine boundaries set the unit:
+# (a) DECIMAL(38,s>0) -> DOUBLE rescales after the int128 conversion
+# in DuckDB (two roundings; low-bit drift seen at sf0.01), so sums
+# carry scale 0; (b) DuckDB's int128 -> DOUBLE itself double-rounds
+# via 64-bit limbs once the value exceeds 2^64 (probed: 0/1500
+# mismatches at 64 bits, 256/1500 at 65), so the unit is sized to
+# keep SUM(x*x) under 2^64 ~ 1.8e19 far past bench scale — milli^2
+# x 2e6 pairs ~ 2e18 at sf10. The knob trades value resolution for
+# rowcount headroom; past it, center per-partition first.
+#
+# Scale: one type-partitioned window pass (no global sort) + one
+# partial-aggregating groupBy to |types| rows.
+# ---------------------------------------------------------------------------
+
+
+def q_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _pearson_from_sums
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    milli = lambda c: (  # noqa: E731 — local fold, both engines mirror it
+        F.round(c, 3).cast("decimal(18,3)") * 1000
+    ).cast("bigint")
+    pairs = (
+        ev.select(
+            "event_type",
+            milli(F.col("value")).alias("x"),
+            milli(F.lead("value").over(w)).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    big = "decimal(38,0)"
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(big)).alias("sx"),
+        F.sum(F.col("y").cast(big)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(big)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(big)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(big)).alias("syy"),
+    )
+    c = F.col
+    return sums.select(
+        "event_type",
+        "n_pairs",
+        _pearson_from_sums(
+            c("n_pairs"), c("sx"), c("sy"), c("sxy"), c("sxx"), c("syy")
+        ).alias("autocorr_lag1"),
+    ).orderBy("event_type")
+
+
+Q_LAG1_AUTOCORR_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+    CAST(CAST(ROUND(value, 3) AS DECIMAL(18,3)) * 1000 AS BIGINT) AS x,
+    CAST(CAST(ROUND(LEAD(value) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id), 3)
+      AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+  END AS autocorr_lag1
+FROM sums
+ORDER BY event_type
+"""

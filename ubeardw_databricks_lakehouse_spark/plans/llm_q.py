@@ -2263,3 +2263,86 @@ FROM contribs
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# q_label_agreement: Cohen's kappa between two document labelings, per
+# source (extension — the inter-annotator/classifier agreement audit
+# run before trusting any automated curation signal; chance-corrected,
+# unlike raw accuracy). The two labelers here are the battery's
+# simplest mirrored heuristics — A: length >= 250 chars, B: ends in a
+# terminal period — standing in for any pair of quality classifiers.
+#
+# kappa = (po - pe) / (1 - pe) with po = (n11 + n00)/n and
+# pe = (na*nb + (n-na)*(n-nb)) / n^2. All counts are exact BIGINTs;
+# their double conversions are exact far beyond any corpus size
+# (< 2^53), and both engines evaluate the IDENTICAL double expression.
+# The pe == 1 degenerate case (both labelers constant — kappa
+# undefined) is guarded by the exact INTEGER identity
+# na*nb + (n-na)*(n-nb) == n*n, emitting NULL in both engines.
+#
+# Scale: one scan, one partial-aggregating groupBy to |sources| rows.
+# ---------------------------------------------------------------------------
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 250).cast("int")
+    b = F.col("text").endswith(".").cast("int")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(a).cast("bigint").alias("na"),
+        F.sum(b).cast("bigint").alias("nb"),
+        F.sum(a * b).cast("bigint").alias("n11"),
+    )
+    n = F.col("n").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n00 = (F.col("n") - F.col("na") - F.col("nb") + F.col("n11")).cast(
+        "double"
+    )
+    po = (F.col("n11").cast("double") + n00) / n
+    pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+    exact_pe_one = (
+        F.col("na") * F.col("nb")
+        + (F.col("n") - F.col("na")) * (F.col("n") - F.col("nb"))
+        == F.col("n") * F.col("n")
+    )
+    return counts.select(
+        "source",
+        "n",
+        "na",
+        "nb",
+        "n11",
+        po.alias("po"),
+        F.when(~exact_pe_one, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    ).orderBy("source")
+
+
+Q_LABEL_AGREEMENT_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN text LIKE '%.' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN n_chars >= 250 AND text LIKE '%.'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM documents GROUP BY source
+)
+SELECT source, n, na, nb, n11,
+  (CAST(n11 AS DOUBLE) + CAST(n - na - nb + n11 AS DOUBLE))
+    / CAST(n AS DOUBLE) AS po,
+  CASE WHEN NOT (na * nb + (n - na) * (n - nb) = n * n) THEN
+    (((CAST(n11 AS DOUBLE) + CAST(n - na - nb + n11 AS DOUBLE))
+        / CAST(n AS DOUBLE))
+     - ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         + (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+           * (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+    / (1.0
+     - ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         + (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+           * (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+  END AS kappa
+FROM counts
+ORDER BY source
+"""

@@ -641,6 +641,18 @@ QUERIES: list[QueryDef] = [
              relational.Q_SUPPLIER_REACH_SQL,
              "bounded 3-hop BFS reachability over the supplier "
              "co-supply graph (frontier join + anti-join per hop)"),
+    QueryDef("q_label_agreement", llm_q.q_label_agreement,
+             llm_q.Q_LABEL_AGREEMENT_SQL,
+             "Cohen's kappa between two document labelers per source "
+             "(chance-corrected agreement; exact-integer pe==1 guard)"),
+    QueryDef("q_geo_radius_join", relational.q_geo_radius_join,
+             relational.Q_GEO_RADIUS_JOIN_SQL,
+             "spatial radius join via grid-cell blocking + 3x3 probe "
+             "+ exact distance verify (md5-fraction coordinates)"),
+    QueryDef("q_lag1_autocorr", events_q.q_lag1_autocorr,
+             events_q.Q_LAG1_AUTOCORR_SQL,
+             "lag-1 autocorrelation per event type from exact decimal "
+             "sufficient statistics over a lead() window"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -733,13 +745,20 @@ _WINDOW: list[str] = [
 # test_no_query_goes_stale_unchecked): r8 must window these 17 plus
 # (by the oldest-evidence-first policy) 33 of the 44 r5 entries; the
 # remaining 11 r5 entries head r9's window.
+# r7 additions batch 4 (agreement / spatial / serial-dependence): Cohen's
+# kappa, grid-blocked radius join, lag-1 autocorrelation — three
+# capability classes the battery lacked. Rotation math at 164 entries
+# (horizon stays 4 = ceil(164/50)): r8 windows these 20 deferred + 30
+# of the 44 r5-stale entries (oldest-evidence-first); the remaining 14
+# head r9 — every round's demand stays under 50.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
     "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
     "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
     "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
-    "q_supplier_reach",
+    "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
+    "q_lag1_autocorr",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

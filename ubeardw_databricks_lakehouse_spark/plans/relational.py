@@ -3028,6 +3028,11 @@ ORDER BY segment
 # DECIMAL(38,0) so a 100 TB rowcount cannot overflow — then each
 # correlation is one identical double expression on the exact sums:
 # r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2)).
+# Cross-engine cast envelope (probed, see q_lag1_autocorr): DuckDB's
+# int128 -> DOUBLE double-rounds via 64-bit limbs above 2^64 ~ 1.8e19,
+# so bit-equal casts need sums under it — cents products (<= 1e14/row)
+# hold through ~1e5x the bench scale; past that, coarsen the unit or
+# center per-partition first.
 #
 # Scale: ONE scan, one partial-aggregating groupBy to |flags| rows.
 # The entire correlation matrix costs exactly one shuffle of 5 numbers
@@ -3128,4 +3133,127 @@ SELECT l_returnflag, n,
   {_sql_pearson('sq', 'sd', 'sqd', 'sqq', 'sdd')} AS corr_qty_disc
 FROM sums
 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_geo_radius_join: spatial radius join via grid-cell blocking
+# (extension — the one join class the battery lacked: proximity. The
+# standard distributed form: hash each point to a grid cell of side =
+# radius, probe the 3x3 cell neighborhood, verify exact distance —
+# candidates are O(N * local density), NEVER all pairs, the same
+# bounded-block discipline as the LSH and fuzzy-linkage joins).
+#
+# The tables carry no coordinates, so both engines derive synthetic
+# uniform positions in [0,1)^2 from the md5 fraction of the entity key
+# (the KMV/MinHash cross-engine hash idiom: Spark
+# conv(substr(md5(s),1,15),16,10) == DuckDB
+# CAST('0x' || substr(md5(s),1,15) AS BIGINT)); the exact division by
+# 16^15 and the squared-distance comparison are identical IEEE ops —
+# bit-equal coordinates, bit-equal verdicts. Report: per customer
+# nation, customers with >= 1 supplier within r, and total pairs.
+#
+# Scale: cell ids are integer FLOOR(p/r); the 9-offset probe explodes
+# the SMALLER side only (suppliers), the join is a plain equi-join on
+# (cx, cy), and the verify is row-local arithmetic. At 100 TB the cell
+# histogram is the skew knob (dense cities -> salt hot cells, exactly
+# the fuzzy-linkage cap) — uniform synthetic coordinates keep the demo
+# honest while the operator shape is the production one.
+# ---------------------------------------------------------------------------
+
+_GEO_R = 0.02
+
+
+def _md5_frac(col, salt: str):
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _md5_frac(F.col("c_custkey"), "cx:").alias("px"),
+        _md5_frac(F.col("c_custkey"), "cy:").alias("py"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _md5_frac(F.col("s_suppkey"), "sx:").alias("qx"),
+        _md5_frac(F.col("s_suppkey"), "sy:").alias("qy"),
+    )
+    r = F.lit(_GEO_R)
+    c = cust.withColumn("cx", F.floor(F.col("px") / r)).withColumn(
+        "cy", F.floor(F.col("py") / r)
+    )
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    s = (
+        supp.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "s_suppkey",
+            "qx",
+            "qy",
+            (F.floor(F.col("qx") / r) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("qy") / r) + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    pairs = c.join(s, ["cx", "cy"]).where(d2 < r * r)
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("c_custkey")
+            .cast("bigint")
+            .alias("n_customers_covered"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q_GEO_RADIUS_JOIN_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(CAST('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DOUBLE) / {float(16**15)!r} AS px,
+    CAST(CAST('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DOUBLE) / {float(16**15)!r} AS py
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+    CAST(CAST('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DOUBLE) / {float(16**15)!r} AS qx,
+    CAST(CAST('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DOUBLE) / {float(16**15)!r} AS qy
+  FROM supplier
+),
+c AS (
+  SELECT *, CAST(FLOOR(px / {_GEO_R!r}) AS BIGINT) AS cx,
+            CAST(FLOOR(py / {_GEO_R!r}) AS BIGINT) AS cy
+  FROM cust
+),
+s AS (
+  SELECT s_suppkey, qx, qy,
+    CAST(FLOOR(qx / {_GEO_R!r}) AS BIGINT) + dx.o AS cx,
+    CAST(FLOOR(qy / {_GEO_R!r}) AS BIGINT) + dy.o AS cy
+  FROM supp
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+),
+pairs AS (
+  SELECT c.c_nationkey, c.c_custkey
+  FROM c JOIN s ON c.cx = s.cx AND c.cy = s.cy
+  WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        < {_GEO_R!r} * {_GEO_R!r}
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers_covered
+FROM pairs
+GROUP BY c_nationkey
+ORDER BY c_nationkey
 """
