@@ -519,3 +519,68 @@ def test_lag1_autocorr_numpy_replay(spark):
         assert r["autocorr_lag1"] == pytest.approx(
             np.corrcoef(x, y)[0, 1], rel=1e-9
         )
+
+
+def test_ranksum_sources_python_replay(spark):
+    """U and z from a direct average-rank computation in python (and
+    scipy's mannwhitneyu where available) on the same parquet."""
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        q_ranksum_sources,
+    )
+
+    got = {r["source"]: r for r in q_ranksum_sources(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ranks = docs["n_chars"].rank(method="average")  # ties -> average
+    n = len(docs)
+    vc = docs["n_chars"].value_counts()
+    tie_t = float(sum(t**3 - t for t in vc))
+    for src, g in docs.groupby("source"):
+        n1 = len(g)
+        n2 = n - n1
+        r1 = float(ranks[g.index].sum())
+        u = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+        var = n1 * n2 / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+        z = (u - n1 * n2 / 2) / var**0.5
+        r = got[src]
+        assert r["n1"] == n1
+        assert r["u_stat"] == pytest.approx(u, abs=1e-6)
+        assert r["z"] == pytest.approx(z, rel=1e-9)
+        assert r["shifted_flag"] == (abs(z) > 1.96)
+    try:
+        from scipy.stats import mannwhitneyu
+    except ImportError:
+        return
+    for src, g in docs.groupby("source"):
+        sp = mannwhitneyu(
+            g["n_chars"], docs[docs.source != src]["n_chars"],
+            alternative="two-sided", use_continuity=False, method="asymptotic",
+        )
+        assert got[src]["u_stat"] == pytest.approx(float(sp.statistic))
+
+
+def test_weighted_median_python_replay(spark):
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_weighted_median,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["total_qty"], r["weighted_median_price"])
+        for r in q_weighted_median(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        rows = sorted(
+            (round(p * 100), round(q * 100))
+            for p, q in zip(g["l_extendedprice"], g["l_quantity"])
+        )
+        tot = sum(w for _, w in rows)
+        cum = 0
+        for cents, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                wm = cents / 100
+                break
+        assert got[flag][0] == pytest.approx(tot / 100)
+        assert got[flag][1] == pytest.approx(wm)
+        # the weighted median is an actual observed price
+        assert any(c == round(wm * 100) for c, _ in rows)

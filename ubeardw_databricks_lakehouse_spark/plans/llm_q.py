@@ -2346,3 +2346,147 @@ SELECT source, n, na, nb, n11,
 FROM counts
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# q_ranksum_sources: Mann-Whitney U rank-sum test per document source —
+# does this source's length distribution differ from the REST of the
+# corpus? (extension — the battery's nonparametric hypothesis test;
+# chi-square screens binned counts, this ranks raw values: the A/B
+# test of data-mix monitoring.) Tie-corrected normal approximation,
+# flagged at |z| > 1.96.
+#
+# NO global row window: ranks come from the DISTINCT-VALUE table —
+# cum_less(v) = running sum of value counts over the ordered distinct
+# lengths (a window over |distinct values| rows, thousands not
+# billions), giving every doc of value v the integer DOUBLED average
+# rank 2*cum_less + cnt_v + 1 (doubling keeps tie-averages integral).
+# Per source: S2 = sum(cnt_sv * that), 2*U = 2*n1*n2 + n1*(n1+1) - S2,
+# all exact integers (DECIMAL(38,0) sums); the z-score is one shared
+# double expression with the tie term T = sum(t^3 - t) over value
+# groups. Envelope: 2U ~ n1*n2 stays far inside 2^64 at graded scales
+# (5e7 at sf0.1); past ~1e9 docs route the U products through
+# DECIMAL(38,0) end-to-end (the q_corr_profile discipline).
+#
+# Scale: two groupBys (value counts; per-source-and-value counts), one
+# tiny distinct-value window, one broadcast join back, one |sources|
+# agg. The corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+
+def q_ranksum_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    vc = docs.groupBy("n_chars").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = vc.select(
+        "n_chars",
+        "cnt",
+        (
+            2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("dar"),  # doubled average rank of every row at this value
+    )
+    sv = docs.groupBy("source", "n_chars").agg(
+        F.count("*").cast("bigint").alias("cnt_sv")
+    )
+    joined = sv.join(F.broadcast(ranks), "n_chars")
+    tot = vc.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+            .cast("decimal(38,0)")
+        ).cast("double").alias("tie_t"),
+    )
+    per_src = joined.groupBy("source").agg(
+        F.sum("cnt_sv").cast("bigint").alias("n1"),
+        F.sum((F.col("cnt_sv") * F.col("dar")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    u = (
+        F.lit(2.0) * n1 * n2 + n1 * (n1 + F.lit(1.0)) - F.col("s2")
+    ) / F.lit(2.0)
+    var = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_t") / (n * (n - F.lit(1.0))))
+    )
+    z = (u - n1 * n2 / F.lit(2.0)) / F.sqrt(var)
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n1",
+            u.alias("u_stat"),
+            F.when(var > 0, z).alias("z"),
+            F.when(var > 0, F.abs(z) > F.lit(1.96)).alias("shifted_flag"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_RANKSUM_SOURCES_SQL = """
+WITH vc AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY n_chars
+),
+ranks AS (
+  SELECT n_chars, cnt,
+    2 * (SUM(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      + cnt + 1 AS dar
+  FROM vc
+),
+sv AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt_sv
+  FROM documents GROUP BY source, n_chars
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+    CAST(SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0))) AS DOUBLE)
+      AS tie_t
+  FROM vc
+),
+per_src AS (
+  SELECT source, CAST(SUM(cnt_sv) AS BIGINT) AS n1,
+    CAST(SUM(CAST(cnt_sv * dar AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM sv JOIN ranks USING (n_chars)
+  GROUP BY source
+)
+SELECT source, n1,
+  (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+   + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+    AS u_stat,
+  CASE WHEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+         * ((CAST(n AS DOUBLE) + 1.0)
+            - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
+  THEN ((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+         + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+        - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+     / SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+         * ((CAST(n AS DOUBLE) + 1.0)
+            - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+  END AS z,
+  CASE WHEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+         * ((CAST(n AS DOUBLE) + 1.0)
+            - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
+  THEN ABS(((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+         + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+        - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+     / SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+         * ((CAST(n AS DOUBLE) + 1.0)
+            - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))
+       > 1.96
+  END AS shifted_flag
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""

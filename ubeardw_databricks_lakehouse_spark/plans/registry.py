@@ -653,6 +653,15 @@ QUERIES: list[QueryDef] = [
              events_q.Q_LAG1_AUTOCORR_SQL,
              "lag-1 autocorrelation per event type from exact decimal "
              "sufficient statistics over a lead() window"),
+    QueryDef("q_ranksum_sources", llm_q.q_ranksum_sources,
+             llm_q.Q_RANKSUM_SOURCES_SQL,
+             "Mann-Whitney rank-sum test per source vs rest of corpus "
+             "(tie-corrected z; ranks from the distinct-value table, "
+             "no global row window)"),
+    QueryDef("q_weighted_median", relational.q_weighted_median,
+             relational.Q_WEIGHTED_MEDIAN_SQL,
+             "quantity-weighted median price per flag via integer "
+             "cumulative-weight threshold (left weighted median)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -745,12 +754,13 @@ _WINDOW: list[str] = [
 # test_no_query_goes_stale_unchecked): r8 must window these 17 plus
 # (by the oldest-evidence-first policy) 33 of the 44 r5 entries; the
 # remaining 11 r5 entries head r9's window.
-# r7 additions batch 4 (agreement / spatial / serial-dependence): Cohen's
-# kappa, grid-blocked radius join, lag-1 autocorrelation — three
-# capability classes the battery lacked. Rotation math at 164 entries
-# (horizon stays 4 = ceil(164/50)): r8 windows these 20 deferred + 30
-# of the 44 r5-stale entries (oldest-evidence-first); the remaining 14
-# head r9 — every round's demand stays under 50.
+# r7 additions batch 4 (agreement / spatial / serial-dependence /
+# hypothesis-testing / weighted-quantile): Cohen's kappa, grid-blocked
+# radius join, lag-1 autocorrelation, Mann-Whitney rank-sum, weighted
+# median — five capability classes the battery lacked. Rotation math at
+# 166 entries (horizon stays 4 = ceil(166/50)): r8 windows these 22
+# deferred + 28 of the 44 r5-stale entries (oldest-evidence-first);
+# the remaining 16 head r9 — every round's demand stays under 50.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
@@ -758,7 +768,7 @@ _DEFERRED_NEW: list[str] = [
     "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
     "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
     "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
-    "q_lag1_autocorr",
+    "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

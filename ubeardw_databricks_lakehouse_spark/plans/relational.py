@@ -3257,3 +3257,95 @@ FROM pairs
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_median: quantity-weighted median unit price per return
+# flag (extension — weighted quantiles, the missing sibling of the
+# exact/winsorized percentile family: "the price at which half the
+# VOLUME trades", not half the rows). Definition: the smallest price
+# whose cumulative weight reaches half the total — the left weighted
+# median, decided by the INTEGER comparison 2*cumw >= totw (no 0.5
+# double), with (price, linenumber-free) total order via the
+# (cents, l_orderkey, l_linenumber) tiebreak.
+#
+# Prices fold to exact BIGINT cents and quantities to exact BIGINT
+# centiquantities; cumulative and total weights are integer sums; the
+# only double is the final cents/100 rescale — oracle-exact by
+# construction.
+#
+# Scale: one scan, one per-flag window pass (rank and running sum
+# share the single per-group sort; the flag is the parallelism unit),
+# one groupBy to |flags| rows. At extreme per-group cardinality the
+# same statistic comes from a two-pass binned histogram (the
+# q_gini_revenue escape hatch).
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    part = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumw"),
+        F.sum("wt").over(part).alias("totw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.max("totw").cast("double") / 100).alias("total_qty"),
+            (
+                F.min(
+                    F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
+                ).cast("double")
+                / 100
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS wt,
+    l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, cents,
+    SUM(wt) OVER (
+      PARTITION BY l_returnflag
+      ORDER BY cents, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cumw,
+    SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+  FROM li
+)
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MAX(totw) AS DOUBLE) / 100 AS total_qty,
+  CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS DOUBLE) / 100
+    AS weighted_median_price
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
