@@ -584,3 +584,29 @@ def test_weighted_median_python_replay(spark):
         assert got[flag][1] == pytest.approx(wm)
         # the weighted median is an actual observed price
         assert any(c == round(wm * 100) for c, _ in rows)
+
+
+def test_ols_trend_numpy_replay(spark):
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        q_ols_trend,
+    )
+
+    got = {r["segment"]: r for r in q_ols_trend(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = (j["o_orderdate"].dt.normalize() - pd.Timestamp("1995-01-01")).dt.days
+    for seg, g in j.groupby("c_mktsegment"):
+        daily = g.groupby("x")["o_totalprice"].sum().map(
+            lambda v: round(v * 100)
+        )
+        x, y = daily.index.to_numpy(float), daily.to_numpy(float)
+        slope = np.polyfit(x, y, 1)[0] / 100
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        r = got[seg]
+        assert r["n_days"] == len(daily)
+        assert r["slope_per_day"] == pytest.approx(slope, rel=1e-6)
+        assert r["r2"] == pytest.approx(r2, rel=1e-9)
+        assert 0.0 <= r["r2"] <= 1.0

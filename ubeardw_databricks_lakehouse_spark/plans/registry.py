@@ -27,14 +27,15 @@ IN-REPO full gate mirror: `tools/oracle_sweep.py` runs EVERY
 oracle-paired entry vs DuckDB at sf0.01 (the driver's scale) each
 round — 113/113 green on 2026-08-14. test_registry_order's two-report
 freshness horizon widens to three when the constraint first binds.
-r7 UPDATE (161 entries): the horizon is now the steady-state minimum
-ceil(|registry|/50) — 4 at 151-200 entries. The simulated ledger after
-CORRECTNESS_r07 lands: cohorts r5=44, r6=50, r7=50, never-graded=17;
-under horizon 4 the per-round demand sequence is r8: 17 (+33 free
-slots to pull the oldest r5 cohort forward), r9: <=44, r10: 50,
-r11: 50 — always satisfiable. Under the old horizon 3 the r8 demand
-would be 44+17=61 > 50, structurally red. Sweep on 2026-08-15:
-147/147 green at sf0.01.
+r7 UPDATE (167 entries at round close): the horizon is now the
+steady-state minimum ceil(|registry|/50) — 4 at 151-200 entries. The
+simulated ledger after CORRECTNESS_r07 lands: cohorts r5=44, r6=50,
+r7=50, never-graded=23 (_DEFERRED_NEW); under horizon 4 the per-round
+demand sequence is r8: 23 (+27 free slots pulling the oldest r5
+cohort forward), r9: <=44, r10: 50, r11: 50 — always satisfiable.
+Under the old horizon 3 the r8 demand would have been 44+17=61 > 50,
+structurally red. Sweeps on 2026-08-15: 147/147, then 150/150, then
+152/152 green at sf0.01 as the batches landed; 153/153 at close.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
@@ -662,6 +663,11 @@ QUERIES: list[QueryDef] = [
              relational.Q_WEIGHTED_MEDIAN_SQL,
              "quantity-weighted median price per flag via integer "
              "cumulative-weight threshold (left weighted median)"),
+    QueryDef("q_ols_trend", relational.q_ols_trend,
+             relational.Q_OLS_TREND_SQL,
+             "least-squares daily-revenue trend per segment (slope + "
+             "R^2 from exact integer sufficient statistics, no "
+             "windows)"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -755,12 +761,13 @@ _WINDOW: list[str] = [
 # (by the oldest-evidence-first policy) 33 of the 44 r5 entries; the
 # remaining 11 r5 entries head r9's window.
 # r7 additions batch 4 (agreement / spatial / serial-dependence /
-# hypothesis-testing / weighted-quantile): Cohen's kappa, grid-blocked
-# radius join, lag-1 autocorrelation, Mann-Whitney rank-sum, weighted
-# median — five capability classes the battery lacked. Rotation math at
-# 166 entries (horizon stays 4 = ceil(166/50)): r8 windows these 22
-# deferred + 28 of the 44 r5-stale entries (oldest-evidence-first);
-# the remaining 16 head r9 — every round's demand stays under 50.
+# hypothesis-testing / weighted-quantile / regression): Cohen's kappa,
+# grid-blocked radius join, lag-1 autocorrelation, Mann-Whitney
+# rank-sum, weighted median, OLS trend — six capability classes the
+# battery lacked. Rotation math at 167 entries (horizon stays 4 =
+# ceil(167/50)): r8 windows these 23 deferred + 27 of the 44 r5-stale
+# entries (oldest-evidence-first); the remaining 17 head r9 — every
+# round's demand stays under 50.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
@@ -769,6 +776,7 @@ _DEFERRED_NEW: list[str] = [
     "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
     "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
     "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
+    "q_ols_trend",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -3349,3 +3349,103 @@ FROM cum
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# q_ols_trend: least-squares revenue trend per market segment
+# (extension — the regression class: slope, fit quality, and direction
+# of daily revenue over the order history; the predictive sibling of
+# q_corr_profile, on the SAME exact-sufficient-statistics machinery).
+# Grain collapses to (segment, day ordinal, exact cents) first; the
+# OLS runs over |segments| x |days| points: slope = (n*sxy - sx*sy) /
+# (n*sxx - sx^2), R^2 = num^2 / (vx*vy) — every sum an exact integer
+# (day ordinals x cents products through DECIMAL(38,0)), the finals
+# identical double expressions, zero-variance guarded to NULL.
+# Envelope: per-row x*y <= ~2.5e12, summed ~1e15 at sf0.1 — inside the
+# probed 2^64 cast bound through ~100x; past it, coarsen y to dollars.
+#
+# Scale: one broadcast join, two partial-aggregating groupBys (to
+# |segments| x |days|, then |segments|). No windows at all.
+# ---------------------------------------------------------------------------
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    big = "decimal(38,0)"
+    sums = daily.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(big)).alias("sx"),
+        F.sum(F.col("y").cast(big)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(big)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(big)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(big)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    return sums.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("n_days"),
+        F.when(vx > 0, num / vx / F.lit(100.0)).alias("slope_per_day"),
+        F.when((vx > 0) & (vy > 0), num * num / (vx * vy)).alias("r2"),
+    ).orderBy("segment")
+
+
+Q_OLS_TREND_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment,
+    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT c_mktsegment AS segment, n AS n_days,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+  END AS slope_per_day,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+  END AS r2
+FROM sums
+ORDER BY segment
+"""
