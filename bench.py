@@ -93,7 +93,12 @@ def main() -> None:
     # throughput is the comparable number). Disable with BENCH_WARMUP=0.
     # BENCH_ONLY=a,b,c restricts the timed set (outlier-recheck runs);
     # the headline JSON stays comparable only when unset.
-    only = {n for n in os.environ.get("BENCH_ONLY", "").split(",") if n}
+    only = {n.strip() for n in os.environ.get("BENCH_ONLY", "").split(",") if n.strip()}
+    unknown = only - set(HEADLINE)
+    if unknown:  # a typo would otherwise time NOTHING and emit a hollow JSON
+        raise SystemExit(
+            f"BENCH_ONLY names not in the headline set: {sorted(unknown)}"
+        )
     headline = [n for n in HEADLINE if not only or n in only]
 
     if os.environ.get("BENCH_WARMUP", "1") != "0":

@@ -610,3 +610,36 @@ def test_ols_trend_numpy_replay(spark):
         assert r["slope_per_day"] == pytest.approx(slope, rel=1e-6)
         assert r["r2"] == pytest.approx(r2, rel=1e-9)
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_mad_outlier_all_null_group_counts_zero(spark):
+    """A group whose values are ALL NULL must report 0 outliers (the
+    SQL twin's SUM(CASE..ELSE 0) shape), not NULL — the count(when())
+    form guarantees it."""
+    from ubeardw_databricks_lakehouse_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("h", 1.0), ("h", 2.0)],
+        "grp string, value double",
+    )
+    rows = {r["grp"]: r for r in mad_outlier_summary(df, "value", "grp").collect()}
+    assert rows["g"]["n_outliers"] == 0 and rows["g"]["outlier_rate"] == 0.0
+    assert rows["g"]["med"] is None and rows["g"]["mad"] is None
+
+
+def test_column_profile_double_rendering_no_scientific(spark):
+    """Doubles >= 1e7 must render via %.6f, not Java scientific
+    notation ('1.00000005E7' would hash-mismatch DuckDB's plain
+    rendering)."""
+    r = spark.range(1).select(
+        F.format_string("%.6f", F.lit(1.00000005e7)).alias("s")
+    ).collect()[0]["s"]
+    assert r == "10000000.500000"
+    import duckdb
+
+    d = duckdb.connect().execute(
+        "SELECT printf('%.6f', 1.00000005e7)"
+    ).fetchone()[0]
+    assert d == r

@@ -195,8 +195,20 @@ def containment_pairs(
     """
     from pyspark.sql.window import Window
 
-    sh = with_shingles(df, id_col, text_col, n).filter(F.size("_sh") > 0)
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("g"))
+    # localCheckpoint both shared frames: sh feeds the prefix sizing
+    # AND both join legs, ex feeds the doc frequencies AND the ranked
+    # probe — ReuseExchange does not fire across the branches (the
+    # q11/triangle lesson), so without the checkpoints one run
+    # re-tokenizes and re-shingles the corpus ~5 times.
+    sh = (
+        with_shingles(df, id_col, text_col, n)
+        .filter(F.size("_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    ex = (
+        sh.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("g"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
     prefix_len = (
         F.floor(F.lit(1.0 - threshold) * F.size("_sh")).cast("int") + 1

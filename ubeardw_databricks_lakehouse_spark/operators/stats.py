@@ -111,7 +111,13 @@ def mad_outlier_summary(
             F.count("*").cast("bigint").alias("n"),
             F.min("med").alias("med"),
             F.min("mad").alias("mad"),
-            F.sum((F.col("_dev") > F.lit(float(k)) * F.col("mad")).cast("int"))
+            # count(when(...)), not sum(cast(int)): a group whose
+            # values are ALL NULL has every _dev NULL, and sum over
+            # NULLs is NULL in Spark while the SQL twin's
+            # SUM(CASE ... ELSE 0) is 0 — count() gives 0 in both.
+            F.count(
+                F.when(F.col("_dev") > F.lit(float(k)) * F.col("mad"), 1)
+            )
             .cast("bigint")
             .alias("n_outliers"),
         )

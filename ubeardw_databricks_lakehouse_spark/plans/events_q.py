@@ -1309,7 +1309,14 @@ ORDER BY user_id, day
 
 def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # localCheckpoint: ut feeds the user total, the per-type counts,
+    # and BOTH legs of the self-join — four branches that would each
+    # re-scan events and repeat the distinct shuffle.
+    ut = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_users = ut.select(
         F.count_distinct("user_id").alias("n_users")
     )

@@ -2102,9 +2102,12 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")
+    # localCheckpoint: tok is both the vocab source and the probe
+    # stream — without it the vocab branch re-reads and re-explodes
+    # the corpus (the heaviest step) a second time.
     tok = docs.select(
         "source", F.explode(tokens("text")).alias("tk")
-    )
+    ).localCheckpoint(eager=True)
     vocab = (
         tok.filter(F.col("source") == _OOV_REF_SOURCE)
         .select("tk")

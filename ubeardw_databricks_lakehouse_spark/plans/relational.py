@@ -2429,17 +2429,30 @@ _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
 ]
+# DOUBLE columns render via printf-style %.6f in BOTH engines: the
+# engines' native double->string casts agree only inside [1e-3, 1e7)
+# (Spark switches to Java scientific notation outside it, DuckDB does
+# not), while %.6f of the same double is identical everywhere — and
+# ties at the 7th decimal are impossible for binary doubles, so the
+# formatters' rounding conventions never get a say.
+_PROFILE_DOUBLE_COLS = {"o_totalprice"}
 
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
+
+    def rendered(expr, c):
+        if c in _PROFILE_DOUBLE_COLS:
+            return F.format_string("%.6f", expr)
+        return expr.cast("string")
+
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            rendered(F.min(F.col(c)), c).alias(f"{c}__min"),
+            rendered(F.max(F.col(c)), c).alias(f"{c}__max"),
         ]
     one = orders.agg(*aggs)
     structs = [
@@ -2455,12 +2468,18 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.inline(F.array(*structs))).orderBy("column_name")
 
 
+def _profile_render_sql(agg: str, c: str) -> str:
+    if c in _PROFILE_DOUBLE_COLS:
+        return f"printf('%.6f', {agg}({c}))"
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
+
 Q_COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name,
   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-  CAST(MIN({c}) AS VARCHAR) AS min_value,
-  CAST(MAX({c}) AS VARCHAR) AS max_value
+  {_profile_render_sql('MIN', c)} AS min_value,
+  {_profile_render_sql('MAX', c)} AS max_value
 FROM orders"""
     for c in _PROFILE_COLS
 ) + "\nORDER BY column_name"
