@@ -2246,31 +2246,21 @@ _FUZZY_BAND = _FUZZY_MAX_DIST + 1
 
 def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(name_a, name_b, dist): verified fuzzy matches over distinct
-    part names — (last-token, length-band) block, levenshtein <=
-    threshold inside blocks, never all-pairs."""
+    part names — DELEGATES to the uncapped
+    operators/linkage.fuzzy_block_pairs pipeline ((last-token,
+    length-band) block, levenshtein <= threshold inside blocks, never
+    all-pairs), so there is exactly ONE implementation of the match
+    definition the SQL twins and the capped production path must
+    mirror. The operator's defaults ARE this module's constants
+    (_LAST_TOKEN_RE == _FUZZY_BLOCK_RE, band width == max_dist + 1)."""
+    from ..operators.linkage import fuzzy_block_pairs
+
     names = t(spark, sf_dir, "part").select("p_name").distinct()
-    keyed = names.select(
-        "p_name",
-        F.regexp_extract("p_name", _FUZZY_BLOCK_RE, 1).alias("blk"),
-        (F.length("p_name") / _FUZZY_BAND).cast("int").alias("band"),
-    )
-    a = keyed.select(F.col("p_name").alias("name_a"), "blk", "band")
-    b = keyed.select(
-        F.col("p_name").alias("name_b"),
-        "blk",
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("band"),
-    )
-    return (
-        a.join(b, ["blk", "band"])
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
-        )
-        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    return fuzzy_block_pairs(
+        names,
+        name_col="p_name",
+        block=F.regexp_extract("p_name", _FUZZY_BLOCK_RE, 1),
+        max_dist=_FUZZY_MAX_DIST,
     )
 
 
