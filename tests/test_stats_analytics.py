@@ -442,7 +442,7 @@ def test_label_agreement_python_replay(spark):
             assert r["kappa"] is None
         else:
             assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
-        assert -1.0 <= r["kappa"] <= 1.0
+            assert -1.0 <= r["kappa"] <= 1.0
 
 
 def _md5_frac_py(salt: str, key: int) -> float:
@@ -538,7 +538,7 @@ def test_ranksum_sources_python_replay(spark):
         n1 = len(g)
         n2 = n - n1
         r1 = float(ranks[g.index].sum())
-        u = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+        u = r1 - n1 * (n1 + 1) / 2  # U1, the scipy convention
         var = n1 * n2 / 12 * ((n + 1) - tie_t / (n * (n - 1)))
         z = (u - n1 * n2 / 2) / var**0.5
         r = got[src]

@@ -61,6 +61,21 @@ DEPTH = 4
 WIDTH = 512
 
 
+def md5_fraction(col: Column, salt: str = "") -> Column:
+    """Uniform fraction in [0,1) from the md5 of ``salt`` + the string
+    form of ``col`` — THE cross-engine hash-to-uniform idiom (DuckDB
+    reproduces ``conv(substr(md5(s),1,15),16,10)`` via
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``; the division by
+    16^15 is one IEEE op on identical longs). Single shared
+    implementation for KMV, the radius-join coordinates, and any
+    future salted-fraction consumer — the arithmetic is
+    correctness-critical and must not fork."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+
+
 def _bucket(col: Column, row: int, width: int) -> Column:
     """md5-salted bucket — the cross-engine hash idiom (cf.
     `operators/curation.dsir_importance`)."""
@@ -127,11 +142,7 @@ def kmv_distinct(
     """
     from pyspark.sql.window import Window
 
-    frac = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(float(16**15))
-    ).alias("h")
+    frac = md5_fraction(F.col(key_col)).alias("h")
     hashes = df.select(F.col(group_col), frac).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
     mins = hashes.withColumn("rk", F.row_number().over(w)).where(

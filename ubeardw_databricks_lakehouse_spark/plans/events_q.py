@@ -1663,7 +1663,10 @@ def q_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             milli(F.col("value")).alias("x"),
             milli(F.lead("value").over(w)).alias("y"),
         )
-        .where(F.col("y").isNotNull())
+        # BOTH sides non-null: a NULL value row would otherwise count
+        # in n_pairs while every sum skipped its NULL term — a silently
+        # wrong r (shared by the twin, so the oracle wouldn't catch it)
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
     big = "decimal(38,0)"
     sums = pairs.groupBy("event_type").agg(
@@ -1700,7 +1703,7 @@ sums AS (
     SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
     SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
     SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
-  FROM pairs WHERE y IS NOT NULL
+  FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
   GROUP BY event_type
 )
 SELECT event_type, n AS n_pairs,

@@ -2364,16 +2364,21 @@ ORDER BY source
 # lengths (a window over |distinct values| rows, thousands not
 # billions), giving every doc of value v the integer DOUBLED average
 # rank 2*cum_less + cnt_v + 1 (doubling keeps tie-averages integral).
-# Per source: S2 = sum(cnt_sv * that), 2*U = 2*n1*n2 + n1*(n1+1) - S2,
-# all exact integers (DECIMAL(38,0) sums); the z-score is one shared
-# double expression with the tie term T = sum(t^3 - t) over value
-# groups. Envelope: 2U ~ n1*n2 stays far inside 2^64 at graded scales
+# Per source: S2 = sum(cnt_sv * that) = 2*R1, and the SOURCE-centric
+# statistic U1 = R1 - n1*(n1+1)/2 (scipy's mannwhitneyu convention —
+# the replay test cross-checks it when scipy is present; positive z =
+# source shifted HIGH), all exact integers (DECIMAL(38,0) sums); the
+# z-score is one shared double expression with the tie term
+# T = sum(t^3 - t) over value groups.
+# Envelope: 2U ~ n1*n2 stays far inside 2^64 at graded scales
 # (5e7 at sf0.1); past ~1e9 docs route the U products through
 # DECIMAL(38,0) end-to-end (the q_corr_profile discipline).
 #
 # Scale: two groupBys (value counts; per-source-and-value counts), one
 # tiny distinct-value window, one broadcast join back, one |sources|
-# agg. The corpus is scanned once.
+# agg. vc is checkpointed — it feeds the ranks, the grand totals, AND
+# (via ranks) the probe join, and ReuseExchange does not fire across
+# the branches; with it the corpus is scanned once per groupBy.
 # ---------------------------------------------------------------------------
 
 
@@ -2383,7 +2388,7 @@ def q_ranksum_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     vc = docs.groupBy("n_chars").agg(
         F.count("*").cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2414,9 +2419,7 @@ def q_ranksum_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     n1 = F.col("n1").cast("double")
     n2 = (F.col("n") - F.col("n1")).cast("double")
-    u = (
-        F.lit(2.0) * n1 * n2 + n1 * (n1 + F.lit(1.0)) - F.col("s2")
-    ) / F.lit(2.0)
+    u = (F.col("s2") - n1 * (n1 + F.lit(1.0))) / F.lit(2.0)
     var = (
         n1
         * n2
@@ -2466,14 +2469,12 @@ per_src AS (
   GROUP BY source
 )
 SELECT source, n1,
-  (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
-   + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+  (s2 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
     AS u_stat,
   CASE WHEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
          * ((CAST(n AS DOUBLE) + 1.0)
             - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
-  THEN ((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
-         + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+  THEN ((s2 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
         - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
      / SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
          * ((CAST(n AS DOUBLE) + 1.0)
@@ -2482,8 +2483,7 @@ SELECT source, n1,
   CASE WHEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
          * ((CAST(n AS DOUBLE) + 1.0)
             - tie_t / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
-  THEN ABS(((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
-         + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) - s2) / 2.0
+  THEN ABS(((s2 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
         - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
      / SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
          * ((CAST(n AS DOUBLE) + 1.0)

@@ -2433,7 +2433,10 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rendered(expr, c):
         if c in _PROFILE_DOUBLE_COLS:
-            return F.format_string("%.6f", expr)
+            # NULL guard: Spark's format_string renders NULL as the
+            # string 'null' while DuckDB's printf propagates SQL NULL
+            # — an all-NULL column must stay NULL in both.
+            return F.when(expr.isNotNull(), F.format_string("%.6f", expr))
         return expr.cast("string")
 
     aggs = []
@@ -3174,10 +3177,9 @@ _GEO_R = 0.02
 
 
 def _md5_frac(col, salt: str):
-    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
-        float(16**15)
-    )
+    from ..operators.sketches import md5_fraction
+
+    return md5_fraction(col, salt)
 
 
 def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
