@@ -643,3 +643,53 @@ def test_column_profile_double_rendering_no_scientific(spark):
         "SELECT printf('%.6f', 1.00000005e7)"
     ).fetchone()[0]
     assert d == r
+
+
+def test_cusum_changepoint_python_replay(spark):
+    """Peak |n*cum_t - t*S| and its index vs a direct integer replay;
+    also pins that a planted level shift is located exactly."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_cusum_changepoint,
+    )
+
+    got = {r["event_type"]: r for r in q_cusum_changepoint(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    for et, g in ev.groupby("event_type"):
+        x = [round(round(v, 3) * 1000) for v in g["value"]]
+        n, s = len(x), sum(x)
+        best, best_t, cum = -1, None, 0
+        for i, v in enumerate(x, start=1):
+            cum += v
+            d = abs(n * cum - i * s)
+            if d > best:
+                best, best_t = d, i
+        r = got[et]
+        assert r["n_events"] == n and r["cp_index"] == best_t
+        assert r["cusum_peak"] == pytest.approx(best / (n * 1000), rel=1e-12)
+
+
+def test_cusum_locates_planted_shift(spark):
+    """Hand case: 50 values at 10.0 then 50 at 20.0 — the CUSUM peak
+    must sit exactly at the boundary (index 50)."""
+    import tempfile
+
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_cusum_changepoint,
+    )
+
+    d = tempfile.mkdtemp()
+    rows = [
+        (i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+         1, "shift", 10.0 if i < 50 else 20.0, "{}")
+        for i in range(100)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(f"{d}/events.parquet")
+    r = q_cusum_changepoint(spark, d).collect()[0]
+    assert r["cp_index"] == 50
+    # peak mass = |n*cum_50 - 50*S|/(n*1000) = 50*|10 - 15| = 250
+    assert r["cusum_peak"] == pytest.approx(250.0)

@@ -1721,3 +1721,113 @@ SELECT event_type, n AS n_pairs,
 FROM sums
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q_cusum_changepoint: CUSUM changepoint localization per event type —
+# WHERE in the stream did the level shift? (extension — the
+# changepoint class: q_chisq_drift asks IF two distributions differ,
+# q_mad_outliers flags single points; this finds the time index that
+# best splits the series, the classic mean-shift CUSUM peak.)
+#
+# The textbook statistic max_t |cum_t - t*mean| needs the (rational)
+# mean; multiplying through by n makes it INTEGER-EXACT:
+# D_t = n*cum_t - t*S over milli-unit values — products carried as
+# DECIMAL(38,0) (19+19 digits caps exactly at both engines' width),
+# the peak |D_t| and its argmin-t tiebreak are decimal/integer
+# comparisons, and the one double is the final normalization
+# D/(n*1000) (value-unit deviation mass; |D| <= ~6e14 at sf0.1, far
+# inside the probed 2^64 cast envelope through ~sf100).
+#
+# Scale: two type-partitioned window passes over the same sort
+# (running sum + row index, then the peak rank) and one groupBy to
+# |types| rows. No global sort, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dec = "decimal(19,0)"
+    rows = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value"), 3).cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("x"),
+    ).select(
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        F.sum("x").over(Window.partitionBy("event_type")).alias("s"),
+    )
+    d = rows.withColumn(
+        "absd",
+        F.abs(
+            F.col("n").cast(dec) * F.col("cum").cast(dec)
+            - F.col("t").cast(dec) * F.col("s").cast(dec)
+        ),
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.desc("absd"), F.asc("t")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(peak))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("t").cast("bigint").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            (
+                F.col("absd").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000.0))
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_CUSUM_CHANGEPOINT_SQL = """
+WITH rows_x AS (
+  SELECT event_type, ts,
+    CAST(CAST(ROUND(value, 3) AS DECIMAL(18,3)) * 1000 AS BIGINT) AS x,
+    event_id
+  FROM events
+),
+cums AS (
+  SELECT event_type, ts,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS t,
+    SUM(x) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    SUM(x) OVER (PARTITION BY event_type) AS s
+  FROM rows_x
+),
+d AS (
+  SELECT event_type, ts, t, n,
+    ABS(CAST(n AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+        - CAST(t AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS absd
+  FROM cums
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY absd DESC, t ASC) AS rk
+  FROM d
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(t AS BIGINT) AS cp_index,
+  ts AS cp_ts,
+  CAST(absd AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS cusum_peak
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""

@@ -27,11 +27,11 @@ IN-REPO full gate mirror: `tools/oracle_sweep.py` runs EVERY
 oracle-paired entry vs DuckDB at sf0.01 (the driver's scale) each
 round — 113/113 green on 2026-08-14. test_registry_order's two-report
 freshness horizon widens to three when the constraint first binds.
-r7 UPDATE (167 entries at round close): the horizon is now the
+r7 UPDATE (168 entries at round close): the horizon is now the
 steady-state minimum ceil(|registry|/50) — 4 at 151-200 entries. The
 simulated ledger after CORRECTNESS_r07 lands: cohorts r5=44, r6=50,
-r7=50, never-graded=23 (_DEFERRED_NEW); under horizon 4 the per-round
-demand sequence is r8: 23 (+27 free slots pulling the oldest r5
+r7=50, never-graded=24 (_DEFERRED_NEW); under horizon 4 the per-round
+demand sequence is r8: 24 (+26 free slots pulling the oldest r5
 cohort forward), r9: <=44, r10: 50, r11: 50 — always satisfiable.
 Under the old horizon 3 the r8 demand would have been 44+17=61 > 50,
 structurally red. Sweeps on 2026-08-15: 147/147, then 150/150, then
@@ -668,6 +668,11 @@ QUERIES: list[QueryDef] = [
              "least-squares daily-revenue trend per segment (slope + "
              "R^2 from exact integer sufficient statistics, no "
              "windows)"),
+    QueryDef("q_cusum_changepoint", events_q.q_cusum_changepoint,
+             events_q.Q_CUSUM_CHANGEPOINT_SQL,
+             "CUSUM changepoint localization per event type: the peak "
+             "of the integer-exact D_t = n*cum_t - t*S statistic and "
+             "its time index"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -761,13 +766,13 @@ _WINDOW: list[str] = [
 # (by the oldest-evidence-first policy) 33 of the 44 r5 entries; the
 # remaining 11 r5 entries head r9's window.
 # r7 additions batch 4 (agreement / spatial / serial-dependence /
-# hypothesis-testing / weighted-quantile / regression): Cohen's kappa,
-# grid-blocked radius join, lag-1 autocorrelation, Mann-Whitney
-# rank-sum, weighted median, OLS trend — six capability classes the
-# battery lacked. Rotation math at 167 entries (horizon stays 4 =
-# ceil(167/50)): r8 windows these 23 deferred + 27 of the 44 r5-stale
-# entries (oldest-evidence-first); the remaining 17 head r9 — every
-# round's demand stays under 50.
+# hypothesis-testing / weighted-quantile / regression / changepoint):
+# Cohen's kappa, grid-blocked radius join, lag-1 autocorrelation,
+# Mann-Whitney rank-sum, weighted median, OLS trend, CUSUM changepoint
+# — seven capability classes the battery lacked. Rotation math at 168
+# entries (horizon stays 4 = ceil(168/50)): r8 windows these 24
+# deferred + 26 of the 44 r5-stale entries (oldest-evidence-first);
+# the remaining 18 head r9 — every round's demand stays under 50.
 _DEFERRED_NEW: list[str] = [
     "q_containment_pairs", "q_pareto_parts", "q_column_profile",
     "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
@@ -776,7 +781,7 @@ _DEFERRED_NEW: list[str] = [
     "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
     "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
     "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
-    "q_ols_trend",
+    "q_ols_trend", "q_cusum_changepoint",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
