@@ -1880,3 +1880,40 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert got[(1, 2)] == 1.0
     jac = jaccard_pairs(df, n=2, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the quote entirely
+
+
+def test_containment_prefix_lossless_threshold_grid(spark):
+    """Prefix-filter losslessness at ARBITRARY thresholds (r7 advice:
+    the old floor((1-t)*|A|)+1 prefix could round one shingle short
+    when the real product sat just above an integer). Brute-force
+    all-pairs containment is the oracle; the prefix-filtered operator
+    must reproduce it exactly for every threshold, including ones
+    whose float product is adversarial (1/3, 2/3, 0.7)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        with_shingles,
+    )
+
+    words = [f"w{i}" for i in range(14)]
+    docs = [
+        (i, " ".join(words[i : i + 6] + words[: i % 4]))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = {
+        r["doc_id"]: set(r["_sh"])
+        for r in with_shingles(df, "doc_id", "text", 2).collect()
+    }
+    for t in (0.3, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.7, 0.9):
+        expect = {
+            (a, b)
+            for a in sh
+            for b in sh
+            if a != b and sh[a]
+            and len(sh[a] & sh[b]) / len(sh[a]) > t
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(df, n=2, threshold=t).collect()
+        }
+        assert got == expect, f"threshold={t}"

@@ -420,6 +420,26 @@ def test_bfs_hops_multi_source_seeds(spark):
     assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
 
 
+def test_bfs_hops_seed_column_any_name(spark):
+    """Seeds whose column is NOT named 'node' (r7 advice: the null
+    filter used to reference the pre-alias name and only resolved via
+    the missing-attribute analyzer rule). Also pins that NULL seeds are
+    dropped rather than crashing the frontier join."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame(
+        [(1,), (None,)], "start_vertex int"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, max_hops=2, seeds=seeds).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
 def test_label_agreement_python_replay(spark):
     from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
         q_label_agreement,

@@ -210,8 +210,17 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    # Lossless prefix bound, integer-exact form: C(A→B) > t over integer
+    # set sizes means |A∩B| >= floor(t*|A|)+1, so |A\B| <= |A| -
+    # floor(t*|A|) - 1 and a prefix of |A| - floor(t*|A|) shingles must
+    # intersect B. Any double rounding inside floor(t*|A|) only ever
+    # LENGTHENS the prefix (floor moves down), so the bound stays
+    # conservative for arbitrary thresholds — the previous
+    # floor((1-t)*|A|)+1 form could shorten it by one when the real
+    # product sat just above an integer and the double rounded below.
     prefix_len = (
-        F.floor(F.lit(1.0 - threshold) * F.size("_sh")).cast("int") + 1
+        F.size("_sh")
+        - F.floor(F.lit(threshold) * F.size("_sh")).cast("int")
     )
     sized = sh.select(
         F.col(id_col).alias("_id"), "_sh", prefix_len.alias("_plen")

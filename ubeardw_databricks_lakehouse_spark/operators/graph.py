@@ -281,9 +281,13 @@ def bfs_hops(
         # an empty graph yields an empty result, not a phantom seed
         # (the pagerank empty-graph guard, BFS form).
         seeds = und.agg(F.min("u").alias("node"))
+    # Filter AFTER the aliasing select, on the aliased name — filtering
+    # on the original seed column here only resolved through Spark's
+    # missing-attribute analyzer rule and broke for seed columns whose
+    # name survives nowhere in the projected plan.
     hop0 = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
-        .where(F.col(seeds.columns[0]).isNotNull())
+        .where(F.col("node").isNotNull())
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)

@@ -59,6 +59,9 @@ def fuzzy_block_pairs(
     than the cap is salted into ``ceil(cell/cap)`` xxhash64 sub-blocks
     (``on_oversize="salt"``), dropped (``"drop"``), or an error
     (``"error"``) — candidates are then O(N·cap) by construction.
+    ``"error"`` runs the cell census eagerly (one Spark job) at
+    construction time so it can raise before the plan executes;
+    ``"salt"``/``"drop"`` keep the builder fully lazy.
     """
     if on_oversize not in ("salt", "drop", "error"):
         raise ValueError(
@@ -98,8 +101,11 @@ def fuzzy_block_pairs(
             F.ceil(F.count("*") / F.lit(block_cap)).cast("int").alias("_nsalt")
         )
         oversized = cells.filter(F.col("_nsalt") > 1)
-        if on_oversize == "error" and oversized.limit(1).count() > 0:
-            sample = oversized.limit(5).collect()
+        # NOTE: on_oversize="error" is EAGER — the census probe below is
+        # one Spark job at DataFrame-construction time (the only way to
+        # fail loudly before a caller executes the result). "salt"/"drop"
+        # stay fully lazy.
+        if on_oversize == "error" and (sample := oversized.limit(5).collect()):
             raise ValueError(
                 f"fuzzy_block_pairs: blocks exceed block_cap={block_cap}: "
                 + ", ".join(

@@ -36,6 +36,13 @@ cohort forward), r9: <=44, r10: 50, r11: 50 — always satisfiable.
 Under the old horizon 3 the r8 demand would have been 44+17=61 > 50,
 structurally red. Sweeps on 2026-08-15: 147/147, then 150/150, then
 152/152 green at sf0.01 as the batches landed; 153/153 at close.
+r8 UPDATE: window rotated per the r7 verdict (#1) — 24 deferred + 26
+oldest-r5; _DEFERRED_NEW emptied; registry growth frozen at 168 (#2).
+Note the accepted cadence: the forward-looking staleness test goes red
+the moment CORRECTNESS_r08.json lands (the 18 unrotated r5 entries'
+evidence falls off the horizon) and the r9 rotation — 18 + up to 32
+oldest-r6 pulled forward — fixes it first thing, exactly as r6→r7 and
+r7→r8 did.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
@@ -679,40 +686,39 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r7 window rationale (from CORRECTNESS_r01-r06 evidence; r6 verdict
-# "Next round #1"):
-# - the 19 r6 _DEFERRED_NEW entries (added after the r6 window locked;
-#   never driver-graded — 13% of the battery) promote first, per the
-#   test_deferred_new_queue contract.
-# - the 31 entries whose newest green is CORRECTNESS_r04 fall off the
-#   3-report horizon when CORRECTNESS_r07 lands — all in (computed
-#   mechanically from the reports; test_no_query_goes_stale_unchecked
-#   enumerated exactly this set after r06 landed).
-# 19 + 31 = 50/50: exactly full. Everything NOT in this window has
-# green evidence in r5 or r6 (fresh through r8).
+# r8 window rationale (from CORRECTNESS_r01-r07 evidence; r7 verdict
+# "Next round #1" — the registry's own demand math, CAPACITY NOTE above):
+# - the 24 r7 _DEFERRED_NEW entries (the whole r7 analytics tier, added
+#   after the r7 window locked; never driver-graded — 14% of the
+#   battery) promote first, per the test_deferred_new_queue contract.
+# - the remaining 26 slots pull the oldest-evidence cohort forward:
+#   26 of the 44 entries whose newest green is CORRECTNESS_r05, in
+#   registry definition order (the cohort is a round tie, so definition
+#   order is the tiebreak — same policy as r5's rotation). The other 18
+#   r5 entries head the r9 window (demand r9 = 18 + free slots <= 50).
+# 24 + 26 = 50/50: exactly full. Mechanically verified against the
+# reports: ledger after r07 is r5=44, r6=50, r7=50, never=24.
 _WINDOW: list[str] = [
-    # never-driver-graded lane (r6 deferred-new queue, in queue order)
-    "q_bpe_encode", "q_hybrid_search_rrf", "q_bigram_lm", "q_mmr_rerank",
-    "q_quality_buckets", "q_dup_span_removal", "q_cms_heavy_hitters",
-    "q_winsorized_stats", "q_kmv_distinct",
-    "q02_min_cost_supplier", "q11_important_parts",
-    "q16_supplier_diversity", "q20_dominant_suppliers",
-    "q_triangle_suppliers", "q_fuzzy_part_match",
-    "q_event_transitions", "q_value_histogram",
-    "q_entity_clusters",
-    "q_trailing_7day",
-    # r4-latest-green lane (staleness horizon binds when r07 lands)
-    "q_token_stats", "q_embedding_dedup_fast", "q_repetition_profile",
-    "q_unigram_lm", "q_dsir", "q_sessionization", "q_scd2_history",
-    "q_streaming_event_counts", "q_streaming_windowed_counts",
-    "q_funnel", "q_retention_cohorts", "q_asof_attribution",
-    "q_cohort_set_ops", "q_salted_brand_revenue", "q_unpivot_balances",
-    "q_dim_date", "q09_product_profit", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q21_waiting_supplier",
-    "q22_idle_customers", "q_props_json", "q_moving_value",
-    "q_daily_timeseries", "q_top_purchasers", "q_event_quantiles",
-    "q_time_rollup_multires", "q_error_after_purchase",
+    # never-driver-graded lane (r7 deferred-new queue, in queue order)
+    "q_containment_pairs", "q_pareto_parts", "q_column_profile",
+    "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
+    "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
+    "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
+    "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
+    "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
+    "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
+    "q_ols_trend", "q_cusum_changepoint",
+    # r5-latest-green lane (falls off the 4-report horizon when r08
+    # lands; first 26 of the 44-entry cohort in definition order)
+    "q_lang_quality", "q_geo_enrichment", "q_simhash",
+    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
+    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
+    "q_winnow_fingerprints", "q_winnow_overlap", "q_time_travel",
+    "q_ivm_refresh", "q_audio_windows", "q_row_fingerprints",
+    "q_embedding_dedup", "q_sequence_packing", "q_neardup_verified_fast",
+    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
+    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
+    "q_contamination", "q_span_dedup", "q_linear_quality",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -773,16 +779,15 @@ _WINDOW: list[str] = [
 # entries (horizon stays 4 = ceil(168/50)): r8 windows these 24
 # deferred + 26 of the 44 r5-stale entries (oldest-evidence-first);
 # the remaining 18 head r9 — every round's demand stays under 50.
-_DEFERRED_NEW: list[str] = [
-    "q_containment_pairs", "q_pareto_parts", "q_column_profile",
-    "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
-    "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
-    "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
-    "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
-    "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
-    "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
-    "q_ols_trend", "q_cusum_changepoint",
-]
+# r8 rotation: the 24-entry r7 queue promoted into the window above and
+# this list emptied (contract honored — r5 rotated 24, r7 rotated 19).
+# Registry growth is FROZEN per the r7 verdict (#2): the battery's
+# capability classes are all closed; r8 adds no new entries, keeping
+# the horizon at 4 and the demand sequence r9: 18 (+32 free slots
+# pulling the oldest-r6 cohort forward), r10: <=50, r11: 50 — always
+# satisfiable. Queries added mid-r8 (if any class gap is found) go
+# here, in addition order.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)

@@ -2519,6 +2519,11 @@ ORDER BY c_nationkey, c_mktsegment
 # the expected Benford mass log10(1 + 1/d) is generated ONCE in Python
 # and inlined as the same literal doubles into both plans. One groupBy
 # on 9 keys + a scalar total — trivially map-side at any scale.
+# The filter is >= 1, not > 0: the string-cast first character is the
+# first SIGNIFICANT digit only for values >= 1 (a value in (0,1) would
+# contribute a digit-0 row outside the Benford profile). TPC-H
+# o_totalprice is always >> 1, so the tightened bound changes nothing
+# on this data while keeping the profile well-defined in general.
 # ---------------------------------------------------------------------------
 
 _BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
@@ -2528,7 +2533,7 @@ def q_benford_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
     counts = (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.filter(F.col("o_totalprice") >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n"))
@@ -2553,7 +2558,7 @@ Q_BENFORD_TOTALS_SQL = f"""
 WITH counts AS (
   SELECT CAST(SUBSTR(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
     CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE o_totalprice >= 1
   GROUP BY 1
 )
 SELECT digit, n,
