@@ -1851,6 +1851,62 @@ def test_fuzzy_multi_pass_recovers_capped_recall(spark):
     assert single < multi <= exact
 
 
+def test_head_of_strips_one_corporate_suffix(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import head_of
+
+    df = spark.createDataFrame(
+        [
+            ("acme trading inc",),
+            ("acme co ltd",),       # one strip only, from the end
+            ("Maple GmbH",),        # case-insensitive, no trailing dot
+            ("northern sa.",),      # trailing dot stripped too
+            ("incline holdings",),  # 'inc' as a prefix is NOT a suffix
+            ("inc",),               # bare suffix has no head to protect
+        ],
+        ["name"],
+    )
+    got = [r["h"] for r in df.select(head_of("name").alias("h")).collect()]
+    assert got == [
+        "acme trading", "acme co", "Maple", "northern",
+        "incline holdings", "inc",
+    ]
+
+
+def test_fuzzy_multi_suffix_hot_recall_via_head_key(spark):
+    """The r7-verdict hot-suffix scenario in miniature: every name ends
+    in 'inc', so the single-pass last-token block is one hot cell that
+    salting shreds — but the suffix-stripped head's last token (here a
+    unique serial) is maximally discriminative, so the multi-pass
+    defaults recover EVERY planted variant whose edit leaves that
+    token alone, at the same O(N*cap)."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+        fuzzy_block_pairs_multi,
+    )
+
+    base = [f"alpha beta {i:03d} inc" for i in range(120)]
+    planted = set()
+    names = list(base)
+    for i in range(0, 120, 3):  # 40 variants, edit in the word part
+        var = base[i].replace("alpha", "alpho", 1)
+        names.append(var)
+        planted.add(tuple(sorted((base[i], var))))
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+
+    single = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in fuzzy_block_pairs(df, max_dist=4, block_cap=20).collect()
+    }
+    multi = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in fuzzy_block_pairs_multi(
+            df, max_dist=4, block_cap=20
+        ).collect()
+    }
+    assert len(single & planted) < len(planted)  # salting loses pairs
+    assert planted <= multi  # head key recovers all of them
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     """A short doc quoted inside a long one: containment(A->B) == 1.0
     while Jaccard is far below any near-dup threshold — the asymmetric

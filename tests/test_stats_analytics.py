@@ -167,6 +167,35 @@ def test_copurchase_scores_bounded_and_symmetric_counts(spark):
     assert rows[0]["n_both"] <= min(len(oa), len(obr))
 
 
+def test_prebuilt_graph_artifacts_match_one_shot(spark):
+    """The edges=/baskets= amortization params (r7 verdict #4): a
+    caller-materialized cosupply_edges / brand_baskets artifact must
+    reproduce the one-shot result exactly for all three graph queries —
+    the prebuilt path is the 100 TB production shape (build the
+    dominant lineitem-derived table once, run many graph queries)."""
+    from ubeardw_databricks_lakehouse_spark.plans.relational import (
+        brand_baskets,
+        cosupply_edges,
+        q_copurchase_brands,
+        q_supplier_reach,
+        q_triangle_suppliers,
+    )
+
+    edges = cosupply_edges(spark, SF_DIR).localCheckpoint(eager=True)
+    baskets = brand_baskets(spark, SF_DIR)
+    for one_shot, amortized in (
+        (q_triangle_suppliers(spark, SF_DIR),
+         q_triangle_suppliers(spark, SF_DIR, edges=edges)),
+        (q_supplier_reach(spark, SF_DIR),
+         q_supplier_reach(spark, SF_DIR, edges=edges)),
+        (q_copurchase_brands(spark, SF_DIR),
+         q_copurchase_brands(spark, SF_DIR, baskets=baskets)),
+    ):
+        assert sorted(map(tuple, one_shot.collect())) == sorted(
+            map(tuple, amortized.collect())
+        )
+
+
 def test_copurchase_no_cartesian_counts_broadcast(spark):
     from ubeardw_databricks_lakehouse_spark.plans.relational import (
         q_copurchase_brands,

@@ -35,9 +35,49 @@ from pyspark.sql import functions as F
 
 _LAST_TOKEN_RE = r"([^ ]+)$"
 
+# Corporate stop-suffixes — the canonical hot, non-discriminative last
+# tokens of real entity corpora (the r7-verdict adversarial case). Kept
+# deliberately short and public-knowledge; callers with domain lists
+# pass their own ``blocks``.
+_STOP_SUFFIXES = (
+    "inc llc gmbh ltd corp co sa plc ag oy ab nv bv kg srl spa pty sas "
+    "sarl llp lp pllc"
+).split()
+_STOP_SUFFIX_RE = r"(?i)\s+(" + "|".join(_STOP_SUFFIXES) + r")\.?\s*$"
+
 
 def _default_block(name_col: str) -> Column:
     return F.regexp_extract(name_col, _LAST_TOKEN_RE, 1)
+
+
+def head_of(name_col: str | Column) -> Column:
+    """The entity-name *head*: the name with one trailing corporate
+    stop-suffix token stripped ("acme trading inc" -> "acme trading").
+    Blocking on the head's last token is what makes multi-pass recall
+    survive suffix-hot corpora — the suffix carries no identity, so
+    keys derived from it are pure salt-loss."""
+    col = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.regexp_replace(col, _STOP_SUFFIX_RE, "")
+
+
+def _head_last_token(name_col: str) -> Column:
+    return F.regexp_extract(head_of(name_col), _LAST_TOKEN_RE, 1)
+
+
+def _head_min_bigram(name_col: str) -> Column:
+    """Min-hash over the head's character bigrams — an edit-tolerant
+    third key: a single-character edit disturbs at most two bigrams, so
+    the minimum survives with probability ~(L-2)/L and near-dup pairs
+    land in the same block even when the edit hits the head's last
+    token. Hot blocks (a globally min-hashed common bigram) are handled
+    by the same cap/salt discipline as any other key."""
+    h = head_of(name_col)
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(h) - 1, F.lit(1))),
+            lambda i: F.xxhash64(F.substring(h, i, F.lit(2))),
+        )
+    )
 
 
 def fuzzy_block_pairs(
@@ -178,15 +218,34 @@ def fuzzy_block_pairs_multi(
 
     The recall-recovery discipline for capped blocking — a pair lost to
     salting under a hot non-discriminative key (everything ends in
-    "inc") usually survives under an independent key (first token,
-    length prefix). Cost is additive over passes and each pass is
-    O(N·cap); classic multi-pass ER (Hernández & Stolfo 1998, the
-    sorted-neighborhood multi-pass result).
+    "inc") usually survives under an independent key. Cost is additive
+    over passes and each pass is O(N·cap); classic multi-pass ER
+    (Hernández & Stolfo 1998, the sorted-neighborhood multi-pass
+    result).
+
+    Default keys (r7 verdict #3 — measured ~0.08-0.16 recall at
+    cap=200 with the old [last-token, first-token] defaults on the
+    suffix-hot stress; the suffix-aware keys below push it past 0.5 at
+    the same O(N·cap) cost, tools/stress_linkage.py):
+
+    1. plain last token (the single-pass default) — keeps multi a
+       strict SUPERSET of the capped single pass (same key, same
+       deterministic salting), so switching to multi never loses a
+       pair.
+    2. last token of the suffix-stripped *head* (``head_of``) — on
+       suffix-hot corpora this is the name's most discriminative token
+       instead of its least; identical to key 1 when no stop-suffix is
+       present (a redundant-but-cheap pass there).
+    3. first token — independent of anything near the end of the name.
+    4. min-hashed character bigram of the head — edit-tolerant, covers
+       pairs whose edit hits the head's last OR first token.
     """
     if blocks is None:
         blocks = [
             _default_block(name_col),
+            _head_last_token(name_col),
             F.regexp_extract(name_col, r"^([^ ]+)", 1),
+            _head_min_bigram(name_col),
         ]
     if not blocks:
         raise ValueError("fuzzy_block_pairs_multi needs >= 1 block key")

@@ -2132,10 +2132,19 @@ ORDER BY s_name
 # ---------------------------------------------------------------------------
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded supplier co-supply projection — the shared graph for
     q_triangle_suppliers and q_supplier_reach (edge semantics and the
-    1.05x-mean sparsity cut documented at q_triangle_suppliers)."""
+    1.05x-mean sparsity cut documented at q_triangle_suppliers).
+
+    Public so callers running SEVERAL graph queries materialize the
+    edge once and pass it via each query's ``edges=`` parameter (the
+    bm25_topk(tf_index=) / ivfpq_build amortization pattern): the
+    lineitem self-join dominates every co-supply query's wall, and at
+    100 TB rebuilding it per query is the bottleneck, not the graph
+    algorithm. Within-session snapshot-immutability contract applies
+    as for the tf/IVFPQ artifacts (plans/llm_q.py): a prebuilt edge
+    table reflects the source tables at build time."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
@@ -2164,10 +2173,13 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_triangle_suppliers(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     from ..operators.graph import triangle_counts
 
-    edges = _cosupply_edges(spark, sf_dir)
+    if edges is None:
+        edges = cosupply_edges(spark, sf_dir)
     return (
         triangle_counts(edges)
         .select("node", F.col("triangles").cast("bigint").alias("triangles"))
@@ -2592,19 +2604,29 @@ ORDER BY digit
 # ---------------------------------------------------------------------------
 
 
-def q_copurchase_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) incidence — the basket table
+    q_copurchase_brands scores over. Public for the same amortization
+    reason as cosupply_edges: the lineitem x part join is the dominant
+    cost, so callers scoring several CF variants build it once and pass
+    it via ``baskets=``. localCheckpoint: the frame feeds the brand
+    counts AND both legs of the self-join — four plan branches that
+    would each recompute the join (ReuseExchange does not fire across
+    them, the q11/triangle lesson)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    # localCheckpoint: ob feeds the brand counts AND both legs of the
-    # self-join — four plan branches that would each recompute the
-    # lineitem x part join (ReuseExchange does not fire across them,
-    # the q11/triangle lesson). One materialization, one big-table scan.
-    ob = (
+    return (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def q_copurchase_brands(
+    spark: SparkSession, sf_dir: str, baskets: DataFrame | None = None
+) -> DataFrame:
+    ob = baskets if baskets is not None else brand_baskets(spark, sf_dir)
     bc = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_orders"))
     a = ob.alias("a")
     b = ob.alias("b")
@@ -2750,7 +2772,7 @@ ORDER BY segment
 # "same component", PageRank "how central", BFS "how far"; the
 # neighborhood-expansion primitive behind supply-chain blast-radius and
 # fraud-ring queries). Graph and sparsity cut are shared with
-# q_triangle_suppliers via _cosupply_edges.
+# q_triangle_suppliers via cosupply_edges.
 #
 # All arithmetic is integer (node ids, hop counters, counts, id sums) —
 # oracle-exact by construction. The SQL twin unrolls the 3 bounded
@@ -2764,10 +2786,14 @@ ORDER BY segment
 # ---------------------------------------------------------------------------
 
 
-def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_supplier_reach(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     from ..operators.graph import bfs_hops
 
-    dists = bfs_hops(_cosupply_edges(spark, sf_dir), max_hops=3)
+    if edges is None:
+        edges = cosupply_edges(spark, sf_dir)
+    dists = bfs_hops(edges, max_hops=3)
     return (
         dists.groupBy("dist")
         .agg(
