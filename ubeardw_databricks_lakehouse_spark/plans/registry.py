@@ -38,6 +38,10 @@ structurally red. Sweeps on 2026-08-15: 147/147, then 150/150, then
 152/152 green at sf0.01 as the batches landed; 153/153 at close.
 r8 UPDATE: window rotated per the r7 verdict (#1) — 24 deferred + 26
 oldest-r5; _DEFERRED_NEW emptied; registry growth frozen at 168 (#2).
+r8 sweep on 2026-08-15: 154/154 green at sf0.01 (367 s) on the tree
+carrying the review fixes (containment prefix bound, benford >= 1,
+bfs seed filter) and the linkage/graph-amortization work; full pytest
+421 passed.
 Note the accepted cadence: the forward-looking staleness test goes red
 the moment CORRECTNESS_r08.json lands (the 18 unrotated r5 entries'
 evidence falls off the horizon) and the r9 rotation — 18 + up to 32
