@@ -386,3 +386,64 @@ def test_bfs_hops_matches_python_bfs(spark, edges, max_hops):
         for r in bfs_hops(df, max_hops=max_hops).collect()
     }
     assert got == expect
+
+
+# --- capped linkage: salting only removes; multi-pass only recovers ------
+
+name_corpora = st.lists(
+    st.text(
+        alphabet="ab in",  # tiny alphabet: forces block/band collisions
+        min_size=1,
+        max_size=8,
+    ).map(lambda s: " ".join(s.split()) or "a"),  # normalize whitespace
+    min_size=2,
+    max_size=14,
+    unique=True,
+)
+
+
+@PROP
+@given(name_corpora, st.integers(min_value=1, max_value=3))
+def test_fuzzy_capped_between_empty_and_exact(spark, names, cap):
+    """For ANY corpus and cap: capped single-pass pairs ⊆ uncapped
+    exact pairs (salting may only LOSE pairs), and the 4-key capped
+    multi-pass is a superset of capped single (pass 1 reuses the same
+    key + deterministic salting) while every returned pair still
+    verifies under the levenshtein threshold (no false positives from
+    the extra keys)."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+        fuzzy_block_pairs_multi,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    exact = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(df, max_dist=2).collect()
+    }
+    single = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(df, max_dist=2, block_cap=cap).collect()
+    }
+    multi = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs_multi(
+            df, max_dist=2, block_cap=cap
+        ).collect()
+    }
+    assert single <= exact
+    assert single <= multi
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for a, b in multi:
+        assert a < b and lev(a, b) <= 2, (a, b)
