@@ -1907,6 +1907,43 @@ def test_fuzzy_multi_suffix_hot_recall_via_head_key(spark):
     assert planted <= multi  # head key recovers all of them
 
 
+def test_resolve_entities_multi_merges_what_capped_single_loses(spark):
+    """resolve_entities(multi=True) at a tight cap clusters every
+    planted variant with its base on the suffix-hot synthetic, where
+    the capped single pass leaves some variants in singleton clusters.
+    Also pins the blocks-xor-multi argument guard."""
+    import pytest
+
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    base = [f"alpha beta {i:03d} inc" for i in range(120)]
+    names = list(base)
+    planted = []
+    for i in range(0, 120, 3):
+        var = base[i].replace("alpha", "alpho", 1)
+        names.append(var)
+        planted.append((base[i], var))
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+
+    def rep_map(ents):
+        return {r["entity"]: r["cluster_rep"] for r in ents.collect()}
+
+    single = rep_map(resolve_entities(df, block_cap=20))
+    multi = rep_map(resolve_entities(df, block_cap=20, multi=True))
+    merged_single = sum(single[a] == single[b] for a, b in planted)
+    merged_multi = sum(multi[a] == multi[b] for a, b in planted)
+    assert merged_single < len(planted)
+    assert merged_multi == len(planted)
+
+    with pytest.raises(ValueError, match="not both"):
+        resolve_entities(
+            df, block_cap=20, multi=True,
+            blocks=[__import__("pyspark.sql.functions", fromlist=["F"]).col("name")],
+        )
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     """A short doc quoted inside a long one: containment(A->B) == 1.0
     while Jaccard is far below any near-dup threshold — the asymmetric

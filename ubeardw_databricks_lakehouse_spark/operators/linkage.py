@@ -271,10 +271,17 @@ def resolve_entities(
     max_dist: int = 4,
     block_cap: int | None = None,
     on_oversize: str = "salt",
+    multi: bool = False,
 ) -> DataFrame:
     """Entity-resolution capstone at production settings: capped fuzzy
-    pairs (multi-pass when ``blocks`` is given) -> connected components
-    -> canonical representative.
+    pairs (multi-pass when ``blocks`` is given, or with the default
+    suffix-aware 4-key battery when ``multi=True``) -> connected
+    components -> canonical representative.
+
+    ``multi=True`` is the recommended setting for CAPPED runs on real
+    entity corpora: the measured hot-suffix recall at cap=200 is
+    0.74-0.81 multi vs 0.08-0.16 single (SCALING.md round-8), at 4x
+    the pair-generation cost (each pass is O(N·cap)).
 
     Returns (entity, cluster_rep, cluster_size, is_canonical) — the
     same surface as the oracle-paired `q_entity_clusters`, which is the
@@ -282,7 +289,13 @@ def resolve_entities(
     """
     from .dedup import connected_components
 
-    if blocks is not None:
+    if blocks is not None or multi:
+        if blocks is not None and multi:
+            raise ValueError(
+                "resolve_entities: pass either blocks=[...] or "
+                "multi=True, not both (multi=True means the default "
+                "4-key battery)"
+            )
         pairs = fuzzy_block_pairs_multi(
             names,
             name_col=name_col,
