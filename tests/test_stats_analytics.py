@@ -61,6 +61,43 @@ def _python_streaks(days: list) -> tuple[int, int, int]:
     return len(days), len(streaks), max(streaks)
 
 
+def test_seasonal_decomposition_pandas_replay(spark):
+    """Day-of-week seasonal index vs an independent pandas replay over
+    the same parquet: exact integer counts, index computed with the
+    same two-division shape. Also pins the ISO weekday convention
+    (Mon=1..Sun=7) and that indices average to ~1 weighted by days."""
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_seasonal_decomposition,
+    )
+
+    got = {
+        (r["event_type"], r["dow"]): (
+            r["n_days"], r["total_events"], r["seasonal_index"]
+        )
+        for r in q_seasonal_decomposition(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = ev["ts"].dt.normalize()
+    daily = ev.groupby(["event_type", "d"]).size().reset_index(name="n")
+    daily["dow"] = daily["d"].dt.dayofweek + 1  # pandas Mon=0 -> ISO
+    want = {}
+    for et, g in daily.groupby("event_type"):
+        grand = float(g["n"].sum()) / len(g)
+        for dow, gg in g.groupby("dow"):
+            idx = (float(gg["n"].sum()) / len(gg)) / grand
+            want[(et, int(dow))] = (len(gg), int(gg["n"].sum()), idx)
+    assert set(got) == set(want)
+    for k, (nd, tot, idx) in want.items():
+        assert got[k][0] == nd and got[k][1] == tot, k
+        assert abs(got[k][2] - idx) < 1e-12, k
+    # weighted mean of indices over days == 1 per type (decomposition
+    # identity: sum(dow_mean * n_days) == grand_mean * total_days)
+    for et in {k[0] for k in got}:
+        rows = [(nd, idx) for (e, _), (nd, _t, idx) in got.items() if e == et]
+        wmean = sum(nd * idx for nd, idx in rows) / sum(nd for nd, _ in rows)
+        assert abs(wmean - 1.0) < 1e-9, et
+
+
 def test_user_streaks_python_replay(spark):
     """The island key (ordinal - row_number) vs a plain consecutive-day
     scan in python over the same parquet — no SQL engine on the

@@ -1831,3 +1831,87 @@ FROM ranked
 WHERE rk = 1
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_decomposition: classical day-of-week seasonal index per
+# event type (extension — the decomposition/forecast class the battery
+# lacked: the multiplicative seasonal profile behind "traffic is 1.3x
+# on Mondays" capacity dashboards and seasonal-naive forecast
+# baselines; the seasonal leg of classical decomposition reduced to
+# the weekly period the events table actually exhibits). Grain: daily
+# event counts; per (event_type, iso_dow) the index is mean daily
+# count on that weekday / grand mean daily count — index > 1 means the
+# weekday runs hot.
+#
+# Engine-exactness: daily counts are exact BIGINTs; the index is a
+# ratio of two single exact-integer divisions,
+# (total/n_days) / (tot_all/days_all), each correctly rounded IEEE and
+# composed in the same order in both plans (the battery's
+# ratio-of-integers discipline — no avg(), no log). ISO weekday
+# alignment probed: Spark weekday()+1 == DuckDB isodow() (Mon=1..
+# Sun=7; Spark dayofweek() and DuckDB dayofweek() disagree on the
+# origin, so neither is used).
+#
+# Scale: one groupBy to |event_type x dates| rows (map-side partial
+# over the raw scan), one to |type x 7|, and a broadcast-sized
+# per-type totals join. Nothing row-scale survives the first partial
+# aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot_all"), F.count("*").alias("days_all")
+    )
+    by_dow = (
+        daily.withColumn("dow", (F.weekday("d") + F.lit(1)).cast("int"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+    )
+    return (
+        by_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "total_events",
+            (
+                (F.col("total_events").cast("double") / F.col("n_days"))
+                / (F.col("tot_all").cast("double") / F.col("days_all"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+Q_SEASONAL_DECOMPOSITION_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, SUM(n) AS tot_all, COUNT(*) AS days_all
+  FROM daily GROUP BY 1
+),
+by_dow AS (
+  SELECT event_type, CAST(isodow(d) AS INTEGER) AS dow,
+    CAST(SUM(n) AS BIGINT) AS total_events,
+    CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1, 2
+)
+SELECT b.event_type, dow, n_days, total_events,
+  (CAST(total_events AS DOUBLE) / n_days)
+    / (CAST(tot_all AS DOUBLE) / days_all) AS seasonal_index
+FROM by_dow b JOIN per_type p ON b.event_type = p.event_type
+ORDER BY b.event_type, dow
+"""

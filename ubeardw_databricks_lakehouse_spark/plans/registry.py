@@ -37,7 +37,10 @@ Under the old horizon 3 the r8 demand would have been 44+17=61 > 50,
 structurally red. Sweeps on 2026-08-15: 147/147, then 150/150, then
 152/152 green at sf0.01 as the batches landed; 153/153 at close.
 r8 UPDATE: window rotated per the r7 verdict (#1) — 24 deferred + 26
-oldest-r5; _DEFERRED_NEW emptied; registry growth frozen at 168 (#2).
+oldest-r5; _DEFERRED_NEW emptied then refilled with exactly ONE
+genuinely-new-class entry (q_seasonal_decomposition — the
+decomposition/forecast class) under the verdict's <=5 budget;
+registry closes r8 at 169 entries, horizon still 4 (#2).
 r8 sweep on 2026-08-15: 154/154 green at sf0.01 (367 s) on the tree
 carrying the review fixes (containment prefix bound, benford >= 1,
 bfs seed filter) and the linkage/graph-amortization work; full pytest
@@ -684,6 +687,12 @@ QUERIES: list[QueryDef] = [
              "CUSUM changepoint localization per event type: the peak "
              "of the integer-exact D_t = n*cum_t - t*S statistic and "
              "its time index"),
+    # Tier 10 — added in r8 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_seasonal_decomposition", events_q.q_seasonal_decomposition,
+             events_q.Q_SEASONAL_DECOMPOSITION_SQL,
+             "day-of-week seasonal index per event type (the "
+             "decomposition/forecast class): ratio-of-integer-ratios, "
+             "ISO weekday probed across engines"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -785,13 +794,17 @@ _WINDOW: list[str] = [
 # the remaining 18 head r9 — every round's demand stays under 50.
 # r8 rotation: the 24-entry r7 queue promoted into the window above and
 # this list emptied (contract honored — r5 rotated 24, r7 rotated 19).
-# Registry growth is FROZEN per the r7 verdict (#2): the battery's
-# capability classes are all closed; r8 adds no new entries, keeping
-# the horizon at 4 and the demand sequence r9: 18 (+32 free slots
-# pulling the oldest-r6 cohort forward), r10: <=50, r11: 50 — always
-# satisfiable. Queries added mid-r8 (if any class gap is found) go
-# here, in addition order.
-_DEFERRED_NEW: list[str] = []
+# Registry growth is NEAR-FROZEN per the r7 verdict (#2, budget <=5 for
+# genuinely new classes): r8 adds exactly ONE entry —
+# q_seasonal_decomposition, the decomposition/forecast class the
+# battery lacked (OLS/autocorr/CUSUM cover trend, serial dependence
+# and changepoints; nothing covered seasonality). At 169 entries the
+# horizon stays 4 = ceil(169/50) and the demand sequence is r9: 18
+# r5-stale + 1 deferred (+31 free slots pulling the oldest-r6 cohort
+# forward), r10: <=50, r11: 50 — always satisfiable.
+_DEFERRED_NEW: list[str] = [
+    "q_seasonal_decomposition",
+]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
