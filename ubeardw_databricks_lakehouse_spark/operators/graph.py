@@ -232,10 +232,14 @@ def triangle_counts(
     wedges = e1.join(e2, "u").filter(F.col("ord_x") < F.col("ord_y"))
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("x").alias("node")))
-        .unionByName(tri.select(F.col("y").alias("node")))
+    # ONE explode projection, not a 3-way union of selects over `tri`:
+    # union branches each re-derive the whole wedge+closing join
+    # subtree (ReuseExchange does not fire across them — measured 3x
+    # the wedge join at sf0.1's dense co-supply graph, 15.4 s -> ~5 s),
+    # while explode streams each triangle row into its three corner
+    # rows in the same stage.
+    corners = tri.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
