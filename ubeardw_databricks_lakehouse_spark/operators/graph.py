@@ -157,6 +157,12 @@ def _oriented_edges(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # checkpoint: under degree orientation `und` feeds BOTH degree
+        # union branches AND the keyed join — three plan branches that
+        # would each re-run the caller's edge derivation + this
+        # distinct (ReuseExchange does not fire across them, the same
+        # lesson as the corners explode above).
+        .localCheckpoint(eager=True)
     )
     if orient == "id":
         # canonical (a < b) IS the orientation — no degree pass
