@@ -1971,9 +1971,13 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint stands in for the materialized read
     sigs_base = minhash_signatures(base).localCheckpoint(eager=True)
     sigs_all = sigs_base.unionByName(minhash_signatures(delta))
+    # checkpoint: pairs feeds BOTH semi-join branches below — without
+    # it the whole band+verify pipeline runs twice (ReuseExchange does
+    # not fire across union branches). The pair list is near-dup-sized,
+    # so the materialization is bounded by the result, not the corpus.
     pairs = neardup_verified_pairs(
         docs, n_hashes=8, band_size=2, threshold=0.5, signatures=sigs_all
-    )
+    ).localCheckpoint(eager=True)
     # pairs touching the delta batch: two equi semi-joins (an OR-semi
     # would plan a nested loop), deduped on the pair key
     dids = delta.select("doc_id")

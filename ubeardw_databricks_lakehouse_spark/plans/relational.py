@@ -1526,6 +1526,11 @@ def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
+        # checkpoint: e0 feeds BOTH symmetrize branches — without it
+        # the orders x lineitem join + distinct runs twice inside the
+        # edge build (ReuseExchange does not fire across union
+        # branches; the triangle-corners lesson applied here).
+        .localCheckpoint(eager=True)
     )
     # no distinct after symmetrizing: the C*/S* node namespaces are
     # disjoint, so a reversed edge can never collide with a forward one
