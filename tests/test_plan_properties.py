@@ -469,3 +469,24 @@ def test_fuzzy_block_pairs_capped_is_equi_join(spark):
     p = _plan(fuzzy_block_pairs(names, block_cap=50))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_curation_capstones_bounded_corpus_scans(spark):
+    """The multi-stage curation DAG must NOT re-derive each stage per
+    downstream reference: before the r8 checkpoint discipline the
+    executed plan of q_curated_corpus held 71 FileScan nodes over the
+    documents table (one corpus scan per lineage reference — fatal at
+    100 TB). Each stage now checkpoints once; the FINAL plan reads
+    materialized stages, so its scan count stays tiny."""
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.plans.curation_q import (
+        q_curated_corpus,
+        q_training_export,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn, bound in ((q_curated_corpus, 3), (q_training_export, 4)):
+        p = _plan(fn(spark, sf))
+        n = len(re.findall(r"FileScan parquet", p))
+        assert n <= bound, f"{fn.__name__}: {n} FileScan nodes > {bound}"

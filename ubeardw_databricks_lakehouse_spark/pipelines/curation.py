@@ -55,16 +55,27 @@ def curate_corpus(
     train = docs.where(did % eval_mod != 0)
 
     # stage 1 — per-document quality rules
+    #
+    # CHECKPOINT DISCIPLINE (every stage below): each stage's survivor
+    # frame feeds BOTH the next stage AND the final audit join, and the
+    # audit additionally walks every intermediate — without
+    # materialization the lineage multiplies and the executed plan
+    # scans the corpus once per reference (measured: 71 FileScan nodes
+    # for this one query before the fix; ReuseExchange does not fire
+    # across the branches). In a production warehouse each stage is a
+    # materialized table between jobs; localCheckpoint is the
+    # in-session equivalent — one corpus-bounded write per stage, each
+    # read as many times as the DAG needs it.
     quality = gopher_quality_flags(train, id_col, text_col).select(id_col, "keep")
     q_surv = train.join(
         quality.where(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=True)
 
     # stage 2 — n-gram collisions against the eval set (docs too short
     # to have any n-gram are absent from the report = trivially clean)
     contam = contamination_report(
         q_surv, evalset, contamination_ngram, id_col, text_col
-    )
+    ).localCheckpoint(eager=True)  # feeds the anti-join AND the audit
     c_surv = q_surv.join(
         contam.where(F.col("contaminated")).select(id_col), id_col, "left_anti"
     )
@@ -76,13 +87,14 @@ def curate_corpus(
         with_fp.join(exact_survivor, "_fp")
         .where(did == F.col("_surv"))
         .select(id_col, text_col)
+        .localCheckpoint(eager=True)  # feeds clusters, stage 5, audit
     )
 
     # stage 4 — near-dup clusters; keep the canonical member
     clusters = dedup_clusters(e_surv, id_col, text_col)
     n_surv = e_surv.join(
         clusters.where(F.col("is_canonical")).select(id_col), id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=True)  # feeds chunking AND the audit
 
     # stage 5 — chunk the survivors
     n_chunks = (
