@@ -155,10 +155,18 @@ def sqrt_mixing_sample(
     strata_col: str,
     target_frac: float = 0.5,
     seed: str = "",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Apply sqrt-temperature mixing: per-stratum thresholds broadcast
-    back onto the corpus; the keep decision stays a codegen'd filter."""
-    thresholds = sqrt_mixing_thresholds(df, strata_col, target_frac)
+    back onto the corpus; the keep decision stays a codegen'd filter.
+
+    Pass a precomputed ``thresholds`` table (from
+    ``sqrt_mixing_thresholds``, ideally checkpointed/materialized) when
+    the caller also reads the thresholds itself — otherwise the
+    per-stratum aggregation over the corpus runs once per reference
+    (the amortization pattern shared with bm25_topk/ivfpq/cosupply)."""
+    if thresholds is None:
+        thresholds = sqrt_mixing_thresholds(df, strata_col, target_frac)
     return (
         df.join(F.broadcast(thresholds.select(strata_col, "bucket_thresh")),
                 strata_col)

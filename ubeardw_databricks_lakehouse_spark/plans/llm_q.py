@@ -1227,13 +1227,21 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import sqrt_mixing_sample, sqrt_mixing_thresholds
 
     docs = t(spark, sf_dir, "documents")
+    # thresholds feed BOTH the sample filter and the report output —
+    # checkpoint the (per-source, tiny) table once instead of running
+    # the corpus aggregation per reference.
+    thresholds = sqrt_mixing_thresholds(
+        docs, "source", target_frac=0.5
+    ).localCheckpoint(eager=True)
     kept = (
-        sqrt_mixing_sample(docs, "doc_id", "source", target_frac=0.5)
+        sqrt_mixing_sample(
+            docs, "doc_id", "source", target_frac=0.5, thresholds=thresholds
+        )
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
     return (
-        sqrt_mixing_thresholds(docs, "source", target_frac=0.5)
+        thresholds
         .join(kept, "source", "left")
         .select(
             "source", "n_rows", "bucket_thresh",
