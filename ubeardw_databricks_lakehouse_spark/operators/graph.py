@@ -157,15 +157,13 @@ def _oriented_edges(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # checkpoint: under degree orientation `und` feeds BOTH degree
-        # union branches AND the keyed join — three plan branches that
-        # would each re-run the caller's edge derivation + this
-        # distinct (ReuseExchange does not fire across them, the same
-        # lesson as the corners explode above).
-        .localCheckpoint(eager=True)
     )
     if orient == "id":
-        # canonical (a < b) IS the orientation — no degree pass
+        # canonical (a < b) IS the orientation — no degree pass, and
+        # `und` feeds exactly one downstream select (the caller
+        # checkpoints the oriented result itself), so no checkpoint
+        # here: eager-materializing would add one redundant job per
+        # id-oriented call (r9 advice).
         return und.select(
             F.col("a").alias("u"),
             F.col("b").alias("v"),
@@ -173,6 +171,12 @@ def _oriented_edges(
         )
     if orient != "degree":
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    # checkpoint: under degree orientation `und` feeds BOTH degree
+    # union branches AND the keyed join — three plan branches that
+    # would each re-run the caller's edge derivation + this distinct
+    # (ReuseExchange does not fire across them, the same lesson as the
+    # corners explode in triangle_counts).
+    und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
