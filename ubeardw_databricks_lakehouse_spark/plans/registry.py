@@ -699,39 +699,46 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r8 window rationale (from CORRECTNESS_r01-r07 evidence; r7 verdict
+# r9 window rationale (from CORRECTNESS_r01-r08 evidence; r8 verdict
 # "Next round #1" — the registry's own demand math, CAPACITY NOTE above):
-# - the 24 r7 _DEFERRED_NEW entries (the whole r7 analytics tier, added
-#   after the r7 window locked; never driver-graded — 14% of the
-#   battery) promote first, per the test_deferred_new_queue contract.
-# - the remaining 26 slots pull the oldest-evidence cohort forward:
-#   26 of the 44 entries whose newest green is CORRECTNESS_r05, in
-#   registry definition order (the cohort is a round tie, so definition
-#   order is the tiebreak — same policy as r5's rotation). The other 18
-#   r5 entries head the r9 window (demand r9 = 18 + free slots <= 50).
-# 24 + 26 = 50/50: exactly full. Mechanically verified against the
-# reports: ledger after r07 is r5=44, r6=50, r7=50, never=24.
+# - the 18 entries whose newest green is CORRECTNESS_r05 promote first:
+#   their evidence falls off the 4-report horizon the moment
+#   CORRECTNESS_r09 lands, exactly as the forward-looking staleness
+#   test predicted when r08 landed.
+# - q_seasonal_decomposition (r8's one _DEFERRED_NEW addition, the only
+#   never-driver-graded entry) promotes per test_deferred_new_queue.
+# - the remaining 31 slots pull the oldest-evidence cohort forward:
+#   31 of the 50 entries whose newest green is CORRECTNESS_r06, in
+#   registry definition order (round-tie tiebreak — same policy as
+#   every prior rotation). The other 19 r6 entries head the r10 window
+#   (demand r10 = 19 + free slots <= 50).
+# 18 + 1 + 31 = 50/50: exactly full. Mechanically verified against the
+# reports: ledger after r08 is r5=18, r6=50, r7=50, r8=50, never=1.
 _WINDOW: list[str] = [
-    # never-driver-graded lane (r7 deferred-new queue, in queue order)
-    "q_containment_pairs", "q_pareto_parts", "q_column_profile",
-    "q_kanon_risk", "q_benford_totals", "q_event_lift", "q_oov_rate",
-    "q_copurchase_brands", "q_gini_revenue", "q_mad_outliers",
-    "q_user_streaks", "q_chisq_drift", "q_conversion_latency",
-    "q_fk_integrity", "q_revenue_concentration", "q_corr_profile",
-    "q_supplier_reach", "q_label_agreement", "q_geo_radius_join",
-    "q_lag1_autocorr", "q_ranksum_sources", "q_weighted_median",
-    "q_ols_trend", "q_cusum_changepoint",
-    # r5-latest-green lane (falls off the 4-report horizon when r08
-    # lands; first 26 of the 44-entry cohort in definition order)
-    "q_lang_quality", "q_geo_enrichment", "q_simhash",
-    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
-    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
-    "q_winnow_fingerprints", "q_winnow_overlap", "q_time_travel",
-    "q_ivm_refresh", "q_audio_windows", "q_row_fingerprints",
-    "q_embedding_dedup", "q_sequence_packing", "q_neardup_verified_fast",
-    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
-    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
-    "q_contamination", "q_span_dedup", "q_linear_quality",
+    # r5-latest-green lane (falls off the 4-report horizon when r09
+    # lands; the full 18-entry cohort in definition order)
+    "q_contamination_bloom", "q_session_windows", "q_bpe_merges",
+    "q_inverted_index", "q_pq_codes", "q_export_manifest",
+    "q_embedding_topk_ivfpq", "q_embedding_topk_ivfpq_search",
+    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
+    "q_pagerank_trading_fast", "q_kmeans_clusters",
+    "q_incremental_neardup", "q_snapshot_diff", "q_image_resize",
+    "q_hard_negatives", "q_training_export",
+    # never-driver-graded lane (r8 deferred-new queue)
+    "q_seasonal_decomposition",
+    # r6-latest-green lane (first 31 of the 50-entry cohort in
+    # definition order; the other 19 head r10)
+    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
+    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
+    "q_sample_per_source", "q_stream_attribution", "q_text_profile",
+    "q_exact_dedup", "q_jaccard_pairs", "q_minhash_signatures",
+    "q_lsh_candidates", "q_neardup_verified", "q_embedding_topk",
+    "q_embedding_neardup", "q_multimodal_features", "q_chunking",
+    "q_vocabulary", "q_label_centroids", "q_stratified_sample",
+    "q_dim_time", "q01_pricing_summary", "q_user_lifecycle_pivot",
+    "q03_shipping_priority", "q05_region_revenue",
+    "q06_forecast_revenue", "q_market_segment", "q_top_customers",
+    "q_order_gaps", "q_union_entities",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -802,9 +809,13 @@ _WINDOW: list[str] = [
 # horizon stays 4 = ceil(169/50) and the demand sequence is r9: 18
 # r5-stale + 1 deferred (+31 free slots pulling the oldest-r6 cohort
 # forward), r10: <=50, r11: 50 — always satisfiable.
-_DEFERRED_NEW: list[str] = [
-    "q_seasonal_decomposition",
-]
+# r9 rotation: q_seasonal_decomposition promoted into the window above
+# and this list emptied (contract honored — every prior queue rotated
+# on schedule: r5: 24, r7: 19, r8: 24, r9: 1). Ledger after r08 is
+# r5=18, r6=50, r7=50, r8=50, never=1; the r9 window takes 18+1+31 and
+# the demand sequence stays satisfiable: r10 = 19 remaining-r6 + free
+# slots, r11 <= 50.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
