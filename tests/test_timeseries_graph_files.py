@@ -345,3 +345,137 @@ def test_triangle_counts_rejects_unknown_orient(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         triangle_counts(df, orient="random").count()
+
+
+def test_triangle_hub_cap_exact_when_cap_covers(spark):
+    """hub_cap >= max out-degree is a no-op: identical counts to the
+    uncapped run on a graph with hubs and overlapping triangles (degree
+    orientation bounds out-degree well below |V|, so a cap at |V| always
+    covers)."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(11)
+    n = 30
+    edges = {(a, b) for a in range(2) for b in range(n) if a < b}
+    while len(edges) < 110:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    exact = {
+        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    capped = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=n).collect()
+    }
+    assert capped == exact and sum(exact.values()) > 0
+
+
+def test_triangle_hub_cap_is_deterministic_lower_bound(spark):
+    """On K4 with cap=2 the counts are exactly the closed wedges over
+    each pivot's 2 lowest-ordered out-neighbors — a deterministic,
+    reproducible lower bound, never an over-count. Under (deg, id)
+    orientation K4 orients 0->{1,2,3}, 1->{2,3}, 2->{3}; capping pivot
+    0 at 2 keeps wedge (1,2) only, so triangles (0,1,2) and (1,2,3)
+    survive and (0,1,3)/(0,2,3) are dropped."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    capped = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(k4, hub_cap=2).collect()
+    }
+    assert capped == {0: 1, 1: 2, 2: 2, 3: 1}
+    exact = {r["node"]: r["triangles"] for r in triangle_counts(k4).collect()}
+    assert all(capped[n] <= exact[n] for n in capped)
+    rerun = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(k4, hub_cap=2).collect()
+    }
+    assert rerun == capped
+    with pytest.raises(ValueError):
+        triangle_counts(k4, hub_cap=0)
+
+
+def test_triangle_hub_estimate_mode(spark):
+    """on_hub='estimate' (Horvitz-Thompson wedge sampling with
+    deterministic xxhash64 neighbor order): exact when the cap covers
+    every pivot, reproducible run-to-run, and within 15% of the true
+    triangle TOTAL on a dense random graph where the drop mode's floor
+    is off by >60% (the dense-core regime the mode exists for)."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(23)
+    n = 60
+    edges = {
+        (a, b)
+        for a in range(n)
+        for b in range(n)
+        if a < b and rng.random() < 0.4
+    }
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    exact = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    exact_total = sum(exact.values())
+    est = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=8, on_hub="estimate").collect()
+    }
+    rerun = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=8, on_hub="estimate").collect()
+    }
+    assert rerun == est  # xxhash order, not rand(): reproducible
+    assert abs(sum(est.values()) - exact_total) / exact_total < 0.15
+    dropped = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=8, on_hub="drop").collect()
+    }
+    assert sum(dropped.values()) / exact_total < 0.4  # floor far off here
+    # cap covering every out-degree: estimate degenerates to exact
+    assert {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=n, on_hub="estimate").collect()
+    } == exact
+    with pytest.raises(ValueError):
+        triangle_counts(df, hub_cap=8, on_hub="salt")
+    with pytest.raises(ValueError):
+        triangle_counts(df, hub_cap=1, on_hub="estimate")
+
+
+def test_triangle_hub_audit_arithmetic(spark):
+    """The audit's wedge accounting must be internally consistent and
+    match the orientation's out-degree sequence: K4 orients to
+    out-degrees (3, 2, 1, 0) -> 4 wedges total; cap=2 keeps
+    C(2,2)+C(2,2)+0 = 2 and drops 2 at the single capped pivot."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_hub_audit,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    row = triangle_hub_audit(k4, hub_cap=2).collect()[0]
+    assert row["wedges_total"] == 4
+    assert row["wedges_kept"] == 2
+    assert row["wedges_dropped"] == 2
+    assert row["capped_pivots"] == 1
+    assert row["total_pivots"] == 3  # node 3 has out-degree 0: no row
+    assert row["wedges_kept"] + row["wedges_dropped"] == row["wedges_total"]
+    # cap above max out-degree: nothing capped, nothing dropped
+    row = triangle_hub_audit(k4, hub_cap=3).collect()[0]
+    assert row["capped_pivots"] == 0 and row["wedges_dropped"] == 0

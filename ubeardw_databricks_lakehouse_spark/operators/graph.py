@@ -205,6 +205,8 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     orient: str = "degree",
+    hub_cap: int | None = None,
+    on_hub: str = "drop",
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, triangles).
 
@@ -221,19 +223,87 @@ def triangle_counts(
     out-degree by O(sqrt(|E|)) (arboricity), which is what keeps the
     wedge explosion polynomial on power-law graphs at 100 TB.
 
+    ``hub_cap`` is the dense-core backstop (the linkage ``block_cap``
+    pattern): degree orientation bounds out-degree by O(sqrt(|E|)),
+    but on a graph with a dense core (e.g. a near-clique community)
+    sqrt(|E|) itself is large and the wedge join goes E^1.5. With
+    ``hub_cap=c`` set, each pivot enumerates wedges over at most ``c``
+    out-neighbors, so wedge candidates are bounded by |V|·C(c, 2) BY
+    CONSTRUCTION (the closing join still probes the FULL oriented edge
+    set). Two capped semantics:
+
+    - ``on_hub="drop"`` (default): keep each pivot's ``c``
+      LOWEST-ordered out-neighbors (the same (deg, id) / id order as
+      the orientation) — exact counts over the kept wedges, a
+      deterministic LOWER BOUND per node, never an over-count.
+    - ``on_hub="estimate"``: keep a pseudo-random ``c``-subset per
+      pivot (xxhash64(u, v) order — deterministic and reproducible,
+      the repo's rand()->xxhash64 policy) and weight each closed wedge
+      by the inverse inclusion ratio d(d-1)/(c(c-1)) of its pivot —
+      the Horvitz-Thompson / DOULION-style estimator. Counts are
+      approximately unbiased with relative error ~1/sqrt(sampled
+      triangles at the node), so on dense cores (where sampled counts
+      are large) estimates land within a few percent while the drop
+      mode's floor can be orders off. Output stays (node, triangles
+      bigint), estimates rounded.
+
+    Quantify the drop with ``triangle_hub_audit`` before trusting a
+    capped run; uncapped (``hub_cap=None``, default) is exact.
+
     Plan shape: one distinct (shuffle on the canonical edge), one
     degree groupBy, two node-keyed joins to fold degrees onto
     endpoints (AQE broadcasts the degree table when small), ONE
     self-join on the wedge pivot `u`, one closing equi-join, and the
-    final count groupBy. No driver-side state, no iteration.
+    final count groupBy. No driver-side state, no iteration. The cap's
+    row_number window shuffles on the same pivot key `u` the wedge
+    self-join uses, so it adds no new partitioning.
     """
+    if hub_cap is not None and hub_cap < 2 and on_hub == "estimate":
+        raise ValueError(f"on_hub='estimate' needs hub_cap >= 2, got {hub_cap}")
+    if hub_cap is not None and hub_cap < 1:
+        raise ValueError(f"hub_cap must be >= 1, got {hub_cap}")
+    if on_hub not in ("drop", "estimate"):
+        raise ValueError(f"on_hub must be 'drop' or 'estimate', got {on_hub!r}")
     oriented = _oriented_edges(edges, src, dst, orient).localCheckpoint(
         eager=True
     )  # reused 3x below (wedge x2 + closure)
-    e1 = oriented.select(
-        F.col("u"), F.col("v").alias("x"), F.col("ord_v").alias("ord_x")
+    wedge_src = oriented.withColumn("_w", F.lit(1.0))
+    if hub_cap is not None:
+        from pyspark.sql.window import Window
+
+        piv = Window.partitionBy("u")
+        if on_hub == "drop":
+            order = [F.col("ord_v")]
+            weight = F.lit(1.0)
+        else:
+            # deterministic pseudo-random subset; inverse inclusion
+            # ratio of an unordered pair under a uniform c-subset of d
+            # out-neighbors is d(d-1)/(c(c-1))
+            order = [F.xxhash64("u", "v"), F.col("ord_v")]
+            d = F.count("*").over(piv)
+            weight = F.when(
+                d > hub_cap,
+                (d * (d - F.lit(1)))
+                / F.lit(float(hub_cap * (hub_cap - 1))),
+            ).otherwise(F.lit(1.0))
+        wedge_src = (
+            oriented.withColumn(
+                "_rk", F.row_number().over(piv.orderBy(*order))
+            )
+            .withColumn("_w", weight.cast("double"))
+            .filter(F.col("_rk") <= hub_cap)
+            .drop("_rk")
+            # feeds both wedge legs — checkpoint so the window runs once
+            .localCheckpoint(eager=True)
+        )
+    e1 = wedge_src.select(
+        F.col("u"),
+        F.col("v").alias("x"),
+        F.col("ord_v").alias("ord_x"),
+        "_w",  # pivot weight rides the first leg; each triangle is
+        # counted at exactly ONE pivot, so one weight per triangle
     )
-    e2 = oriented.select(
+    e2 = wedge_src.select(
         F.col("u"), F.col("v").alias("y"), F.col("ord_v").alias("ord_y")
     )
     # wedge (x, y) at pivot u, canonicalized by the SAME order as the
@@ -241,7 +311,7 @@ def triangle_counts(
     # as (x -> y) in `oriented`.
     wedges = e1.join(e2, "u").filter(F.col("ord_x") < F.col("ord_y"))
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y", "_w")
     # ONE explode projection, not a 3-way union of selects over `tri`:
     # union branches each re-derive the whole wedge+closing join
     # subtree (ReuseExchange does not fire across them — measured 3x
@@ -249,9 +319,51 @@ def triangle_counts(
     # while explode streams each triangle row into its three corner
     # rows in the same stage.
     corners = tri.select(
-        F.explode(F.array("u", "x", "y")).alias("node")
+        F.explode(F.array("u", "x", "y")).alias("node"), "_w"
     )
-    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    counts = corners.groupBy("node").agg(F.sum("_w").alias("_t"))
+    return counts.select(
+        "node", F.round("_t").cast("long").alias("triangles")
+    )
+
+
+def triangle_hub_audit(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+    hub_cap: int = 64,
+) -> DataFrame:
+    """Drop accounting for a capped ``triangle_counts`` run: ONE row
+    (capped_pivots, total_pivots, wedges_kept, wedges_dropped,
+    wedges_total). A pivot with out-degree d enumerates C(d, 2) wedges
+    uncapped and C(min(d, cap), 2) capped — the audit is a single
+    out-degree groupBy plus a scalar aggregate over the (at most |V|)
+    degree rows, so it costs one pass over the oriented edges, nothing
+    like the wedge join itself. Use it to size ``hub_cap``: if
+    wedges_dropped is a large share of wedges_total the capped counts
+    are a loose lower bound and the cap should rise (or the dense core
+    be handled exactly off the capped path)."""
+    if hub_cap < 1:
+        raise ValueError(f"hub_cap must be >= 1, got {hub_cap}")
+    outdeg = (
+        _oriented_edges(edges, src, dst, orient)
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    kept_d = F.least(F.col("d"), F.lit(hub_cap))
+    wedges = lambda d: (d * (d - F.lit(1)) / F.lit(2)).cast("long")  # noqa: E731
+    return outdeg.agg(
+        F.sum(F.when(F.col("d") > hub_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("capped_pivots"),
+        F.count("*").cast("long").alias("total_pivots"),
+        F.sum(wedges(kept_d)).cast("long").alias("wedges_kept"),
+        (F.sum(wedges(F.col("d"))) - F.sum(wedges(kept_d)))
+        .cast("long")
+        .alias("wedges_dropped"),
+        F.sum(wedges(F.col("d"))).cast("long").alias("wedges_total"),
+    )
 
 
 def bfs_hops(
