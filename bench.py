@@ -74,6 +74,14 @@ HEADLINE = [
     # groupBy over lineitem + per-part window min) — the join+window
     # breadth anchor for the classic-22 battery.
     "q02_min_cost_supplier",
+    # r9 additions (r8 verdict #8): round-over-round tripwires for the
+    # r8 plan fixes — the dense-graph wedge join (the battery's
+    # slowest entry; 71-scan-class regressions showed up here first)
+    # and the two curation capstones whose corpus-scan counts the r8
+    # checkpoint discipline collapsed (71 -> 1 and 52 -> 2).
+    "q_triangle_suppliers",
+    "q_curated_corpus",
+    "q_training_export",
 ]
 
 

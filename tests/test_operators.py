@@ -1851,6 +1851,93 @@ def test_fuzzy_multi_pass_recovers_capped_recall(spark):
     assert single < multi <= exact
 
 
+def test_fuzzy_extra_blocks_superset_and_seeded_keys(spark):
+    """extra_blocks (the r9 domain-key hook) appends to the battery,
+    never replaces it: the result is always a superset of the default
+    multi-pass output and stays within the uncapped exact set. Seeded
+    head_min_bigram keys must differ by seed (independent passes) and
+    be deterministic per seed."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs,
+        fuzzy_block_pairs_multi,
+        head_min_bigram,
+    )
+
+    rows = [(f"stem{i:02d} branch{j} inc",) for i in range(6) for j in range(10)]
+    names = spark.createDataFrame(rows, ["name"])
+    exact = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs(names, max_dist=4).collect()
+    }
+    multi = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs_multi(
+            names, max_dist=4, block_cap=10
+        ).collect()
+    }
+    extra = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_block_pairs_multi(
+            names,
+            max_dist=4,
+            block_cap=10,
+            extra_blocks=[head_min_bigram("name", seed=s) for s in (1, 2)],
+        ).collect()
+    }
+    assert multi <= extra <= exact
+    keys = names.select(
+        head_min_bigram("name", seed=1).alias("k1"),
+        head_min_bigram("name", seed=2).alias("k2"),
+        head_min_bigram("name", seed=1).alias("k1b"),
+    ).collect()
+    assert any(r["k1"] != r["k2"] for r in keys)  # seeds independent
+    assert all(r["k1"] == r["k1b"] for r in keys)  # per-seed determinism
+
+
+def test_id_half_keys_recover_serial_edits(spark):
+    """The structured-ID domain keys (r9 hook): when the edit hits the
+    serial token itself, the default battery's head-last-token key
+    breaks (different serial -> different block) and the other default
+    keys are hot here (shared suffix, shared first word) — but a
+    single substitution leaves one HALF of the serial intact, so
+    extra_blocks=id_half_keys recovers every planted pair."""
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        fuzzy_block_pairs_multi,
+        id_half_keys,
+    )
+
+    base = [f"alpha {1000 + 137 * i:04d} inc" for i in range(40)]
+    variants = []
+    planted = []
+    for i in range(0, 40, 2):  # corrupt one serial digit per variant
+        src = base[i]
+        pos = 6 + (i % 4)  # inside the 4-digit serial ("x" > any digit)
+        var = src[:pos] + "x" + src[pos + 1 :]
+        variants.append(var)
+        planted.append((src, var))
+    names = spark.createDataFrame([(x,) for x in base + variants], ["name"])
+    got_default = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in fuzzy_block_pairs_multi(
+            names, max_dist=4, block_cap=10
+        ).collect()
+    }
+    got_domain = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in fuzzy_block_pairs_multi(
+            names,
+            max_dist=4,
+            block_cap=10,
+            extra_blocks=id_half_keys("name"),
+        ).collect()
+    }
+    assert got_default <= got_domain
+    missed_default = set(planted) - got_default
+    missed_domain = set(planted) - got_domain
+    assert not missed_domain, missed_domain  # half-key guarantee
+    assert missed_default  # and the default battery alone DID lose some
+
+
 def test_head_of_strips_one_corporate_suffix(spark):
     from ubeardw_databricks_lakehouse_spark.operators.linkage import head_of
 

@@ -489,3 +489,57 @@ def test_curation_capstones_bounded_corpus_scans(spark):
         p = _plan(fn(spark, SF))
         n = len(re.findall(r"FileScan parquet", p))
         assert n <= bound, f"{fn.__name__}: {n} FileScan nodes > {bound}"
+
+
+# Declared per-entry FileScan ceilings for every registry entry the r8/r9
+# scan hunts flagged at >= 4 scans — all BY-DESIGN multi-scan shapes
+# (set-ops legs scan once per cohort, BM25/hybrid read tf/df/query legs,
+# near-dup verifiers read the text column once per pair side, the FK
+# audit probes each referencing edge, TPC-H multi-join queries read each
+# dimension once). The ceiling is the measured by-design count: any
+# regression to lineage multiplication (a shared frame re-derived per
+# downstream reference — the class that put 71 corpus scans in
+# q_curated_corpus before r8's checkpoint discipline) trips the pin
+# instead of waiting for a round review. The two curation capstones keep
+# their dedicated test above.
+SCAN_CEILINGS = {
+    "q_fk_integrity": 12,       # one probe per declared FK edge
+    "q08_market_share": 8,      # TPC-H 8-table join
+    "q_hybrid_search_rrf": 6,   # bm25 legs + embedding leg
+    "q_cohort_set_ops": 6,      # INTERSECT/EXCEPT cohort legs
+    "q07_nation_volume": 6,     # TPC-H 6-table join
+    "q05_region_revenue": 6,    # TPC-H 6-table join
+    "q_bm25_search": 5,         # tf/df/len/query legs
+    "q22_idle_customers": 5,    # anti-join + avg-balance subquery legs
+    "q21_waiting_supplier": 5,  # exists/not-exists lineitem legs
+    "q20_dominant_suppliers": 5,
+    "q09_product_profit": 5,
+    "q02_min_cost_supplier": 5, # min-cost correlated subquery legs
+    "q_winnow_overlap": 4,      # fingerprint legs per doc side
+    "q_quality_buckets": 4,
+    "q_neardup_verified": 4,    # text column once per pair side
+    "q_neardup_verified_fast": 4,
+    "q_embedding_topk_ivf": 4,
+    "q_embedding_topk_ivf_fast": 4,
+    "q_editdist_verify": 4,
+    "q_dup_span_removal": 4,
+    "q_cms_heavy_hitters": 4,
+    "q_bigram_lm": 4,
+    "q17_small_qty_revenue": 4,
+    "q10_returned_items": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_CEILINGS))
+def test_registry_bounded_scans(spark, name):
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.plans.registry import QUERIES
+
+    q = {q.name: q for q in QUERIES}[name]
+    p = _plan(q.fn(spark, SF))
+    n = len(re.findall(r"FileScan parquet", p))
+    assert n <= SCAN_CEILINGS[name], (
+        f"{name}: {n} FileScan nodes > declared ceiling "
+        f"{SCAN_CEILINGS[name]} — lineage multiplication regression?"
+    )

@@ -14,6 +14,8 @@ against planted-variant ground truth. Prints one JSON line per
 measurement. Usage:
 
   python tools/stress_linkage.py [--scales 50000,100000] [--cap 200]
+       [--extra-seeds 1,2]   # seeded head_min_bigram domain keys
+                             # appended via extra_blocks= ('' to skip)
 """
 
 from __future__ import annotations
@@ -66,8 +68,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="50000,100000")
     ap.add_argument("--cap", type=int, default=200)
+    ap.add_argument("--extra-seeds", default="1,2")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    extra_seeds = [int(s) for s in args.extra_seeds.split(",") if s]
 
     from ubeardw_databricks_lakehouse_spark.core.session import (
         get_spark,
@@ -114,6 +118,52 @@ def main() -> int:
         w_multi = time.perf_counter() - t0
         recall_multi = len(got_multi & planted) / max(1, len(planted))
 
+        w_extra = recall_extra = None
+        if extra_seeds:
+            from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+                head_min_bigram,
+            )
+
+            t0 = time.perf_counter()
+            extra = fuzzy_block_pairs_multi(
+                names,
+                max_dist=4,
+                block_cap=args.cap,
+                extra_blocks=[
+                    head_min_bigram("name", seed=s) for s in extra_seeds
+                ],
+            )
+            got_extra = {
+                tuple(sorted((r.name_a, r.name_b)))
+                for r in extra.collect()
+            }
+            w_extra = time.perf_counter() - t0
+            recall_extra = len(got_extra & planted) / max(1, len(planted))
+            assert got_multi <= got_extra, (
+                "extra_blocks must be a superset of the default battery"
+            )
+
+        # the structured-ID domain keys (the hook's headline use): the
+        # generator's names carry a serial as the head's last token,
+        # exactly the corpus shape id_half_keys targets
+        from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+            id_half_keys,
+        )
+
+        t0 = time.perf_counter()
+        dom = fuzzy_block_pairs_multi(
+            names,
+            max_dist=4,
+            block_cap=args.cap,
+            extra_blocks=id_half_keys("name"),
+        )
+        got_dom = {
+            tuple(sorted((r.name_a, r.name_b))) for r in dom.collect()
+        }
+        w_dom = time.perf_counter() - t0
+        recall_dom = len(got_dom & planted) / max(1, len(planted))
+        assert got_multi <= got_dom
+
         t0 = time.perf_counter()
         ents = resolve_entities(names, block_cap=args.cap)
         n_clusters = ents.filter("is_canonical").count()
@@ -129,6 +179,13 @@ def main() -> int:
             "capped_recall": round(recall, 4),
             "multi_pass_wall_s": round(w_multi, 2),
             "multi_pass_recall": round(recall_multi, 4),
+            "extra_seeds": extra_seeds or None,
+            "extra_wall_s": round(w_extra, 2) if w_extra else None,
+            "extra_recall": round(recall_extra, 4)
+            if recall_extra is not None
+            else None,
+            "domain_halfkey_wall_s": round(w_dom, 2),
+            "domain_halfkey_recall": round(recall_dom, 4),
             "er_wall_s": round(w_er, 2),
             "n_clusters": n_clusters,
         }))
