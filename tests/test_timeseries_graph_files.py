@@ -479,3 +479,65 @@ def test_triangle_hub_audit_arithmetic(spark):
     # cap above max out-degree: nothing capped, nothing dropped
     row = triangle_hub_audit(k4, hub_cap=3).collect()[0]
     assert row["capped_pivots"] == 0 and row["wedges_dropped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# interval_concurrency / global_running_sum (r9 sweep-line primitive)
+# ---------------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_window(spark):
+    """The distributed prefix sum must equal SUM() OVER (ORDER BY) on a
+    frame large enough to span several range partitions, including
+    negative values and a zero-total partition mix."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ubeardw_databricks_lakehouse_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.when(F.col("id") % 3 == 0, -2).otherwise(1)).alias("v"),
+    )
+    got = {
+        r["k"]: r["running"]
+        for r in global_running_sum(df, [F.col("k")], "v").collect()
+    }
+    expect = {
+        r["k"]: r["e"]
+        for r in df.withColumn(
+            "e", F.sum("v").over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_interval_concurrency_closed_form(spark):
+    """Hand-checkable sweep: three overlapping closed intervals plus a
+    single-instant one. Simultaneous boundaries aggregate before the
+    running sum, so ties need no ordering convention."""
+    import datetime as dt
+
+    from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ivs = spark.createDataFrame(
+        [
+            (T(0), T(10)),   # A: active 0-10
+            (T(5), T(15)),   # B: active 5-15
+            (T(10), T(20)),  # C: starts the second A ends -> overlap at 10
+            (T(30), T(30)),  # D: single instant, still counts
+        ],
+        "start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        r["ts"].second + (0 if r["ts"].minute == 0 else 60): r["concurrent"]
+        for r in interval_concurrency(ivs).collect()
+    }
+    # boundaries: 0(+A)=1, 5(+B)=2, 10(+C)=3 then 11(-A)=2, 16(-B)=1,
+    # 21(-C)=0, 30(+D)=1, 31(-D)=0  (ends are +1s exclusive)
+    assert got == {0: 1, 5: 2, 10: 3, 11: 2, 16: 1, 21: 0, 30: 1, 31: 0}

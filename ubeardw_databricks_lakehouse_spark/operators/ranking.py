@@ -111,3 +111,70 @@ def ntile_from_rn(rn: Column, n_rows: int, k: int) -> Column:
     first = ((rn - 1) / (q + 1)).cast("long") + 1
     rest = F.lit(r) + ((rn - big - 1) / q).cast("long") + 1
     return F.when(rn <= big, first).otherwise(rest).cast("long")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a running (prefix) sum of ``value_col`` over a TOTAL order —
+    the distributed form of ``SUM(v) OVER (ORDER BY ...)`` without the
+    single-partition global window Spark would otherwise plan.
+
+    Same two-job architecture as ``with_global_row_number`` (the r4
+    scale fix): range-partition on the order keys, per-partition local
+    cumsum inside one Arrow pass, then an O(P) per-partition TOTAL
+    collect whose prefix sums broadcast back as offsets. ``order_by``
+    must be a total order (or the per-partition sort is ambiguous);
+    callers with duplicate keys should pre-aggregate to one row per
+    key (which also makes tie semantics explicit). Values must be
+    integral or decimal if exactness is required — local cumsum adds
+    in order, so float addition would be order-dependent.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + f", {out_col} long"
+
+    def cumsum_local(batches):
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[value_col].cumsum() + acc
+            acc = int(pdf[out_col].iloc[-1]) if len(pdf) else acc
+            yield pdf
+
+    local = ranged.mapInPandas(cumsum_local, out_schema)
+
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    )  # O(P), not O(N)
+    by_pid = {int(r["_pid"]): int(r["_t"] or 0) for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    if not offsets:
+        return local.drop("_pid")
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col(out_col) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

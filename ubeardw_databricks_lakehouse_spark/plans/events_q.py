@@ -1915,3 +1915,77 @@ SELECT b.event_type, dow, n_days, total_events,
 FROM by_dow b JOIN per_type p ON b.event_type = p.event_type
 ORDER BY b.event_type, dow
 """
+
+
+# ---------------------------------------------------------------------------
+# q_peak_concurrency (r9 — the interval-algebra class the battery
+# lacked): peak number of SIMULTANEOUSLY active user sessions per day.
+# Sessions are the standard 30-minute-gap sessionization (identical
+# derivation to q_sessionization); concurrency is the sweep-line
+# primitive (operators/timeseries.interval_concurrency): +1/-1 deltas
+# aggregated per exact timestamp (tie-unambiguous), then a global
+# running sum via range-partition + broadcast prefix offsets — never
+# a single-partition window. "Peak per day" reads the curve at its
+# boundary points, the well-defined discrete metric both engines
+# reproduce bit-for-bit (all-integer arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+    prev_sec = F.lag(sec).over(w)
+    new_session = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn(
+            "session_seq",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    from ..operators.timeseries import interval_concurrency
+
+    curve = interval_concurrency(sess, "start_ts", "end_ts")
+    return (
+        curve.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
+Q_PEAK_CONCURRENCY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(FLOOR(EPOCH(ts))) OVER w IS NULL
+              OR FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts))) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM seq
+), sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM numbered GROUP BY user_id, session_seq
+), deltas AS (
+  SELECT start_ts AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT end_ts + INTERVAL 1 SECOND AS ts, -1 AS d FROM sess
+), dg AS (
+  SELECT ts, SUM(d) AS d FROM deltas GROUP BY ts
+), curve AS (
+  SELECT ts, SUM(d) OVER (ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+  FROM dg
+)
+SELECT CAST(ts AS DATE) AS day, CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM curve GROUP BY 1 ORDER BY 1
+"""

@@ -693,6 +693,14 @@ QUERIES: list[QueryDef] = [
              "day-of-week seasonal index per event type (the "
              "decomposition/forecast class): ratio-of-integer-ratios, "
              "ISO weekday probed across engines"),
+    # Tier 11 — added in r9 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_peak_concurrency", events_q.q_peak_concurrency,
+             events_q.Q_PEAK_CONCURRENCY_SQL,
+             "peak simultaneous user sessions per day (the interval-"
+             "algebra / sweep-line class): 30-min sessionization -> "
+             "+1/-1 boundary deltas -> distributed running sum via "
+             "range-partition + broadcast prefix offsets, never a "
+             "single-partition global window; all-integer, exact"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -815,7 +823,15 @@ _WINDOW: list[str] = [
 # r5=18, r6=50, r7=50, r8=50, never=1; the r9 window takes 18+1+31 and
 # the demand sequence stays satisfiable: r10 = 19 remaining-r6 + free
 # slots, r11 <= 50.
-_DEFERRED_NEW: list[str] = []
+# r9 addition (budget <=5, genuinely new classes only): exactly ONE —
+# q_peak_concurrency, the interval-algebra / sweep-line class (peak
+# simultaneous sessions). Nothing in the battery computed concurrency
+# over intervals; the operator also lands the distributed running-sum
+# primitive (global_running_sum). At 170 entries the horizon stays
+# 4 = ceil(170/50); demand r10 = 19 r6-stale + 1 deferred + 30 free.
+_DEFERRED_NEW: list[str] = [
+    "q_peak_concurrency",
+]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
