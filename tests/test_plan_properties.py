@@ -515,7 +515,10 @@ SCAN_CEILINGS = {
     "q20_dominant_suppliers": 5,
     "q09_product_profit": 5,
     "q02_min_cost_supplier": 5, # min-cost correlated subquery legs
-    "q_winnow_overlap": 4,      # fingerprint legs per doc side
+    "q_winnow_overlap": 1,      # selection table eager-checkpointed:
+    # the corpus scan happens inside the checkpoint job; the final
+    # plan reads only the truncated lineage (was cache-state-flaky
+    # at 4-8 under lazy persist — the r9 full-suite catch)
     "q_quality_buckets": 4,
     "q_neardup_verified": 4,    # text column once per pair side
     "q_neardup_verified_fast": 4,

@@ -567,9 +567,13 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_selections
 
     docs = t(spark, sf_dir, "documents")
-    # persisted: the selection table feeds three plan branches (the
-    # stop-gram aggregate and both sides of the pair join)
-    sel = winnow_selections(docs, k=20, w=8).persist()
+    # eager-checkpointed: the selection table feeds three plan branches
+    # (the stop-gram aggregate and both sides of the pair join); a lazy
+    # persist() left the printed plan's FileScan count dependent on
+    # cache-manager state (4 cold, 8 under a warm suite) — the
+    # checkpoint truncates lineage so the corpus is scanned exactly
+    # once, deterministically (the r8 discipline).
+    sel = winnow_selections(docs, k=20, w=8).localCheckpoint(eager=True)
     # anti-join against the FREQUENT set: stop-grams are few (like
     # stop-words), so that side broadcasts; broadcasting the rare side
     # would ship nearly the whole hash universe
