@@ -132,7 +132,11 @@ def global_running_sum(
     callers with duplicate keys should pre-aggregate to one row per
     key (which also makes tie semantics explicit). Values must be
     integral or decimal if exactness is required — local cumsum adds
-    in order, so float addition would be order-dependent.
+    in order, so float addition would be order-dependent. As with
+    with_global_row_number, the range-partitioned frame stays persisted
+    for the downstream read (the two jobs must see the same sampled
+    boundaries); callers running many sums can
+    spark.catalog.clearCache() between them.
     """
     import pandas as pd
 
