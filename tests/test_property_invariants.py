@@ -447,3 +447,96 @@ def test_fuzzy_capped_between_empty_and_exact(spark, names, cap):
 
     for a, b in multi:
         assert a < b and lev(a, b) <= 2, (a, b)
+
+
+# --- sweep-line concurrency: curve equals the brute-force sweep ----------
+
+interval_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # start second
+        st.integers(min_value=0, max_value=15),   # duration seconds
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(interval_sets)
+def test_interval_concurrency_matches_brute_force(spark, ivs):
+    """On any interval set (overlaps, ties, single instants, exact
+    meets): the distributed curve equals the python sweep at every
+    boundary, and the value at each boundary counts exactly the
+    intervals covering it (closed-interval semantics)."""
+    import datetime as dt
+
+    from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(seconds=s),
+            base + dt.timedelta(seconds=s + d),
+        )
+        for s, d in ivs
+    ]
+    df = spark.createDataFrame(rows, "start_ts timestamp, end_ts timestamp")
+    got = {
+        r["ts"]: r["concurrent"]
+        for r in interval_concurrency(df).collect()
+    }
+    # brute force: delta map, then running sum over sorted boundaries
+    deltas: dict[dt.datetime, int] = {}
+    for s, e in rows:
+        deltas[s] = deltas.get(s, 0) + 1
+        ee = e + dt.timedelta(seconds=1)
+        deltas[ee] = deltas.get(ee, 0) - 1
+    acc, expect = 0, {}
+    for ts in sorted(deltas):
+        acc += deltas[ts]
+        expect[ts] = acc
+    assert got == expect
+    # closed-interval reading: at each boundary the curve counts the
+    # intervals whose [s, e] covers it
+    for ts, c in got.items():
+        assert c == sum(1 for s, e in rows if s <= ts <= e)
+
+
+# --- triangle hub cap: lower bound, determinism, exact when covering -----
+
+tri_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@PROP
+@given(tri_edge_lists)
+def test_triangle_hub_cap_properties(spark, edges):
+    """On any graph: drop-mode counts are a per-node lower bound of the
+    exact counts, and a cap covering every possible out-degree is a
+    no-op for BOTH modes."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    dropped = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, hub_cap=2, on_hub="drop").collect()
+    }
+    assert all(dropped[n] <= exact.get(n, 0) for n in dropped)
+    for mode in ("drop", "estimate"):
+        cov = {
+            r["node"]: r["triangles"]
+            for r in triangle_counts(df, hub_cap=10, on_hub=mode).collect()
+        }
+        assert cov == exact, mode
