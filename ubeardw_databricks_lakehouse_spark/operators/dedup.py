@@ -666,23 +666,31 @@ def connected_components(
     ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
     labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
     for _ in range(max_iter):
-        msgs = (
+        msgs_min = (
             sym.join(labels, "v")
             .select(F.col("u").alias("v"), "lbl")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("_m"))
+        )
+        # least(own, min(msgs)) == min over (own ∪ msgs); propagation
+        # only ever LOWERS labels, so changed ⇔ new < old — computed
+        # inline and carried through the checkpoint, which turns the
+        # old per-round convergence JOIN into a filter over the
+        # just-materialized cache (one fewer shuffle job per round).
+        new_lbl = F.least(
+            F.col("lbl"), F.coalesce(F.col("_m"), F.col("lbl"))
         )
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            labels.join(msgs_min, "v", "left")
+            .select(
+                "v",
+                new_lbl.alias("_new"),
+                (new_lbl < F.col("lbl")).alias("_chg"),
+            )
+            .select(F.col("v"), F.col("_new").alias("lbl"), "_chg")
         ).localCheckpoint(eager=True)  # truncate the iterative lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
