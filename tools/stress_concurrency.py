@@ -4,7 +4,9 @@
 operators/ranking.global_running_sum).
 
 Generates N half-open work intervals with a skewed duration mix (90%
-short sessions, 10% long-tailed) over a 30-day horizon, measures the
+short sessions, 10% long-tailed) over a --days horizon (default 30;
+widen it so distinct boundaries do NOT saturate and the exponent
+measures the range shuffle itself), measures the
 full curve build at two scales for the wall exponent, and verifies the
 distributed running sum against Spark's single-partition window form
 at the smaller scale (bit-exact — all-integer deltas). The point: the
@@ -29,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="2000000,8000000")
+    ap.add_argument("--days", type=int, default=30)
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -44,7 +47,7 @@ def main() -> None:
 
     def gen(n: int):
         base = F.lit("2024-01-01 00:00:00").cast("timestamp")
-        start_s = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(30 * 86400))
+        start_s = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(args.days * 86400))
         dur_s = F.when(
             F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(10)) < 9,
             F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1800)),
