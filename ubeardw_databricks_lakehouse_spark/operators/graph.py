@@ -267,31 +267,39 @@ def triangle_counts(
     oriented = _oriented_edges(edges, src, dst, orient).localCheckpoint(
         eager=True
     )  # reused 3x below (wedge x2 + closure)
-    wedge_src = oriented.withColumn("_w", F.lit(1.0))
+    # weighted only when capped: the exact path counts corner rows
+    # (count(*), the r8 hot path); drop mode is an unweighted count
+    # too; only the estimator carries real weights
+    weighted = hub_cap is not None and on_hub == "estimate"
+    wedge_src = oriented
     if hub_cap is not None:
         from pyspark.sql.window import Window
 
         piv = Window.partitionBy("u")
         if on_hub == "drop":
             order = [F.col("ord_v")]
-            weight = F.lit(1.0)
         else:
             # deterministic pseudo-random subset; inverse inclusion
             # ratio of an unordered pair under a uniform c-subset of d
             # out-neighbors is d(d-1)/(c(c-1))
             order = [F.xxhash64("u", "v"), F.col("ord_v")]
+        wedge_src = oriented.withColumn(
+            "_rk", F.row_number().over(piv.orderBy(*order))
+        )
+        if weighted:
             d = F.count("*").over(piv)
-            weight = F.when(
-                d > hub_cap,
-                (d * (d - F.lit(1)))
-                / F.lit(float(hub_cap * (hub_cap - 1))),
-            ).otherwise(F.lit(1.0))
-        wedge_src = (
-            oriented.withColumn(
-                "_rk", F.row_number().over(piv.orderBy(*order))
+            wedge_src = wedge_src.withColumn(
+                "_w",
+                F.when(
+                    d > hub_cap,
+                    (d * (d - F.lit(1)))
+                    / F.lit(float(hub_cap * (hub_cap - 1))),
+                )
+                .otherwise(F.lit(1.0))
+                .cast("double"),
             )
-            .withColumn("_w", weight.cast("double"))
-            .filter(F.col("_rk") <= hub_cap)
+        wedge_src = (
+            wedge_src.filter(F.col("_rk") <= hub_cap)
             .drop("_rk")
             # feeds both wedge legs — checkpoint so the window runs once
             .localCheckpoint(eager=True)
@@ -300,8 +308,10 @@ def triangle_counts(
         F.col("u"),
         F.col("v").alias("x"),
         F.col("ord_v").alias("ord_x"),
-        "_w",  # pivot weight rides the first leg; each triangle is
-        # counted at exactly ONE pivot, so one weight per triangle
+        # pivot weight rides the first leg (estimate mode only); each
+        # triangle is counted at exactly ONE pivot, so one weight per
+        # triangle
+        *(["_w"] if weighted else []),
     )
     e2 = wedge_src.select(
         F.col("u"), F.col("v").alias("y"), F.col("ord_v").alias("ord_y")
@@ -311,20 +321,23 @@ def triangle_counts(
     # as (x -> y) in `oriented`.
     wedges = e1.join(e2, "u").filter(F.col("ord_x") < F.col("ord_y"))
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y", "_w")
+    tri = wedges.join(closing, ["x", "y"])
     # ONE explode projection, not a 3-way union of selects over `tri`:
     # union branches each re-derive the whole wedge+closing join
     # subtree (ReuseExchange does not fire across them — measured 3x
     # the wedge join at sf0.1's dense co-supply graph, 15.4 s -> ~5 s),
     # while explode streams each triangle row into its three corner
     # rows in the same stage.
-    corners = tri.select(
-        F.explode(F.array("u", "x", "y")).alias("node"), "_w"
-    )
-    counts = corners.groupBy("node").agg(F.sum("_w").alias("_t"))
-    return counts.select(
-        "node", F.round("_t").cast("long").alias("triangles")
-    )
+    if weighted:
+        corners = tri.select(
+            F.explode(F.array("u", "x", "y")).alias("node"), "_w"
+        )
+        counts = corners.groupBy("node").agg(F.sum("_w").alias("_t"))
+        return counts.select(
+            "node", F.round("_t").cast("long").alias("triangles")
+        )
+    corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
 
 def triangle_hub_audit(
