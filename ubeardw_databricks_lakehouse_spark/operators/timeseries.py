@@ -169,7 +169,12 @@ def interval_concurrency(
     prefix-offsets machinery (operators/ranking.global_running_sum) —
     never Spark's single-partition global window. 100 TB shape: one
     explode (map-side), one groupBy on ts, one range shuffle; the only
-    driver-side data is the O(P) per-partition totals.
+    driver-side data is the O(P) per-partition totals. The groupBy
+    before the range shuffle is deliberate: with colliding timestamps
+    (the common case — second-grained boundaries) map-side partial
+    aggregation shrinks the shuffled volume below the raw 2x-interval
+    delta count; fusing the aggregation into the range pass would save
+    one shuffle only when boundaries are mostly unique.
 
     End exclusivity: ends are nudged +1 second so a single-instant
     interval (start == end) still counts as active at its instant and
