@@ -664,7 +664,13 @@ def connected_components(
     sym = edges.select(
         F.col("id_a").alias("v"), F.col("id_b").alias("u")
     ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
+    # distinct: the old per-round groupBy silently collapsed duplicate
+    # vertex rows; the join-based rounds below would carry them, so
+    # dedupe once up front (same one-shuffle cost the first round's
+    # groupBy used to pay)
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).distinct()
     for _ in range(max_iter):
         msgs_min = (
             sym.join(labels, "v")
