@@ -440,6 +440,17 @@ def test_triangle_hub_estimate_mode(spark):
     }
     assert rerun == est  # xxhash order, not rand(): reproducible
     assert abs(sum(est.values()) - exact_total) / exact_total < 0.15
+    # a different seed samples a different subset (independent
+    # estimate — callers average seeds for ~1/sqrt(K) error) but
+    # stays in the same accuracy envelope
+    other = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            df, hub_cap=8, on_hub="estimate", hub_seed=7
+        ).collect()
+    }
+    assert other != est
+    assert abs(sum(other.values()) - exact_total) / exact_total < 0.15
     dropped = {
         r["node"]: r["triangles"]
         for r in triangle_counts(df, hub_cap=8, on_hub="drop").collect()

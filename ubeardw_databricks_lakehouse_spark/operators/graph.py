@@ -207,6 +207,7 @@ def triangle_counts(
     orient: str = "degree",
     hub_cap: int | None = None,
     on_hub: str = "drop",
+    hub_seed: int = 0,
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, triangles).
 
@@ -245,7 +246,10 @@ def triangle_counts(
       triangles at the node), so on dense cores (where sampled counts
       are large) estimates land within a few percent while the drop
       mode's floor can be orders off. Output stays (node, triangles
-      bigint), estimates rounded.
+      bigint), estimates rounded. ``hub_seed`` selects the sampled
+      subset: each seed is an independent estimate (deterministic per
+      seed), so callers wanting tighter per-node error average K
+      seeds for a ~1/sqrt(K) variance reduction.
 
     Quantify the drop with ``triangle_hub_audit`` before trusting a
     capped run; uncapped (``hub_cap=None``, default) is exact.
@@ -279,10 +283,13 @@ def triangle_counts(
         if on_hub == "drop":
             order = [F.col("ord_v")]
         else:
-            # deterministic pseudo-random subset; inverse inclusion
-            # ratio of an unordered pair under a uniform c-subset of d
-            # out-neighbors is d(d-1)/(c(c-1))
-            order = [F.xxhash64("u", "v"), F.col("ord_v")]
+            # deterministic pseudo-random subset (per seed); inverse
+            # inclusion ratio of an unordered pair under a uniform
+            # c-subset of d out-neighbors is d(d-1)/(c(c-1))
+            order = [
+                F.xxhash64("u", "v", F.lit(hub_seed)),
+                F.col("ord_v"),
+            ]
         wedge_src = oriented.withColumn(
             "_rk", F.row_number().over(piv.orderBy(*order))
         )
