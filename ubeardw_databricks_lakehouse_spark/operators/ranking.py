@@ -131,8 +131,10 @@ def global_running_sum(
     must be a total order (or the per-partition sort is ambiguous);
     callers with duplicate keys should pre-aggregate to one row per
     key (which also makes tie semantics explicit). Values must be
-    integral or decimal if exactness is required — local cumsum adds
-    in order, so float addition would be order-dependent. As with
+    INTEGRAL (the running column is a long); for exact money/metric
+    prefix sums scale to integer units first (the repo's milli-unit
+    pattern) — float addition would be order-dependent and the
+    output schema does not carry decimals. As with
     with_global_row_number, the range-partitioned frame stays persisted
     for the downstream read (the two jobs must see the same sampled
     boundaries); callers running many sums can
