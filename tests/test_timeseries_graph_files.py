@@ -552,3 +552,15 @@ def test_interval_concurrency_closed_form(spark):
     # boundaries: 0(+A)=1, 5(+B)=2, 10(+C)=3 then 11(-A)=2, 16(-B)=1,
     # 21(-C)=0, 30(+D)=1, 31(-D)=0  (ends are +1s exclusive)
     assert got == {0: 1, 5: 2, 10: 3, 11: 2, 16: 1, 21: 0, 30: 1, 31: 0}
+
+
+def test_global_running_sum_rejects_non_integral(spark):
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.range(10).select("id", (F.col("id") * 0.5).alias("v"))
+    with pytest.raises(TypeError, match="integral"):
+        global_running_sum(df, [F.col("id")], "v")

@@ -141,6 +141,17 @@ def global_running_sum(
     spark.catalog.clearCache() between them.
     """
     import pandas as pd
+    from pyspark.sql import types as T
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"global_running_sum needs an integral {value_col!r} "
+            f"(got {vtype.simpleString()}); scale decimals/floats to "
+            "integer units first"
+        )
 
     spark = df.sparkSession
     if num_partitions is None:
