@@ -1927,7 +1927,14 @@ ORDER BY b.event_type, dow
 # running sum via range-partition + broadcast prefix offsets — never
 # a single-partition window. "Peak per day" reads the curve at its
 # boundary points, the well-defined discrete metric both engines
-# reproduce bit-for-bit (all-integer arithmetic).
+# reproduce bit-for-bit (all-integer arithmetic). Caveat, stated
+# rather than hidden: a day containing NO boundary emits no row, so a
+# day blanketed end-to-end by one session (possible only when a single
+# session runs > 24 h uninterrupted under the 30-minute-gap rule)
+# reports nothing rather than its carried concurrency; callers
+# sweeping long intervals should densify days via the dim_date
+# pattern and forward-fill if they need explicit carried rows. Both
+# engines share the metric exactly either way.
 # ---------------------------------------------------------------------------
 
 
