@@ -546,3 +546,26 @@ def test_registry_bounded_scans(spark, name):
         f"{name}: {n} FileScan nodes > declared ceiling "
         f"{SCAN_CEILINGS[name]} — lineage multiplication regression?"
     )
+
+
+def test_training_export_amortized_status(spark):
+    """The status= amortization hook: exporting with a precomputed
+    curation status must equal the one-shot run exactly, and its plan
+    must not contain the curation stages (no second pipeline)."""
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.plans.curation_q import (
+        q_curated_corpus,
+        q_training_export,
+    )
+
+    status = q_curated_corpus(spark, SF).localCheckpoint(eager=True)
+    amortized = q_training_export(spark, SF, status=status)
+    oneshot = q_training_export(spark, SF)
+    assert sorted(map(tuple, amortized.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    # the amortized plan reads the corpus once for the manifest only
+    p = _plan(amortized)
+    n = len(re.findall(r"FileScan parquet", p))
+    assert n <= 2, f"amortized export still scans {n} times"

@@ -803,12 +803,21 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_training_export(
+    spark: SparkSession, sf_dir: str, status: DataFrame | None = None
+) -> DataFrame:
+    """``status=`` is the amortization hook (the edges=/baskets=/
+    tf_index= pattern): a caller that just ran q_curated_corpus passes
+    its result and pays only the shard manifest, not a second full
+    curation pipeline — at 100 TB the curated status IS a materialized
+    table between jobs. The one-shot default keeps the oracle pairing
+    self-contained."""
     from ..operators.export import shard_manifest
     from ..pipelines.curation import curate_corpus
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    status = curate_corpus(docs)
+    if status is None:
+        status = curate_corpus(docs)
     kept = docs.join(
         status.where(F.col("status") == "kept").select("doc_id"),
         "doc_id",
