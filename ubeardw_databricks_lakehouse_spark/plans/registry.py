@@ -50,6 +50,14 @@ the moment CORRECTNESS_r08.json lands (the 18 unrotated r5 entries'
 evidence falls off the horizon) and the r9 rotation — 18 + up to 32
 oldest-r6 pulled forward — fixes it first thing, exactly as r6→r7 and
 r7→r8 did.
+r9 UPDATE: rotation delivered exactly as prescribed (18 r5-stale +
+q_seasonal_decomposition + 31 oldest-r6; _DEFERRED_NEW emptied then
+refilled with ONE genuinely-new-class entry, q_peak_concurrency — the
+interval-algebra / sweep-line class). Registry closes r9 at 170
+entries, horizon still 4; r10 demand = 19 remaining-r6 + 1 deferred +
+30 free slots pulling the oldest-r7 cohort forward. r9 sweeps:
+156/156 green at sf0.01 (194-206 s across three full-gate runs);
+full pytest 460→463 green as the round's tests landed.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
