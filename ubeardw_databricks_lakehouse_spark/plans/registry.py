@@ -58,6 +58,13 @@ entries, horizon still 4; r10 demand = 19 remaining-r6 + 1 deferred +
 30 free slots pulling the oldest-r7 cohort forward. r9 sweeps:
 156/156 green at sf0.01 (194-206 s across three full-gate runs);
 full pytest 460→463 green as the round's tests landed.
+r10 UPDATE: rotation delivered exactly as prescribed (19 r6-stale +
+q_peak_concurrency + 30 oldest-r7 in definition order; _DEFERRED_NEW
+emptied). Ledger after r09 mechanically recomputed this round:
+r6=19, r7=50, r8=50, r9=50, never-graded=1 — matches the r9 verdict
+and the staleness test's printed list element-for-element. Horizon
+stays 4 = ceil(|registry|/50); demand r11 = 20 remaining-r7 +
+deferred + free slots.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
@@ -715,46 +722,46 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r9 window rationale (from CORRECTNESS_r01-r08 evidence; r8 verdict
+# r10 window rationale (from CORRECTNESS_r01-r09 evidence; r9 verdict
 # "Next round #1" — the registry's own demand math, CAPACITY NOTE above):
-# - the 18 entries whose newest green is CORRECTNESS_r05 promote first:
+# - the 19 entries whose newest green is CORRECTNESS_r06 promote first:
 #   their evidence falls off the 4-report horizon the moment
-#   CORRECTNESS_r09 lands, exactly as the forward-looking staleness
-#   test predicted when r08 landed.
-# - q_seasonal_decomposition (r8's one _DEFERRED_NEW addition, the only
+#   CORRECTNESS_r10 lands, exactly as the forward-looking staleness
+#   test predicted when r09 landed.
+# - q_peak_concurrency (r9's one _DEFERRED_NEW addition, the only
 #   never-driver-graded entry) promotes per test_deferred_new_queue.
-# - the remaining 31 slots pull the oldest-evidence cohort forward:
-#   31 of the 50 entries whose newest green is CORRECTNESS_r06, in
+# - the remaining 30 slots pull the oldest-evidence cohort forward:
+#   30 of the 50 entries whose newest green is CORRECTNESS_r07, in
 #   registry definition order (round-tie tiebreak — same policy as
-#   every prior rotation). The other 19 r6 entries head the r10 window
-#   (demand r10 = 19 + free slots <= 50).
-# 18 + 1 + 31 = 50/50: exactly full. Mechanically verified against the
-# reports: ledger after r08 is r5=18, r6=50, r7=50, r8=50, never=1.
+#   every prior rotation). The other 20 r7 entries head the r11 window
+#   (demand r11 = 20 + deferred + free slots <= 50).
+# 19 + 1 + 30 = 50/50: exactly full. Mechanically verified against the
+# reports: ledger after r09 is r6=19, r7=50, r8=50, r9=50, never=1.
 _WINDOW: list[str] = [
-    # r5-latest-green lane (falls off the 4-report horizon when r09
-    # lands; the full 18-entry cohort in definition order)
-    "q_contamination_bloom", "q_session_windows", "q_bpe_merges",
-    "q_inverted_index", "q_pq_codes", "q_export_manifest",
-    "q_embedding_topk_ivfpq", "q_embedding_topk_ivfpq_search",
-    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
-    "q_pagerank_trading_fast", "q_kmeans_clusters",
-    "q_incremental_neardup", "q_snapshot_diff", "q_image_resize",
-    "q_hard_negatives", "q_training_export",
-    # never-driver-graded lane (r8 deferred-new queue)
-    "q_seasonal_decomposition",
-    # r6-latest-green lane (first 31 of the 50-entry cohort in
-    # definition order; the other 19 head r10)
-    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
-    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
-    "q_sample_per_source", "q_stream_attribution", "q_text_profile",
-    "q_exact_dedup", "q_jaccard_pairs", "q_minhash_signatures",
-    "q_lsh_candidates", "q_neardup_verified", "q_embedding_topk",
-    "q_embedding_neardup", "q_multimodal_features", "q_chunking",
-    "q_vocabulary", "q_label_centroids", "q_stratified_sample",
-    "q_dim_time", "q01_pricing_summary", "q_user_lifecycle_pivot",
-    "q03_shipping_priority", "q05_region_revenue",
-    "q06_forecast_revenue", "q_market_segment", "q_top_customers",
-    "q_order_gaps", "q_union_entities",
+    # r6-latest-green lane (falls off the 4-report horizon when r10
+    # lands; the full 19-entry cohort in definition order)
+    "q_customers_no_orders", "q_priority_filters", "q_customer_tiers",
+    "q_rollup_revenue", "q_cube_orders", "q_part_stats",
+    "q12_late_shipments", "q14_promo_revenue", "q04_priority_semi",
+    "q10_returned_items", "q_customer_deciles", "q07_nation_volume",
+    "q08_market_share", "q_bm25_search", "q_gapfill_daily",
+    "q_pagerank_trading", "q_customer_percentiles", "q_masked_read",
+    "q_interpolate_daily",
+    # never-driver-graded lane (r9 deferred-new queue)
+    "q_peak_concurrency",
+    # r7-latest-green lane (first 30 of the 50-entry cohort in
+    # definition order; the other 20 head r11)
+    "q_token_stats", "q_embedding_dedup_fast", "q_repetition_profile",
+    "q_unigram_lm", "q_dsir", "q_sessionization", "q_scd2_history",
+    "q_streaming_event_counts", "q_streaming_windowed_counts",
+    "q_funnel", "q_retention_cohorts", "q_asof_attribution",
+    "q_cohort_set_ops", "q_salted_brand_revenue", "q_unpivot_balances",
+    "q_dim_date", "q09_product_profit", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q22_idle_customers", "q_props_json", "q_moving_value",
+    "q_daily_timeseries", "q_top_purchasers", "q_event_quantiles",
+    "q_time_rollup_multires",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -837,9 +844,13 @@ _WINDOW: list[str] = [
 # over intervals; the operator also lands the distributed running-sum
 # primitive (global_running_sum). At 170 entries the horizon stays
 # 4 = ceil(170/50); demand r10 = 19 r6-stale + 1 deferred + 30 free.
-_DEFERRED_NEW: list[str] = [
-    "q_peak_concurrency",
-]
+# r10 rotation: q_peak_concurrency promoted into the window above and
+# this list emptied (contract honored — every prior queue rotated on
+# schedule: r5: 24, r7: 19, r8: 24, r9: 1, r10: 1). Ledger after r09 is
+# r6=19, r7=50, r8=50, r9=50, never=1; the r10 window takes 19+1+30 and
+# the demand sequence stays satisfiable: r11 = 20 remaining-r7 +
+# deferred + free slots, r12 <= 50.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
