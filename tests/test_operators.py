@@ -1938,6 +1938,31 @@ def test_id_half_keys_recover_serial_edits(spark):
     assert missed_default  # and the default battery alone DID lose some
 
 
+def test_id_half_keys_null_on_degenerate_tokens(spark):
+    """Tokens of length < 2 (or the empty string regexp_extract yields
+    on no-match) have no meaningful halves: the keys must be NULL so
+    the rows drop out of this pass (equi-joins never match NULL) and
+    fall back to the default battery, instead of piling into one
+    shared ''-block (r9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.linkage import (
+        id_half_keys,
+    )
+
+    df = spark.createDataFrame(
+        [("acme 7 inc",), ("zz9x",), ("",)], ["name"]
+    )
+    k1, k2 = id_half_keys("name")
+    rows = {
+        r["name"]: (r["k1"], r["k2"])
+        for r in df.select("name", k1.alias("k1"), k2.alias("k2")).collect()
+    }
+    assert rows["acme 7 inc"] == (None, None)  # 1-char serial token
+    assert rows[""] == (None, None)  # extract misses -> '' token
+    assert rows["zz9x"] == ("zz", "9x")  # healthy token still splits
+
+
 def test_head_of_strips_one_corporate_suffix(spark):
     from ubeardw_databricks_lakehouse_spark.operators.linkage import head_of
 

@@ -554,6 +554,59 @@ def test_interval_concurrency_closed_form(spark):
     assert got == {0: 1, 5: 2, 10: 3, 11: 2, 16: 1, 21: 0, 30: 1, 31: 0}
 
 
+def test_interval_concurrency_densify_carries_midnight_level(spark):
+    """The r9 ADVICE carry-in case: 3 sessions active at 23:50 ending
+    01:00 next day, no new starts. Boundary-only, day 2's first
+    boundary is the 01:00:01 drop -> reported max 0 (understated);
+    densified, the injected midnight row carries level 3 and the
+    per-day max is exact. Day 3 (boundary-free, outside the span)
+    emits nothing in either mode."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    ivs = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 23, 50, 0), dt.datetime(2024, 1, 2, 1, 0, 0)),
+            (dt.datetime(2024, 1, 1, 23, 50, 0), dt.datetime(2024, 1, 2, 1, 0, 0)),
+            (dt.datetime(2024, 1, 1, 23, 50, 0), dt.datetime(2024, 1, 2, 1, 0, 0)),
+        ],
+        "start_ts timestamp, end_ts timestamp",
+    )
+
+    def day_max(df):
+        return {
+            r["day"].isoformat(): r["peak"]
+            for r in df.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.max("concurrent").alias("peak"))
+            .collect()
+        }
+
+    sparse = day_max(interval_concurrency(ivs))
+    dense = day_max(interval_concurrency(ivs, densify_days=True))
+    # boundary-only: day 2's only boundary is the drop to 0
+    assert sparse == {"2024-01-01": 3, "2024-01-02": 0}
+    # densified: the midnight row prices the carried level
+    assert dense == {"2024-01-01": 3, "2024-01-02": 3}
+    # densify must not perturb boundary rows themselves
+    base = {
+        r["ts"]: r["concurrent"]
+        for r in interval_concurrency(ivs).collect()
+    }
+    densified = {
+        r["ts"]: r["concurrent"]
+        for r in interval_concurrency(ivs, densify_days=True).collect()
+    }
+    assert all(densified[ts] == v for ts, v in base.items())
+    extra = set(densified) - set(base)
+    assert extra == {dt.datetime(2024, 1, 2, 0, 0, 0)}
+    assert densified[dt.datetime(2024, 1, 2, 0, 0, 0)] == 3
+
+
 def test_global_running_sum_rejects_non_integral(spark):
     from pyspark.sql import functions as F
 
@@ -564,3 +617,32 @@ def test_global_running_sum_rejects_non_integral(spark):
     df = spark.range(10).select("id", (F.col("id") * 0.5).alias("v"))
     with pytest.raises(TypeError, match="integral"):
         global_running_sum(df, [F.col("id")], "v")
+
+
+def test_prefix_primitives_reject_column_name_collisions(spark):
+    """The mapInPandas schema appends out_col and injects _pid; a
+    pre-existing column of either name would mean a duplicate-name
+    schema or silent clobbering — both primitives must fail loudly
+    (r9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.ranking import (
+        global_running_sum,
+        with_global_row_number,
+    )
+
+    df = spark.range(10).select(
+        "id", F.lit(1).alias("v"), F.lit(0).alias("running")
+    )
+    with pytest.raises(ValueError, match="running"):
+        global_running_sum(df, [F.col("id")], "v")
+    with pytest.raises(ValueError, match="rn"):
+        with_global_row_number(df.withColumnRenamed("running", "rn"),
+                               [F.col("id")])
+    with pytest.raises(ValueError, match="_pid"):
+        global_running_sum(
+            df.withColumnRenamed("running", "_pid"), [F.col("id")], "v"
+        )
+    # a non-default out_col sidesteps the collision
+    out = global_running_sum(df, [F.col("id")], "v", out_col="run2")
+    assert out.where(F.col("run2") != F.col("id") + 1).count() == 0

@@ -103,8 +103,14 @@ def id_half_keys(name_col: str | Column, token: Column | None = None) -> list[Co
     token, where real entity names keep their registration number;
     callers with the ID in its own column pass that instead.
 
-    The guarantee is per-SUBSTITUTION; an insertion/deletion shifts
-    the halves' alignment and falls back on the other battery keys.
+    The guarantee is per-SUBSTITUTION and requires length(token) >= 2;
+    an insertion/deletion shifts the halves' alignment and falls back
+    on the other battery keys. Tokens of length < 2 (including the
+    empty string regexp_extract yields on no-match) get NULL keys —
+    with half = 0 the first key would be '' and the second the whole
+    token, so the recovery guarantee vanishes while every degenerate
+    row piles into one shared ''-block; NULL instead drops them from
+    this pass so they fall back to the default battery keys.
     Half-key hotness (short IDs share prefixes) is handled by the same
     cap/salt discipline as every key, and the (block, length-band)
     cell structure keeps same-prefix-different-length names apart."""
@@ -113,10 +119,13 @@ def id_half_keys(name_col: str | Column, token: Column | None = None) -> list[Co
         if token is not None
         else F.regexp_extract(head_of(name_col), _LAST_TOKEN_RE, 1)
     )
+    long_enough = F.length(tok) >= 2
     half = F.floor(F.length(tok) / 2).cast("int")
     return [
-        F.substring(tok, F.lit(1), half),
-        F.substring(tok, half + F.lit(1), F.length(tok)),
+        F.when(long_enough, F.substring(tok, F.lit(1), half)),
+        F.when(
+            long_enough, F.substring(tok, half + F.lit(1), F.length(tok))
+        ),
     ]
 
 

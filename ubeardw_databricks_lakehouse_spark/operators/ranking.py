@@ -38,26 +38,33 @@ def with_global_row_number(
 
     ``order_by`` must be a total order (include a unique tiebreak key)
     or the numbering is non-deterministic. Emits two Spark jobs (the
-    partition-count pass and the main pass) over ONE persisted
+    partition-count pass and the main pass) over ONE materialized
     range-partitioning: repartitionByRange samples its boundaries, so
-    without the persist the two jobs could place rows differently and
-    the broadcast offsets would silently mis-number rows. The persisted
-    frame stays cached for the downstream read; callers running many
-    rankings can spark.catalog.clearCache() between them. With
-    ``with_total`` returns (df, n_rows) — the total falls out of the
-    offset pass for free.
+    without pinning, the two jobs could place rows differently and the
+    broadcast offsets would silently mis-number rows. The pin is an
+    eager localCheckpoint (the repo's r8 checkpoint discipline), not
+    persist(): cached blocks can be recomputed — with freshly sampled
+    boundaries — after executor loss or a caller's clearCache, silently
+    misaligning the _pid-keyed offsets; a lost checkpoint block instead
+    fails loudly. With ``with_total`` returns (df, n_rows) — the total
+    falls out of the offset pass for free.
     """
     import pandas as pd
 
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if out_col in df.columns or "_pid" in df.columns:
+        raise ValueError(
+            f"with_global_row_number: input already has a column named "
+            f"{out_col!r} or '_pid' — rename it or pass a different out_col"
+        )
 
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     out_schema = ", ".join(
@@ -135,10 +142,11 @@ def global_running_sum(
     prefix sums scale to integer units first (the repo's milli-unit
     pattern) — float addition would be order-dependent and the
     output schema does not carry decimals. As with
-    with_global_row_number, the range-partitioned frame stays persisted
-    for the downstream read (the two jobs must see the same sampled
-    boundaries); callers running many sums can
-    spark.catalog.clearCache() between them.
+    with_global_row_number, the range-partitioned frame is pinned with
+    an eager localCheckpoint (not persist) so the totals pass and the
+    downstream read see the SAME sampled boundaries even after block
+    loss or a caller's clearCache — recomputation would resample the
+    range boundaries and silently misalign the _pid-keyed offsets.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -152,6 +160,13 @@ def global_running_sum(
             f"(got {vtype.simpleString()}); scale decimals/floats to "
             "integer units first"
         )
+    if out_col in df.columns or "_pid" in df.columns:
+        raise ValueError(
+            f"global_running_sum: input already has a column named "
+            f"{out_col!r} or '_pid' — rename it or pass a different "
+            "out_col (the mapInPandas schema appends out_col and "
+            "injects _pid)"
+        )
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -163,7 +178,7 @@ def global_running_sum(
         df.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields

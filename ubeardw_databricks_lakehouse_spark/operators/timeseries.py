@@ -155,6 +155,7 @@ def interval_concurrency(
     end_col: str = "end_ts",
     out_ts: str = "ts",
     out_col: str = "concurrent",
+    densify_days: bool = False,
 ) -> DataFrame:
     """Sweep-line concurrency curve over CLOSED [start, end] intervals:
     one row per boundary timestamp with the number of intervals active
@@ -180,6 +181,21 @@ def interval_concurrency(
     interval (start == end) still counts as active at its instant and
     two intervals meeting end-to-start at the same second overlap —
     the inclusive-seconds reading both engines reproduce exactly.
+
+    ``densify_days=True`` additionally emits a midnight row for every
+    calendar day the curve spans (after the first boundary's day), each
+    carrying the concurrency level in force at that instant. This is
+    the carry-in fix for per-day rollups of the boundary-only curve:
+    without it, a day whose boundaries are all drops (sessions spanning
+    midnight that only END during the day) has its per-day MAX
+    understated by the carried-in level, and a day blanketed
+    boundary-free by one long interval emits no row at all. The
+    implementation injects ZERO-delta boundaries at each midnight
+    before the running sum — the sweep then prices the carried level
+    itself, reusing the same single range shuffle (no forward-fill
+    window, no second pass). The midnight grid is derived lazily from
+    the delta frame's own min/max (a broadcast 1-row cross join), so
+    nothing is collected.
     """
     deltas = (
         intervals.select(
@@ -198,8 +214,31 @@ def interval_concurrency(
             ).alias("e")
         )
         .select(F.col("e._ts").alias(out_ts), F.col("e._d").alias("_d"))
-        .groupBy(out_ts)
-        .agg(F.sum("_d").cast("long").alias("_d"))
+    )
+    if densify_days:
+        # midnights of day(min)+1 .. day(max): every instant where a
+        # per-day rollup needs the carried level made explicit. The
+        # first day's midnight precedes the first boundary (level 0 by
+        # definition) and is skipped.
+        midnights = (
+            deltas.agg(
+                F.to_date(F.min(out_ts)).alias("_d0"),
+                F.to_date(F.max(out_ts)).alias("_d1"),
+            )
+            .where(F.col("_d0").isNotNull())
+            .select(
+                F.explode(
+                    F.sequence(F.date_add(F.col("_d0"), 1), F.col("_d1"))
+                ).alias("_day")
+            )
+            .select(
+                F.col("_day").cast("timestamp").alias(out_ts),
+                F.lit(0).alias("_d"),
+            )
+        )
+        deltas = deltas.unionByName(midnights)
+    deltas = deltas.groupBy(out_ts).agg(
+        F.sum("_d").cast("long").alias("_d")
     )
     from .ranking import global_running_sum
 

@@ -1927,14 +1927,22 @@ ORDER BY b.event_type, dow
 # running sum via range-partition + broadcast prefix offsets — never
 # a single-partition window. "Peak per day" reads the curve at its
 # boundary points, the well-defined discrete metric both engines
-# reproduce bit-for-bit (all-integer arithmetic). Caveat, stated
-# rather than hidden: a day containing NO boundary emits no row, so a
-# day blanketed end-to-end by one session (possible only when a single
-# session runs > 24 h uninterrupted under the 30-minute-gap rule)
-# reports nothing rather than its carried concurrency; callers
-# sweeping long intervals should densify days via the dim_date
-# pattern and forward-fill if they need explicit carried rows. Both
-# engines share the metric exactly either way.
+# reproduce bit-for-bit (all-integer arithmetic). Caveats, stated
+# rather than hidden (both are facets of "the curve is sampled only
+# at boundaries"): (1) a day containing NO boundary emits no row, so
+# a day blanketed end-to-end by one session (possible only when a
+# single session runs > 24 h uninterrupted under the 30-minute-gap
+# rule) reports nothing rather than its carried concurrency; (2) a
+# day whose boundaries are all DROPS understates its peak by the
+# carry-in — e.g. 3 sessions active at 23:50 that end at 01:00 with
+# no new starts next day: the true peak after midnight is 3, but the
+# first boundary inside the day sits after the first drop, so the
+# reported max is the post-drop value. Callers needing carried rows
+# use interval_concurrency(densify_days=True), which injects a
+# zero-delta midnight boundary per day so the sweep itself prices
+# the carried level (pytest-pinned on exactly the 23:50→01:00 case);
+# the registry metric stays the boundary-only reading because both
+# engines share it exactly, including the caveats.
 # ---------------------------------------------------------------------------
 
 
