@@ -492,6 +492,74 @@ def test_triangle_hub_audit_arithmetic(spark):
     assert row["capped_pivots"] == 0 and row["wedges_dropped"] == 0
 
 
+def test_triangle_playbook_audit_cap_estimate(spark):
+    """The SCALING.md dense-core playbook as ONE flow (r9 verdict #7):
+    price candidate caps with triangle_hub_audit, pick the smallest
+    cap whose dropped-wedge share clears a budget, then run
+    on_hub='estimate' at that cap and hold the end-to-end accuracy
+    bound vs the exact count. Graph: a 30-clique dense core (where a
+    naive cap's drop-floor is orders off) + a 120-node chord ring (the
+    sparse background the cap must not disturb)."""
+    from ubeardw_databricks_lakehouse_spark.operators.graph import (
+        triangle_counts,
+        triangle_hub_audit,
+    )
+
+    core = [(a, b) for a in range(30) for b in range(30) if a < b]
+    ring = [
+        (100 + i, 100 + (i + d) % 120) for i in range(120) for d in (1, 2)
+    ]
+    edges = spark.createDataFrame(
+        core + [(min(a, b), max(a, b)) for a, b in ring],
+        "src long, dst long",
+    ).localCheckpoint(eager=True)
+
+    exact = {
+        r["node"]: r["triangles"] for r in triangle_counts(edges).collect()
+    }
+    exact_total = sum(exact.values()) // 3
+    assert exact_total == 4060 + 120  # C(30,3) clique + one per ring node
+
+    # step 1 — AUDIT: price the caps before paying for any wedge join
+    audits = {
+        cap: triangle_hub_audit(edges, hub_cap=cap).collect()[0]
+        for cap in (4, 8, 16)
+    }
+    # the audit must show the escalation is real: drop share shrinks
+    shares = {
+        cap: row["wedges_dropped"] / row["wedges_total"]
+        for cap, row in audits.items()
+    }
+    assert shares[4] > shares[8] > shares[16]
+    # step 2 — CAP: smallest candidate whose dropped share <= 60%
+    cap = next(c for c in (4, 8, 16) if shares[c] <= 0.6)
+    assert audits[cap]["capped_pivots"] > 0  # the core IS capped
+    # step 3 — ESTIMATE at the audited cap, averaging 3 seeds
+    # (documented ~1/sqrt(K) variance reduction)
+    totals = []
+    for seed in (0, 1, 2):
+        est = triangle_counts(
+            edges, hub_cap=cap, on_hub="estimate", hub_seed=seed
+        )
+        totals.append(
+            est.agg(F.sum("triangles")).collect()[0][0] // 3
+        )
+    mean_total = sum(totals) / len(totals)
+    assert abs(mean_total - exact_total) / exact_total <= 0.15, (
+        cap,
+        totals,
+        exact_total,
+    )
+    # and the playbook beats the drop-mode floor it exists to replace
+    floor_total = (
+        triangle_counts(edges, hub_cap=cap, on_hub="drop")
+        .agg(F.sum("triangles"))
+        .collect()[0][0]
+        // 3
+    )
+    assert abs(floor_total - exact_total) > abs(mean_total - exact_total)
+
+
 # ---------------------------------------------------------------------------
 # interval_concurrency / global_running_sum (r9 sweep-line primitive)
 # ---------------------------------------------------------------------------

@@ -660,18 +660,45 @@ def connected_components(
     large-graph CC recipe (GraphX/Pregel does the same message flow);
     ``connected_components_star`` below is the large-star/small-star
     twin for deep components (O(log n) rounds, diameter-free).
+
+    Two structural economies (r10, the curation-capstone stage-4 fix):
+
+    - the iterated label frame holds EDGE ENDPOINTS only, not every
+      vertex — a near-dup corpus is overwhelmingly singletons, which
+      need no propagation and would otherwise be shuffled, left-joined
+      and re-materialized every round; they rejoin once at the end
+      with their own id (at 100 TB this shrinks the per-round state
+      from O(|V|) to O(|endpoints|));
+    - the first propagation round is FUSED into the edge pass as the
+      label seed: round 1 of min-label propagation from identity
+      labels is exactly min(self ∪ neighbors), one map-side-combinable
+      groupBy over the symmetrized edges, no join.
+
+    Endpoints absent from ``vertices`` still relay messages (they are
+    dropped only from the output), so callers must pass
+    vertices ⊇ endpoints for strict subgraph semantics — every caller
+    in this repo does.
     """
-    sym = edges.select(
-        F.col("id_a").alias("v"), F.col("id_b").alias("u")
-    ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
-    # distinct: the old per-round groupBy silently collapsed duplicate
-    # vertex rows; the join-based rounds below would carry them, so
-    # dedupe once up front (same one-shuffle cost the first round's
-    # groupBy used to pay)
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    ).distinct()
-    for _ in range(max_iter):
+    # materialize the symmetrized edge set ONCE: it is re-read by the
+    # seed and by every round's join, and the caller's edge lineage is
+    # often the expensive part (dedup_clusters hands over the whole
+    # MinHash->LSH->verify pipeline — before this checkpoint, each CC
+    # round silently re-ran it end to end)
+    sym = (
+        edges.select(F.col("id_a").alias("v"), F.col("id_b").alias("u"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # seed = round 1 fused into the edge pass (duplicate edges are
+    # harmless under min)
+    labels = (
+        sym.groupBy("v")
+        .agg(F.least(F.col("v"), F.min("u")).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter - 1):
         msgs_min = (
             sym.join(labels, "v")
             .select(F.col("u").alias("v"), "lbl")
@@ -699,7 +726,11 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
+    verts = vertices.select(F.col(id_col).alias("v")).distinct()
+    return verts.join(labels, "v", "left").select(
+        F.col("v").alias(id_col),
+        F.coalesce("lbl", F.col("v")).alias("component"),
+    )
 
 
 def connected_components_star(
@@ -731,10 +762,14 @@ def connected_components_star(
     Equivalence with the propagation path is pytest-pinned on random
     graphs and on a 200-node chain the propagation cap can't finish.
     """
+    # materialize the normalized edge set once: _large_star references
+    # it twice (groupBy + join) and the caller's edge lineage can be
+    # expensive (see connected_components)
     e = (
         edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def _sym(df: DataFrame) -> DataFrame:
