@@ -2154,3 +2154,128 @@ def test_containment_prefix_ulp_corner(spark):
     assert (1, 2) in got, "ulp-corner pair lost by the prefix filter"
     assert abs(got[(1, 2)] - 5.0 / 6.0) < 1e-12
     assert (2, 1) not in got  # 5/9 direction stays below threshold
+
+
+# ---------------------------------------------------------------------------
+# t-digest mergeable quantile sketch (r10 — q_quantile_sketch pins)
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_rank_error_bound(spark):
+    """Rank error <= 1.5/delta on a mixed uniform + lognormal +
+    point-mass input (the adversarial shapes: heavy tail, ties);
+    min/max/total exact."""
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
+        tdigest_build,
+        tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            rng.uniform(-5, 5, 40_000),
+            rng.lognormal(0.0, 1.5, 40_000),
+            np.full(20_000, 1.0),  # point mass: 20% ties
+        ]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    delta = 200.0
+    dig = tdigest_build(df, "v", delta=delta)
+    row = dig.collect()[0]
+    assert row["total"] == float(len(vals))
+    assert row["tmin"] == float(vals.min())
+    assert row["tmax"] == float(vals.max())
+    assert len(row["means"]) <= 2 * delta  # bounded-size summary
+    s = np.sort(vals)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r["q"]: r["value"] for r in tdigest_quantiles(dig, qs).collect()}
+    for q in qs:
+        # rank of the estimate in the sorted data (ties: take the
+        # midpoint of the tied run — the rank the estimate "means")
+        lo = np.searchsorted(s, est[q], side="left") / len(s)
+        hi = np.searchsorted(s, est[q], side="right") / len(s)
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 1.5 / delta, (q, est[q], lo, hi)
+
+
+def test_tdigest_merge_matches_full_build(spark):
+    """The mergeability contract: digests built per shard and MERGED
+    must answer quantiles within the same rank-error bound as the
+    one-shot digest, with total/min/max exactly additive."""
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, 60_000)
+    df = spark.createDataFrame(
+        [(float(v), int(i % 8)) for i, v in enumerate(vals)],
+        "v double, shard int",
+    )
+    delta = 200.0
+    per_shard = tdigest_build(df, "v", ["shard"], delta=delta)
+    assert per_shard.count() == 8
+    merged = tdigest_merge(per_shard, [], delta=delta)
+    row = merged.collect()[0]
+    assert row["total"] == float(len(vals))
+    assert row["tmin"] == float(vals.min())
+    assert row["tmax"] == float(vals.max())
+    s = np.sort(vals)
+    qs = [0.05, 0.5, 0.95]
+    est = {
+        r["q"]: r["value"] for r in tdigest_quantiles(merged, qs).collect()
+    }
+    for q in qs:
+        lo = np.searchsorted(s, est[q], side="left") / len(s)
+        hi = np.searchsorted(s, est[q], side="right") / len(s)
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 1.5 / delta, (q, est[q])
+
+
+def test_tdigest_small_input_and_nulls(spark):
+    """n <= delta: every value is its own centroid, so interior
+    quantiles interpolate the exact order statistics; nulls are
+    excluded (SQL aggregate semantics)."""
+    from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
+        tdigest_build,
+        tdigest_quantiles,
+    )
+
+    rows = [(float(v),) for v in range(1, 11)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    dig = tdigest_build(df, "v", delta=200.0)
+    row = dig.collect()[0]
+    assert row["total"] == 10.0
+    assert sorted(row["means"]) == [float(v) for v in range(1, 11)]
+    est = {
+        r["q"]: r["value"]
+        for r in tdigest_quantiles(dig, [0.0, 0.5, 1.0]).collect()
+    }
+    assert est[0.0] == 1.0 and est[1.0] == 10.0
+    assert est[0.5] == 5.5  # midpoint interpolation between 5 and 6
+
+
+def test_q_quantile_sketch_shape(spark):
+    """Registry surface: one row per (source, q) plus the merged
+    __all__ rollup; global estimates bracketed by per-source extremes
+    (merge sanity without pinning implementation-defined values)."""
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        q_quantile_sketch,
+    )
+
+    out = q_quantile_sketch(spark, "/root/testdata/sf0.001").collect()
+    sources = {r["source"] for r in out}
+    assert "__all__" in sources and len(sources) >= 2
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q"], {})[r["source"]] = r["value"]
+    for q, by_src in per_q.items():
+        glob = by_src["__all__"]
+        rest = [v for s, v in by_src.items() if s != "__all__"]
+        assert min(rest) <= glob <= max(rest), (q, by_src)

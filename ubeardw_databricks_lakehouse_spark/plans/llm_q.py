@@ -2509,3 +2509,37 @@ SELECT source, n1,
 FROM per_src CROSS JOIN tot
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_sketch (r10 — the mergeable-quantile-summary class the
+# battery lacked): t-digest percentiles of document length per source
+# PLUS the global rollup obtained by MERGING the per-source digests —
+# never re-reading the corpus. Estimates are implementation-defined
+# (rows-only by design, the q_approx_profile policy); the error-bound
+# and merge-invariance pins live in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tdigest import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    per_source = tdigest_build(docs, "n_chars", ["source"], delta=100.0)
+    qs = [0.5, 0.9, 0.99]
+    per = tdigest_quantiles(per_source, qs, ["source"])
+    # the mergeability headline: the global digest comes from the
+    # per-source SUMMARIES (kilobytes), not from the documents table
+    glob = (
+        tdigest_quantiles(tdigest_merge(per_source, [], delta=100.0), qs)
+        .select(F.lit("__all__").alias("source"), "q", "value")
+    )
+    return (
+        per.unionByName(glob)
+        .select("source", "q", F.round("value", 4).alias("value"))
+        .orderBy("source", "q")
+    )

@@ -716,6 +716,13 @@ QUERIES: list[QueryDef] = [
              "+1/-1 boundary deltas -> distributed running sum via "
              "range-partition + broadcast prefix offsets, never a "
              "single-partition global window; all-integer, exact"),
+    # Tier 12 — added in r10 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_quantile_sketch", llm_q.q_quantile_sketch, None,
+             "mergeable t-digest quantile summary (the bounded-size "
+             "percentile primitive): per-source digests + global "
+             "rollup MERGED from the summaries, never re-reading the "
+             "corpus; estimates implementation-defined -> rows-only, "
+             "rank-error <= 1.5/delta pytest-pinned vs exact"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -850,7 +857,17 @@ _WINDOW: list[str] = [
 # r6=19, r7=50, r8=50, r9=50, never=1; the r10 window takes 19+1+30 and
 # the demand sequence stays satisfiable: r11 = 20 remaining-r7 +
 # deferred + free slots, r12 <= 50.
-_DEFERRED_NEW: list[str] = []
+# r10 addition (budget <=5, genuinely new classes only): exactly ONE —
+# q_quantile_sketch, the mergeable-quantile-summary class (t-digest).
+# The battery had exact grouped quantiles (applyInPandas) and one-shot
+# percentile_approx, plus mergeable sketches for counts/cardinality
+# (CMS/KMV/HLL) — but no bounded-size MERGEABLE quantile summary, the
+# standard 100 TB percentile primitive (build per shard, merge
+# summaries, never re-scan). At 171 entries the horizon stays
+# 4 = ceil(171/50); demand r11 = 20 r7-stale + 1 deferred + 29 free.
+_DEFERRED_NEW: list[str] = [
+    "q_quantile_sketch",
+]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
