@@ -594,3 +594,51 @@ def test_id_half_keys_always_recover_single_substitutions(spark, edits):
         ).collect()
     }
     assert planted <= got, planted - got
+
+
+# --- t-digest core: conservation + monotonicity over arbitrary inputs ----
+
+tdigest_inputs = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@given(tdigest_inputs)
+@settings(
+    max_examples=80,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+def test_tdigest_core_invariants(vals):
+    """Pure-numpy core (no Spark per example): compression conserves
+    total weight exactly and the weighted mean to float tolerance,
+    stays within the 2*delta size bound, and quantile reads are
+    monotone with exact endpoints."""
+    import numpy as np
+
+    from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
+        _compress,
+        _quantile,
+    )
+
+    delta = 50.0
+    m, w = _compress(vals, [1.0] * len(vals), delta)
+    assert abs(w.sum() - len(vals)) < 1e-9  # unit weights: exact
+    assert len(m) <= max(2 * delta, 1)
+    assert np.all(np.diff(m) >= 0)  # centroids stay sorted
+    if len(vals) > 1:
+        assert abs(float((m * w).sum()) - float(np.sum(vals))) <= (
+            1e-9 * max(1.0, float(np.abs(vals).sum()))
+        )
+    tmin, tmax, total = min(vals), max(vals), float(len(vals))
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    est = [_quantile(m, w, tmin, tmax, total, q) for q in qs]
+    assert est[0] == tmin and est[-1] == tmax
+    assert all(a <= b + 1e-12 for a, b in zip(est, est[1:]))
+    # every estimate stays inside the data range
+    assert all(tmin - 1e-12 <= e <= tmax + 1e-12 for e in est)

@@ -69,7 +69,15 @@ def kmeans_train(
     seed_ids: list | None = None,
 ) -> DataFrame:
     """Learn (cell, cvec) centroids, cells numbered 0..k-1 by seed
-    order. ``seed_ids`` overrides the hash seeding for tests."""
+    order. ``seed_ids`` overrides the hash seeding for tests.
+
+    Input contract (the CC-edge lesson, r10): each Lloyd round re-reads
+    ``df`` (n_iter + 1 scans total). That is the right trade when df is
+    a TABLE — column-pruned parquet scans are cheaper than
+    checkpoint-writing a corpus-sized frame — but a caller handing a
+    derived pipeline should materialize it first (localCheckpoint or a
+    table write), or every round re-runs the upstream lineage. The
+    small frame (centroids) is checkpointed here every round."""
     ranked = (
         seed_override_ranks(df, id_col, seed_ids)
         if seed_ids is not None

@@ -105,6 +105,13 @@ def pq_train(
     xxhash64(id) (a reproducible uniform sample) seed EVERY subspace
     with their respective subvectors; ``seed_ids`` overrides for tests.
     Then ``n_iter`` Lloyd rounds of assign + recompute.
+
+    Input contract (the CC-edge lesson, r10): each Lloyd round
+    re-derives the subvector projection from ``df`` (a map-only slice,
+    so the real cost is re-SCANNING df n_iter + 1 times) — right when
+    df is a table, wrong when it is a derived pipeline; materialize
+    such inputs first. Centroids (the small frame) are checkpointed
+    every round here.
     """
     from .kmeans import hash_seed_ranks, seed_override_ranks
     from .similarity import _centroids_fast
