@@ -2279,3 +2279,69 @@ def test_q_quantile_sketch_shape(spark):
         glob = by_src["__all__"]
         rest = [v for s, v in by_src.items() if s != "__all__"]
         assert min(rest) <= glob <= max(rest), (q, by_src)
+
+
+# ---------------------------------------------------------------------------
+# systematic PPS weighted sampling (r10 — q_weighted_sample pins)
+# ---------------------------------------------------------------------------
+
+
+def test_pps_sample_exact_math(spark):
+    """Selection events number exactly W_total div T, a whale spanning
+    two multiples absorbs one (row count in [k-1, k] here); a row with
+    w > T is selected with CERTAINTY regardless of seed; w = 0 rows
+    never select; selection probability is proportional to weight
+    (measured across seeds within binomial noise)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    # 100 rows of weight 10 + one whale of weight 600 + one zero
+    rows = [(i, 10) for i in range(100)] + [(1000, 600), (1001, 0)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    tot = 100 * 10 + 600  # 1600; k=4 -> T=400; whale w=600 > T
+    for seed in ("a", "b", "c"):
+        sel = {
+            r["id"]: r["w"]
+            for r in pps_systematic_sample(df, "id", "w", 4, seed=seed).collect()
+        }
+        # 4 selection events; the whale (w=600, up to 2 multiples)
+        # may absorb one -> 3 or 4 distinct rows
+        assert tot // 400 - 1 <= len(sel) <= tot // 400
+        assert 1000 in sel  # certainty inclusion: w > T
+        assert 1001 not in sel  # zero-weight: empty interval
+    # proportionality: double-weight rows select ~2x as often
+    df2 = spark.createDataFrame(
+        [(i, 1) for i in range(400)] + [(1000 + i, 2) for i in range(400)],
+        "id long, w long",
+    )
+    light = heavy = 0
+    for s in range(30):
+        got = pps_systematic_sample(df2, "id", "w", 60, seed=str(s)).collect()
+        light += sum(1 for r in got if r["w"] == 1)
+        heavy += sum(1 for r in got if r["w"] == 2)
+    # expected heavy/light = 2; binomial noise over 30 seeds is tight
+    assert 1.6 <= heavy / light <= 2.5, (heavy, light)
+
+
+def test_pps_sample_guards(spark):
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.range(10).select("id", F.lit(1.5).alias("w"))
+    with pytest.raises(TypeError, match="integral"):
+        pps_systematic_sample(df, "id", "w", 2)
+    df2 = spark.range(10).select(
+        "id", F.lit(1).alias("w"), F.lit(0).alias("_cumw")
+    )
+    with pytest.raises(ValueError, match="_cumw"):
+        pps_systematic_sample(df2, "id", "w", 2)
+    with pytest.raises(ValueError, match="k must be"):
+        pps_systematic_sample(
+            spark.range(3).select("id", F.lit(1).alias("w")), "id", "w", 0
+        )

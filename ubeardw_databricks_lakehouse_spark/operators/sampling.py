@@ -173,3 +173,98 @@ def sqrt_mixing_sample(
         .filter(hash_bucket(key, seed) < F.col("bucket_thresh"))
         .drop("bucket_thresh")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: ~``k``
+    rows where each row's selection probability is proportional to its
+    INTEGER weight (min(w_i/T, 1) exactly, T = floor(W_total/k)) — the
+    row-level weighted-mixing primitive ("sample documents proportional
+    to token budget / quality mass") the stratum-level sqrt-mixing
+    can't express.
+
+    Exactness discipline (the sqrt-mixing precedent, extended): no
+    pow/ln priority keys (u^(1/w) orderings are libm-dependent and NOT
+    cross-engine reproducible) — instead classic systematic PPS over a
+    hash-randomized order, all integer arithmetic end to end:
+
+    1. order rows by the 60-bit md5 hash of (seed | key) — the
+       deterministic random permutation every engine reproduces;
+    2. integer cumulative weight via the distributed prefix sum
+       (operators/ranking.global_running_sum — range partition +
+       broadcast offsets, never a single-partition window);
+    3. select the rows whose cumulative-weight interval
+       (cumw - w, cumw] contains a multiple of T: integer division on
+       both interval ends, one codegen'd filter.
+
+    There are exactly ``W_total div T`` selection EVENTS (>= k; ~k
+    when weights are small vs T); a row whose interval spans several
+    multiples is selected once, so the ROW count is W_total div T
+    minus those absorbed events — between k and k minus the number of
+    extra multiples inside over-T rows. A row with w > T contains >= 1
+    multiple and is selected with CERTAINTY — the standard PPS
+    certainty-inclusion rule, pinned in tests. Weights must be a
+    non-negative integral column (milli-unit scale floats first);
+    w = 0 rows are never selected (empty interval).
+
+    100 TB shape: one map pass for the hash, ONE range shuffle for the
+    prefix sum, an O(P) offsets broadcast, a broadcast 1-row total,
+    and a filter. Nothing driver-side beyond the partition offsets.
+    """
+    from pyspark.sql import types as T_
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(
+        wtype, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+    ):
+        raise TypeError(
+            f"pps_systematic_sample needs an integral {weight_col!r} "
+            f"(got {wtype.simpleString()}); scale to integer units first"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for reserved in ("_h", "_cumw", "_tot"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"pps_systematic_sample: input already has a column "
+                f"named {reserved!r}"
+            )
+
+    from .ranking import global_running_sum
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.withColumn("_h", h)
+    run = global_running_sum(
+        base, [F.col("_h"), F.col(key)], weight_col, out_col="_cumw"
+    )
+    tot = df.agg(F.sum(weight_col).cast("long").alias("_tot"))
+    return (
+        run.join(F.broadcast(tot))
+        .withColumn(
+            "_t", F.greatest(F.expr(f"_tot div {int(k)}"), F.lit(1).cast("long"))
+        )
+        # interval (cumw - w, cumw] contains a multiple of _t  <=>
+        # cumw div _t > (cumw - w) div _t (long `div` — exact integer
+        # division in any engine; DuckDB spells it `//`)
+        .where(
+            F.expr("_cumw div _t")
+            > F.expr(f"(_cumw - {weight_col}) div _t")
+        )
+        .drop("_h", "_cumw", "_tot", "_t")
+    )

@@ -2543,3 +2543,47 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "q", F.round("value", 4).alias("value"))
         .orderBy("source", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample (r10 — the row-level weighted-sampling class):
+# systematic probability-proportional-to-size sampling of documents
+# with weight = n_chars ("sample docs proportional to token budget").
+# No pow/ln priority keys (libm-dependent, not cross-engine): hash-
+# randomized order + integer cumulative weight (the distributed prefix
+# sum) + integer-division interval test — ALL integer arithmetic, so
+# the selected set is hash-exact in any engine.
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pps_systematic_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sel = pps_systematic_sample(docs, "doc_id", "n_chars", 200, seed="s7")
+    return sel.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight")
+    ).orderBy("doc_id")
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+    CAST(('0x' || substr(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM documents
+),
+run AS (
+  SELECT doc_id, n_chars,
+    SUM(n_chars) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumw
+  FROM base
+),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+st AS (SELECT GREATEST(tot // 200, 1) AS t FROM tot)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM run, st
+WHERE cumw // t > (cumw - n_chars) // t
+ORDER BY doc_id
+"""

@@ -723,6 +723,13 @@ QUERIES: list[QueryDef] = [
              "rollup MERGED from the summaries, never re-reading the "
              "corpus; estimates implementation-defined -> rows-only, "
              "rank-error <= 1.5/delta pytest-pinned vs exact"),
+    QueryDef("q_weighted_sample", llm_q.q_weighted_sample,
+             llm_q.Q_WEIGHTED_SAMPLE_SQL,
+             "systematic PPS weighted sampling (row-level weight-"
+             "proportional selection): hash-randomized order + "
+             "distributed integer prefix sum + integer-division "
+             "interval test — no pow/ln keys, hash-exact in any "
+             "engine"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -857,16 +864,29 @@ _WINDOW: list[str] = [
 # r6=19, r7=50, r8=50, r9=50, never=1; the r10 window takes 19+1+30 and
 # the demand sequence stays satisfiable: r11 = 20 remaining-r7 +
 # deferred + free slots, r12 <= 50.
-# r10 addition (budget <=5, genuinely new classes only): exactly ONE —
-# q_quantile_sketch, the mergeable-quantile-summary class (t-digest).
-# The battery had exact grouped quantiles (applyInPandas) and one-shot
-# percentile_approx, plus mergeable sketches for counts/cardinality
-# (CMS/KMV/HLL) — but no bounded-size MERGEABLE quantile summary, the
-# standard 100 TB percentile primitive (build per shard, merge
-# summaries, never re-scan). At 171 entries the horizon stays
-# 4 = ceil(171/50); demand r11 = 20 r7-stale + 1 deferred + 29 free.
+# r10 additions (budget <=5, genuinely new classes only): TWO —
+# 1. q_quantile_sketch, the mergeable-quantile-summary class
+#    (t-digest). The battery had exact grouped quantiles
+#    (applyInPandas) and one-shot percentile_approx, plus mergeable
+#    sketches for counts/cardinality (CMS/KMV/HLL) — but no
+#    bounded-size MERGEABLE quantile summary, the standard 100 TB
+#    percentile primitive (build per shard, merge summaries, never
+#    re-scan).
+# 2. q_weighted_sample, the row-level weighted-sampling class
+#    (systematic PPS). The sampling family was uniform at the row
+#    level (hash/stratified/reservoir) and weighted only at the
+#    STRATUM level (sqrt-mixing); nothing selected individual rows
+#    with probability proportional to a weight — the "sample docs
+#    proportional to token budget / quality mass" mixing primitive.
+#    Exactness-first design: no pow/ln priority keys (u^(1/w)
+#    orderings are libm-dependent); hash order + integer prefix sum
+#    (global_running_sum) + integer-division interval test, so the
+#    entry is fully oracle-PAIRED, not rows-only.
+# At 172 entries the horizon stays 4 = ceil(172/50); demand
+# r11 = 20 r7-stale + 2 deferred + 28 free.
 _DEFERRED_NEW: list[str] = [
     "q_quantile_sketch",
+    "q_weighted_sample",
 ]
 
 _by_name = {q.name: q for q in QUERIES}
