@@ -2529,7 +2529,12 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    per_source = tdigest_build(docs, "n_chars", ["source"], delta=100.0)
+    # materialize the digests (kilobytes) — in a warehouse this is the
+    # stored summary table; without it the per-quantile leg AND the
+    # merge leg would each re-scan the corpus (the CC-edge lesson)
+    per_source = tdigest_build(
+        docs, "n_chars", ["source"], delta=100.0
+    ).localCheckpoint(eager=True)
     qs = [0.5, 0.9, 0.99]
     per = tdigest_quantiles(per_source, qs, ["source"])
     # the mergeability headline: the global digest comes from the
