@@ -126,7 +126,8 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Add a running (prefix) sum of ``value_col`` over a TOTAL order —
     the distributed form of ``SUM(v) OVER (ORDER BY ...)`` without the
     single-partition global window Spark would otherwise plan.
@@ -147,6 +148,10 @@ def global_running_sum(
     downstream read see the SAME sampled boundaries even after block
     loss or a caller's clearCache — recomputation would resample the
     range boundaries and silently misalign the _pid-keyed offsets.
+    With ``with_total`` returns (df, grand_total) — the total falls
+    out of the O(P) offsets pass for free (with_global_row_number's
+    with_total, sum form), sparing callers a separate corpus-scanning
+    aggregate.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -203,10 +208,12 @@ def global_running_sum(
         offsets.append((pid, acc))
         acc += by_pid[pid]
     if not offsets:
-        return local.drop("_pid")
+        out = local.drop("_pid")
+        return (out, 0) if with_total else out
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.col(out_col) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    return (out, acc) if with_total else out

@@ -250,21 +250,21 @@ def pps_systematic_sample(
         10,
     ).cast("long")
     base = df.withColumn("_h", h)
-    run = global_running_sum(
-        base, [F.col("_h"), F.col(key)], weight_col, out_col="_cumw"
+    # with_total: the grand total falls out of the prefix sum's O(P)
+    # offsets pass — no separate corpus-scanning aggregate, and the
+    # step lands in the filter as a LITERAL (no broadcast-join leg)
+    run, w_total = global_running_sum(
+        base, [F.col("_h"), F.col(key)], weight_col, out_col="_cumw",
+        with_total=True,
     )
-    tot = df.agg(F.sum(weight_col).cast("long").alias("_tot"))
+    step = max(int(w_total) // int(k), 1)
+    # interval (cumw - w, cumw] contains a multiple of step  <=>
+    # cumw div step > (cumw - w) div step (long `div` — exact integer
+    # division in any engine; DuckDB spells it `//`)
     return (
-        run.join(F.broadcast(tot))
-        .withColumn(
-            "_t", F.greatest(F.expr(f"_tot div {int(k)}"), F.lit(1).cast("long"))
+        run.where(
+            F.expr(f"_cumw div {step}")
+            > F.expr(f"(_cumw - {weight_col}) div {step}")
         )
-        # interval (cumw - w, cumw] contains a multiple of _t  <=>
-        # cumw div _t > (cumw - w) div _t (long `div` — exact integer
-        # division in any engine; DuckDB spells it `//`)
-        .where(
-            F.expr("_cumw div _t")
-            > F.expr(f"(_cumw - {weight_col}) div _t")
-        )
-        .drop("_h", "_cumw", "_tot", "_t")
+        .drop("_h", "_cumw")
     )
