@@ -64,7 +64,13 @@ emptied). Ledger after r09 mechanically recomputed this round:
 r6=19, r7=50, r8=50, r9=50, never-graded=1 — matches the r9 verdict
 and the staleness test's printed list element-for-element. Horizon
 stays 4 = ceil(|registry|/50); demand r11 = 20 remaining-r7 +
-deferred + free slots.
+deferred + free slots. Registry closes r10 at 172 entries (two
+additions in the deferred lane: q_quantile_sketch, q_weighted_sample).
+r10 gates on the final tree: oracle sweep 157/157 exact at sf0.01
+(167-192 s across three full-gate runs), full pytest 474→478 green as
+the round's tests landed; BENCH_REPS=3 medians committed as
+BENCH_MEDIANS_r10.json (suite 58.7 s; the CC edge-recompute fix took
+q_curated_corpus 10.33 -> 5.93 s).
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
