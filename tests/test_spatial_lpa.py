@@ -1,0 +1,229 @@
+"""Spatial radius join + LPA community detection (the r10 additions
+#3 and #4) — brute-force equivalence, losslessness properties, guard
+behavior, and pure-Python replays."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+from ubeardw_databricks_lakehouse_spark.operators.graph import community_lpa
+from ubeardw_databricks_lakehouse_spark.operators.spatial import radius_join
+
+
+def _brute_pairs(pts, r):
+    out = {}
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+        a, b = (i, j) if i < j else (j, i)
+        dx, dy = xi - xj, yi - yj
+        dsq = dx * dx + dy * dy
+        if dsq <= r * r:
+            out[(a, b)] = dsq
+    return out
+
+
+def test_radius_join_matches_brute_force(spark):
+    random.seed(11)
+    pts = [(i, random.uniform(-30, 30), random.uniform(-60, 60)) for i in range(350)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    for r in (0.5, 4.0, 20.0):
+        got = {(a, b): d for a, b, d in radius_join(df, "id", "x", "y", r).collect()}
+        assert got == _brute_pairs(pts, r), f"radius {r}"
+
+
+def test_radius_join_cell_boundary_pairs_not_lost(spark):
+    # points straddling cell boundaries in every direction: the 3x3
+    # neighborhood must recover all of them (the losslessness claim)
+    r = 1.0
+    pts = [
+        (1, 0.999, 0.0), (2, 1.001, 0.0),     # x-boundary
+        (3, 0.0, -0.001), (4, 0.0, 0.001),    # y-boundary
+        (5, 0.999, 0.999), (6, 1.001, 1.001), # corner (diagonal cell)
+        (7, -0.001, -0.001), (8, 0.001, 0.001),
+        (9, 5.0, 5.0),                        # isolated
+    ]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = {(a, b) for a, b, _ in radius_join(df, "id", "x", "y", r).collect()}
+    exp = set(_brute_pairs(pts, r))
+    assert got == exp
+    assert not any(9 in p for p in got)
+
+
+def test_radius_join_pair_emitted_exactly_once(spark):
+    # coincident + near-coincident points: candidate generation must
+    # surface each unordered pair once, never 9x
+    pts = [(i, 0.1 * i, 0.0) for i in range(20)] + [(100, 0.0, 0.0), (101, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    rows = radius_join(df, "id", "x", "y", 3.0).collect()
+    keys = [(r[0], r[1]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)
+    assert (100, 101) in set(keys)
+
+
+def test_radius_join_two_table_mode(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0)], "id bigint, x double, y double"
+    )
+    right = spark.createDataFrame(
+        [(7, 0.5, 0.0), (8, 10.0, 10.4), (9, 50.0, 50.0)],
+        "id bigint, x double, y double",
+    )
+    got = {(a, b) for a, b, _ in radius_join(left, "id", "x", "y", 1.0, other=right).collect()}
+    assert got == {(1, 7), (2, 8)}
+
+
+def _haversine_km(p, q):
+    lat1, lon1 = math.radians(p[1]), math.radians(p[2])
+    lat2, lon2 = math.radians(q[1]), math.radians(q[2])
+    h = (
+        math.sin((lat2 - lat1) / 2) ** 2
+        + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * 6371.0088 * math.asin(math.sqrt(min(h, 1.0)))
+
+
+def test_radius_join_haversine_vs_python_replay(spark):
+    random.seed(23)
+    pts = [(i, random.uniform(-68, 68), random.uniform(-180, 180)) for i in range(250)]
+    df = spark.createDataFrame(pts, "id bigint, lat double, lon double")
+    rkm = 800.0
+    got = {
+        (a, b): d
+        for a, b, d in radius_join(df, "id", "lat", "lon", rkm, metric="haversine").collect()
+    }
+    exp = {}
+    for p, q in itertools.combinations(pts, 2):
+        d = _haversine_km(p, q)
+        if d <= rkm:
+            exp[(p[0], q[0])] = d
+    assert set(got) == set(exp)
+    assert all(abs(got[k] - exp[k]) < 1e-9 for k in got)
+
+
+def test_radius_join_haversine_latitude_guard_fires(spark):
+    df = spark.createDataFrame(
+        [(1, 80.0, 0.0), (2, 80.1, 0.2)], "id bigint, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="max_abs_lat"):
+        radius_join(df, "id", "lat", "lon", 100.0, metric="haversine").collect()
+    # widening the band accepts the same rows
+    got = radius_join(
+        df, "id", "lat", "lon", 100.0, metric="haversine", max_abs_lat=85.0
+    ).collect()
+    assert len(got) == 1
+
+
+def test_radius_join_input_validation(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id bigint, x double, y double")
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(df, "id", "x", "y", 0.0)
+    with pytest.raises(ValueError, match="metric"):
+        radius_join(df, "id", "x", "y", 1.0, metric="manhattan")
+    with pytest.raises(ValueError, match="_cx"):
+        radius_join(df.withColumn("_cx", df.x), "id", "x", "y", 1.0)
+    # null coords are dropped, not joined or raised
+    dfn = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, 0.0), (3, 0.1, 0.1)], "id bigint, x double, y double"
+    )
+    got = {(a, b) for a, b, _ in radius_join(dfn, "id", "x", "y", 1.0).collect()}
+    assert got == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# community_lpa
+# ---------------------------------------------------------------------------
+
+
+def _lpa_py(edges, n_iter):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lbl = {v: v for v in adj}
+    for _ in range(n_iter):
+        lbl = {
+            v: max(
+                Counter(lbl[w] for w in adj[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in adj
+        }
+    return lbl
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    edges = []
+    for base in (0, 10):
+        edges += [(base + i, base + j) for i, j in itertools.combinations(range(6), 2)]
+    edges.append((5, 10))  # bridge
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = dict(community_lpa(df, n_iter=3).collect())
+    assert got == _lpa_py(edges, 3)
+    # the two cliques keep distinct communities despite the bridge
+    assert len({got[v] for v in range(6)}) == 1
+    assert len({got[v] for v in range(10, 16)}) == 1
+    assert got[0] != got[10]
+
+
+def test_lpa_matches_python_replay_random_graph(spark):
+    random.seed(41)
+    edges = list({(random.randint(0, 80), random.randint(0, 80)) for _ in range(300)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (1, 2, 4):
+        got = dict(community_lpa(df, n_iter=k).collect())
+        assert got == _lpa_py(edges, k), f"n_iter={k}"
+
+
+def test_lpa_synchronous_oscillation_is_deterministic(spark):
+    # a single edge oscillates under synchronous updates: after one
+    # round each endpoint holds the OTHER's label; after two, its own.
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    assert dict(community_lpa(df, n_iter=1).collect()) == {1: 2, 2: 1}
+    assert dict(community_lpa(df, n_iter=2).collect()) == {1: 1, 2: 2}
+
+
+def test_lpa_self_loops_ignored_and_validation(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    got = dict(community_lpa(df, n_iter=2).collect())
+    assert got == _lpa_py([(1, 2), (2, 3)], 2)
+    with pytest.raises(ValueError, match="n_iter"):
+        community_lpa(df, n_iter=0)
+
+
+def test_radius_join_haversine_antimeridian_wrap(spark):
+    # pairs straddling lon ±180 must be found (the ring-cell wrap);
+    # the pole-free band keeps the grid lossless
+    pts = [
+        (1, 10.0, 179.9), (2, 10.0, -179.9),    # ~22 km apart across the seam
+        (3, -40.0, 179.5), (4, -40.0, -179.8),  # ~60 km across the seam
+        (5, 10.0, 0.0),                          # far away
+    ]
+    df = spark.createDataFrame(pts, "id bigint, lat double, lon double")
+    got = {(a, b): d for a, b, d in radius_join(df, "id", "lat", "lon", 100.0, metric="haversine").collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert abs(got[(1, 2)] - _haversine_km(pts[0], pts[1])) < 1e-9
+    assert abs(got[(3, 4)] - _haversine_km(pts[2], pts[3])) < 1e-9
+
+
+def test_radius_join_haversine_huge_radius_single_ring_cell(spark):
+    # radius so large the lon ring degenerates to one or two cells:
+    # offsets must stay distinct (no duplicate pairs) and recall total
+    random.seed(5)
+    pts = [(i, random.uniform(-20, 20), random.uniform(-180, 180)) for i in range(60)]
+    df = spark.createDataFrame(pts, "id bigint, lat double, lon double")
+    rkm = 15000.0
+    rows = radius_join(df, "id", "lat", "lon", rkm, metric="haversine", max_abs_lat=25.0).collect()
+    keys = [(r[0], r[1]) for r in rows]
+    assert len(keys) == len(set(keys))
+    exp = {
+        (p[0], q[0])
+        for p, q in itertools.combinations(pts, 2)
+        if _haversine_km(p, q) <= rkm
+    }
+    assert set(keys) == exp

@@ -462,3 +462,75 @@ def bfs_hops(
     for f in hops[1:]:
         out = out.unionByName(f)
     return out
+
+
+def community_lpa(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an UNDIRECTED reading of ``edges``: every node
+    starts labeled with its own id; each round every node adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label. Returns (node, community).
+
+    Distinct from the connected-components engines in
+    `operators/dedup` (also "label propagation" in the literature):
+    CC spreads the MIN label until whole connected components share
+    one id — the transitive-closure answer for dedup. This spreads the
+    MODE, so dense substructures keep their own label while bridges
+    stay thin — the community/clustering answer ("frequently bought
+    together" groups, topic pockets in a citation graph).
+
+    Determinism contract (what makes the entry fully oracle-paired,
+    unlike most LPA implementations): updates are SYNCHRONOUS (every
+    round reads only the previous round's labels — no order-dependent
+    in-place drift), the tie-break is total (count DESC, label ASC),
+    and the round count is FIXED — all-integer logic end to end, so
+    any engine replays it bit-for-bit. Synchronous LPA can oscillate
+    on bipartite structure instead of converging; with a fixed
+    ``n_iter`` the output is still exact and stable, and callers who
+    want a fixpoint can raise ``n_iter`` and compare rounds.
+
+    Scale shape: each round is one equi-join (edges x labels: route
+    every neighbor's label over the edge table) + one (node, label)
+    count + one max_by per node — three keyed shuffles, no driver
+    state, frontier = |E| always. Labels must be integral node ids
+    (the max_by tie-break negates them); string ids hash to longs
+    first. Checkpoint discipline: the symmetrized edge table once at
+    entry (reused every round), each round's labels eagerly — bounded
+    plan depth, deterministic scan counts (the bounded-iteration
+    policy of `operators/dedup`).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node").cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        nbr = und.join(
+            labels.select(F.col("node").alias("v"), "community"), "v"
+        ).select(F.col("u").alias("node"), "community")
+        counts = nbr.groupBy("node", "community").agg(F.count("*").alias("cnt"))
+        # mode with smallest-label tie-break: max of (cnt, -community)
+        picked = counts.groupBy("node").agg(
+            F.max_by(
+                "community", F.struct(F.col("cnt"), (-F.col("community")).alias("neg"))
+            ).alias("community")
+        )
+        # every node has degree >= 1 in the symmetrized table, so the
+        # join is total — no isolated-node coalesce needed here
+        labels = picked.localCheckpoint(eager=True)
+    return labels

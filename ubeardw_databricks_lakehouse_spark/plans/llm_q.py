@@ -2592,3 +2592,48 @@ FROM run, st
 WHERE cumw // t > (cumw - n_chars) // t
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_neighbors (r10 — the spatial radius-join class): all point
+# pairs within planar distance 1.5 of each other on the synthetic
+# embedding-derived coordinates (the q_geo_enrichment derivation).
+# Grid-cell bucketing (3x3 neighborhood equi-join, operators/spatial)
+# replaces the quadratic nested-loop plan Spark would pick for a raw
+# distance-predicate join; the residual predicate and emitted dist_sq
+# use only IEEE-exact double ops (subtract/multiply/add — the no-libm
+# policy), so the entry is fully oracle-paired against DuckDB's
+# brute-force cross join, candidate generation proven lossless by the
+# comparison itself.
+# ---------------------------------------------------------------------------
+
+
+def q_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import radius_join
+
+    pts = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") * 45).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 90).alias("y"),
+    )
+    pairs = radius_join(pts, "vec_id", "x", "y", 1.5).select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "dist_sq",
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+Q_SPATIAL_NEIGHBORS_SQL = """
+WITH pts AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) * 45 AS x,
+         CAST(embedding[2] AS DOUBLE) * 90 AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25
+ORDER BY vec_a, vec_b
+"""

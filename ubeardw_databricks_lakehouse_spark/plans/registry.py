@@ -64,8 +64,10 @@ emptied). Ledger after r09 mechanically recomputed this round:
 r6=19, r7=50, r8=50, r9=50, never-graded=1 — matches the r9 verdict
 and the staleness test's printed list element-for-element. Horizon
 stays 4 = ceil(|registry|/50); demand r11 = 20 remaining-r7 +
-deferred + free slots. Registry closes r10 at 172 entries (two
-additions in the deferred lane: q_quantile_sketch, q_weighted_sample).
+deferred + free slots. Registry closes r10 at 174 entries (four
+additions in the deferred lane, inside the <=5 budget:
+q_quantile_sketch, q_weighted_sample, q_spatial_neighbors,
+q_lpa_communities).
 r10 gates on the final tree: oracle sweep 157/157 exact at sf0.01
 (167-192 s across three full-gate runs), full pytest 474→478 green as
 the round's tests landed; BENCH_REPS=3 medians committed as
@@ -736,6 +738,20 @@ QUERIES: list[QueryDef] = [
              "distributed integer prefix sum + integer-division "
              "interval test — no pow/ln keys, hash-exact in any "
              "engine"),
+    QueryDef("q_spatial_neighbors", llm_q.q_spatial_neighbors,
+             llm_q.Q_SPATIAL_NEIGHBORS_SQL,
+             "spatial radius join (all point pairs within distance "
+             "1.5): grid-cell 3x3-neighborhood equi-join replaces the "
+             "nested-loop distance join; IEEE-exact squared-distance "
+             "residual, so fully oracle-paired vs DuckDB brute force"),
+    QueryDef("q_lpa_communities", relational.q_lpa_communities,
+             relational.Q_LPA_COMMUNITIES_SQL,
+             "label-propagation communities on the part co-order "
+             "graph (the community-detection class, distinct from CC "
+             "transitive closure): synchronous mode-of-neighbors with "
+             "total tie-break, fixed 3 rounds — all-integer, DuckDB "
+             "replays the iteration as chained CTEs, fully "
+             "oracle-paired"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -888,11 +904,28 @@ _WINDOW: list[str] = [
 #    orderings are libm-dependent); hash order + integer prefix sum
 #    (global_running_sum) + integer-division interval test, so the
 #    entry is fully oracle-PAIRED, not rows-only.
-# At 172 entries the horizon stays 4 = ceil(172/50); demand
-# r11 = 20 r7-stale + 2 deferred + 28 free.
+# 3. q_spatial_neighbors, the spatial radius-join class. The geo
+#    family stopped at per-row enrichment (geohash/H3/timezone);
+#    nothing found PAIRS by distance — the POI-conflation / neighbor-
+#    feature primitive. Grid-cell 3x3 equi-join (the rangejoin.py
+#    pattern in 2D), lossless by construction; squared-distance
+#    residual uses only IEEE-exact double ops (no sqrt/libm), so the
+#    entry is fully oracle-PAIRED vs DuckDB's brute-force cross join.
+# 4. q_lpa_communities, the community-detection class. The graph
+#    family had connectivity (CC = min-label transitive closure),
+#    centrality (PageRank), reachability (BFS), and density
+#    (triangles) — but no clustering: LPA spreads the MODE of
+#    neighbor labels, keeping dense pockets distinct. Synchronous
+#    rounds + total tie-break (count DESC, label ASC) + fixed
+#    iterations = all-integer and fully oracle-PAIRED (DuckDB chains
+#    the rounds as CTEs), which async/random-tie-break LPA never is.
+# At 174 entries the horizon stays 4 = ceil(174/50); demand
+# r11 = 20 r7-stale + 4 deferred + 26 free.
 _DEFERRED_NEW: list[str] = [
     "q_quantile_sketch",
     "q_weighted_sample",
+    "q_spatial_neighbors",
+    "q_lpa_communities",
 ]
 
 _by_name = {q.name: q for q in QUERIES}

@@ -3496,3 +3496,77 @@ SELECT c_mktsegment AS segment, n AS n_days,
 FROM sums
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# q_lpa_communities (r10 — the community-detection class): synchronous
+# label propagation on the part co-order graph (parts that appear in
+# the same order are neighbors; lineitem self-join on l_orderkey).
+# Distinct from connected components (same-entity transitive closure,
+# operators/dedup) — LPA spreads the MODE of neighbor labels, so it
+# finds dense "frequently bought together" pockets, the clustering
+# primitive a curation pipeline uses for topic/product grouping.
+# All-integer logic (counts + min-tie-break over bigint part keys) with
+# synchronous rounds and a FIXED iteration count, so DuckDB replays the
+# whole iteration exactly as three chained CTE rounds — fully
+# oracle-paired, which published LPA implementations (async, random
+# tie-break) never are.
+# ---------------------------------------------------------------------------
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import community_lpa
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e0 = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    labels = community_lpa(e0, n_iter=3)
+    return labels.select(
+        F.col("node").alias("part"), "community"
+    ).orderBy("part")
+
+
+Q_LPA_COMMUNITIES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS community FROM edges),
+c1 AS (
+  SELECT e.u AS node, l.community, COUNT(*) AS cnt
+  FROM edges e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.community
+),
+l1 AS (
+  SELECT node, community FROM c1
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, community ASC) = 1
+),
+c2 AS (
+  SELECT e.u AS node, l.community, COUNT(*) AS cnt
+  FROM edges e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.community
+),
+l2 AS (
+  SELECT node, community FROM c2
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, community ASC) = 1
+),
+c3 AS (
+  SELECT e.u AS node, l.community, COUNT(*) AS cnt
+  FROM edges e JOIN l2 l ON e.v = l.node GROUP BY e.u, l.community
+),
+l3 AS (
+  SELECT node, community FROM c3
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, community ASC) = 1
+)
+SELECT node AS part, community FROM l3 ORDER BY part
+"""
