@@ -82,6 +82,14 @@ HEADLINE = [
     "q_triangle_suppliers",
     "q_curated_corpus",
     "q_training_export",
+    # r10 additions: the spatial radius join (grid-cell equi-join —
+    # the new pair-finding class; sub-second, kept as a plan-shape
+    # tripwire against nested-loop regressions) and LPA community
+    # detection (3 synchronous rounds over the ~1.2M-edge part
+    # co-order graph — the heaviest new iterative entry, the
+    # round-over-round anchor for keyed-shuffle iteration cost).
+    "q_spatial_neighbors",
+    "q_lpa_communities",
 ]
 
 

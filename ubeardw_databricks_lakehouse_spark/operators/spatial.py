@@ -33,7 +33,10 @@ of the DuckDB oracle.
 No counterpart in the reference (its geo surface stops at per-row
 geohash/H3/timezone enrichment, gold_pipeline.py:65-98); this is the
 pair-finding operator a dedup / POI-conflation / neighbor-features
-pipeline needs at 100 TB.
+pipeline needs at 100 TB. In-repo lineage: q_geo_radius_join
+(plans/relational.py) pioneered the cell pattern inline (two-table,
+aggregated, strict <); this module is its reusable generalization —
+self-join pair grain, spherical metric, wrap handling, guards.
 """
 
 from __future__ import annotations

@@ -2595,16 +2595,19 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# q_spatial_neighbors (r10 — the spatial radius-join class): all point
-# pairs within planar distance 1.5 of each other on the synthetic
-# embedding-derived coordinates (the q_geo_enrichment derivation).
-# Grid-cell bucketing (3x3 neighborhood equi-join, operators/spatial)
-# replaces the quadratic nested-loop plan Spark would pick for a raw
-# distance-predicate join; the residual predicate and emitted dist_sq
-# use only IEEE-exact double ops (subtract/multiply/add — the no-libm
-# policy), so the entry is fully oracle-paired against DuckDB's
-# brute-force cross join, candidate generation proven lossless by the
-# comparison itself.
+# q_spatial_neighbors (r10 — the spatial self-join pair primitive):
+# all point pairs within planar distance 1.5 of each other on the
+# synthetic embedding-derived coordinates (the q_geo_enrichment
+# derivation). The grid-cell technique itself predates this entry
+# (q_geo_radius_join carries it inline: two-table, aggregated output,
+# strict <); this entry grades the OPERATORIZED form
+# (operators/spatial.radius_join — reusable, self-join emitting each
+# unordered pair exactly once, haversine/antimeridian support) at
+# pair grain. The residual predicate and emitted dist_sq use only
+# IEEE-exact double ops (subtract/multiply/add — the no-libm policy),
+# so the entry is fully oracle-paired against DuckDB's brute-force
+# cross join, candidate generation proven lossless by the comparison
+# itself.
 # ---------------------------------------------------------------------------
 
 

@@ -740,10 +740,11 @@ QUERIES: list[QueryDef] = [
              "engine"),
     QueryDef("q_spatial_neighbors", llm_q.q_spatial_neighbors,
              llm_q.Q_SPATIAL_NEIGHBORS_SQL,
-             "spatial radius join (all point pairs within distance "
-             "1.5): grid-cell 3x3-neighborhood equi-join replaces the "
-             "nested-loop distance join; IEEE-exact squared-distance "
-             "residual, so fully oracle-paired vs DuckDB brute force"),
+             "spatial radius SELF-join at pair grain (operatorized "
+             "form of the q_geo_radius_join inline pattern): grid-"
+             "cell 3x3-neighborhood equi-join, each unordered pair "
+             "once; IEEE-exact squared-distance residual, fully "
+             "oracle-paired vs DuckDB brute force"),
     QueryDef("q_lpa_communities", relational.q_lpa_communities,
              relational.Q_LPA_COMMUNITIES_SQL,
              "label-propagation communities on the part co-order "
@@ -904,13 +905,16 @@ _WINDOW: list[str] = [
 #    orderings are libm-dependent); hash order + integer prefix sum
 #    (global_running_sum) + integer-division interval test, so the
 #    entry is fully oracle-PAIRED, not rows-only.
-# 3. q_spatial_neighbors, the spatial radius-join class. The geo
-#    family stopped at per-row enrichment (geohash/H3/timezone);
-#    nothing found PAIRS by distance — the POI-conflation / neighbor-
-#    feature primitive. Grid-cell 3x3 equi-join (the rangejoin.py
-#    pattern in 2D), lossless by construction; squared-distance
-#    residual uses only IEEE-exact double ops (no sqrt/libm), so the
-#    entry is fully oracle-PAIRED vs DuckDB's brute-force cross join.
+# 3. q_spatial_neighbors, the spatial SELF-join pair primitive —
+#    honestly labeled: the grid-cell technique itself is NOT new
+#    (q_geo_radius_join carries it inline, two-table + aggregated);
+#    this addition OPERATORIZES it (`operators/spatial.radius_join`:
+#    self-join emitting each unordered pair once, haversine metric
+#    with exact spherical cell bounds + modular antimeridian ring,
+#    Catalyst-proof loudness guards) and grades the pair-LEVEL
+#    output the inline form never exposed. Squared-distance residual
+#    uses only IEEE-exact double ops (no sqrt/libm), so the entry is
+#    fully oracle-PAIRED vs DuckDB's brute-force cross join.
 # 4. q_lpa_communities, the community-detection class. The graph
 #    family had connectivity (CC = min-label transitive closure),
 #    centrality (PageRank), reachability (BFS), and density
