@@ -530,6 +530,12 @@ SCAN_CEILINGS = {
     "q_bigram_lm": 4,
     "q17_small_qty_revenue": 4,
     "q10_returned_items": 4,
+    "q_spatial_neighbors": 2,   # embeddings once per pair side — the
+    # celled equi-join must never multiply the scan (a nested-loop
+    # fallback would show up here as plan-shape drift)
+    "q_lpa_communities": 0,     # labels checkpointed every round: the
+    # final plan reads only the truncated lineage (ExistingRDD), the
+    # corpus scans happen inside the bounded per-round jobs
 }
 
 

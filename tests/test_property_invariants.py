@@ -642,3 +642,68 @@ def test_tdigest_core_invariants(vals):
     assert all(a <= b + 1e-12 for a, b in zip(est, est[1:]))
     # every estimate stays inside the data range
     assert all(tmin - 1e-12 <= e <= tmax + 1e-12 for e in est)
+
+
+# --- LPA: synchronous community labels match a python replay --------------
+
+
+@PROP
+@given(edge_lists, st.integers(min_value=1, max_value=3))
+def test_community_lpa_matches_python_replay(spark, edges, n_iter):
+    from collections import Counter
+
+    from ubeardw_databricks_lakehouse_spark.operators.graph import community_lpa
+
+    und = {(a, b) for a, b in edges if a != b}
+    if not und:
+        return  # empty graph: nothing to label
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(n_iter):
+        lbl = {
+            v: max(
+                Counter(lbl[w] for w in adj[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in adj
+        }
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = dict(community_lpa(df, n_iter=n_iter).collect())
+    assert got == lbl
+
+
+# --- radius join: celled pairs == brute force on gridded coords ----------
+
+point_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=-20, max_value=20),  # x eighths: boundary-rich
+        st.integers(min_value=-20, max_value=20),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@PROP
+@given(point_sets, st.sampled_from([0.5, 1.0, 2.5]))
+def test_radius_join_matches_bruteforce_property(spark, grid_pts, radius):
+    from itertools import combinations
+
+    from ubeardw_databricks_lakehouse_spark.operators.spatial import radius_join
+
+    # eighth-unit grid coords: many pairs land EXACTLY on cell edges
+    # and at distance == radius, the residual-vs-candidate corners
+    pts = [(i, gx / 8.0, gy / 8.0) for i, (gx, gy) in enumerate(grid_pts)]
+    expect = {}
+    for (i, xi, yi), (j, xj, yj) in combinations(pts, 2):
+        dsq = (xi - xj) ** 2 + (yi - yj) ** 2
+        if dsq <= radius * radius:
+            expect[(i, j)] = dsq
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {
+        (a, b): d for a, b, d in radius_join(df, "id", "x", "y", radius).collect()
+    }
+    assert got == expect

@@ -227,3 +227,17 @@ def test_radius_join_haversine_huge_radius_single_ring_cell(spark):
         if _haversine_km(p, q) <= rkm
     }
     assert set(keys) == exp
+
+
+def test_lpa_converge_mode(spark):
+    # a clique fixes after round 1 (everyone adopts the min label);
+    # converge=True must stop there and equal the fixed-round result
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fixed = dict(community_lpa(df, n_iter=6).collect())
+    conv = dict(community_lpa(df, n_iter=6, converge=True).collect())
+    assert conv == fixed == {v: 0 for v in range(5)}
+    # oscillating single edge never fixes: converge runs to the cap
+    osc = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    assert dict(community_lpa(osc, n_iter=3, converge=True).collect()) == {1: 2, 2: 1}
+    assert "_prev" not in community_lpa(osc, n_iter=2, converge=True).columns

@@ -469,6 +469,7 @@ def community_lpa(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
+    converge: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over an UNDIRECTED reading of ``edges``: every node
@@ -491,8 +492,15 @@ def community_lpa(
     and the round count is FIXED — all-integer logic end to end, so
     any engine replays it bit-for-bit. Synchronous LPA can oscillate
     on bipartite structure instead of converging; with a fixed
-    ``n_iter`` the output is still exact and stable, and callers who
-    want a fixpoint can raise ``n_iter`` and compare rounds.
+    ``n_iter`` the output is still exact and stable.
+
+    ``converge=True`` makes ``n_iter`` a CAP instead: rounds stop
+    early once no label changes (the fixpoint), still deterministic.
+    The probe costs no recompute — the new labels carry the previous
+    label through the round's checkpoint, so the changed-count is one
+    scan of the just-materialized |V|-row frame (the CC probe-fusion
+    policy). Oscillating structure simply runs to the cap, exactly as
+    with ``converge=False``.
 
     Scale shape: each round is one equi-join (edges x labels: route
     every neighbor's label over the edge table) + one (node, label)
@@ -530,7 +538,18 @@ def community_lpa(
                 "community", F.struct(F.col("cnt"), (-F.col("community")).alias("neg"))
             ).alias("community")
         )
+        if converge:
+            # carry the previous label through the checkpoint so the
+            # fixpoint probe is one scan of the materialized frame
+            picked = picked.join(
+                labels.select("node", F.col("community").alias("_prev")), "node"
+            )
         # every node has degree >= 1 in the symmetrized table, so the
         # join is total — no isolated-node coalesce needed here
         labels = picked.localCheckpoint(eager=True)
+        if converge:
+            changed = labels.where(F.col("community") != F.col("_prev")).count()
+            labels = labels.drop("_prev")
+            if changed == 0:
+                break
     return labels
