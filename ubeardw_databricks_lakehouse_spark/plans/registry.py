@@ -68,11 +68,14 @@ deferred + free slots. Registry closes r10 at 174 entries (four
 additions in the deferred lane, inside the <=5 budget:
 q_quantile_sketch, q_weighted_sample, q_spatial_neighbors,
 q_lpa_communities).
-r10 gates on the final tree: oracle sweep 157/157 exact at sf0.01
-(167-192 s across three full-gate runs), full pytest 474→478 green as
-the round's tests landed; BENCH_REPS=3 medians committed as
-BENCH_MEDIANS_r10.json (suite 58.7 s; the CC edge-recompute fix took
-q_curated_corpus 10.33 -> 5.93 s).
+r10 gates on the final tree: oracle sweep 159/159 exact at sf0.01
+(203 s; earlier full-gate runs 157/157 at 167-212 s as the additions
+landed), full pytest 474→478→498 green as the round's tests landed;
+BENCH_REPS=3 medians committed as BENCH_MEDIANS_r10.json (39 entries,
+suite 69.3 s with the two new bench entries; the CC edge-recompute
+fix took q_curated_corpus 10.33 -> 5.93 s mid-round, and the final
+sample's uniform 1.09x common-37 drift is host load, analyzed in
+SCALING.md).
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
