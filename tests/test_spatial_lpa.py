@@ -241,3 +241,15 @@ def test_lpa_converge_mode(spark):
     osc = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     assert dict(community_lpa(osc, n_iter=3, converge=True).collect()) == {1: 2, 2: 1}
     assert "_prev" not in community_lpa(osc, n_iter=2, converge=True).columns
+
+
+def test_lpa_long_min_label_no_overflow(spark):
+    # hashed 64-bit node ids can be LONG_MIN; the tie-break must never
+    # negate a label (ANSI overflow) — only the always-positive count
+    lm = -(2**63)
+    edges = [(lm, 5), (5, 6), (6, lm)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = dict(community_lpa(df, n_iter=2).collect())
+    assert got == _lpa_py(edges, 2)
+    assert lm in got  # the extreme id is a labeled node, and the min
+    assert got[5] == lm or got[6] == lm or got[lm] == lm

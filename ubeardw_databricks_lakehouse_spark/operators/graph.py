@@ -504,10 +504,12 @@ def community_lpa(
 
     Scale shape: each round is one equi-join (edges x labels: route
     every neighbor's label over the edge table) + one (node, label)
-    count + one max_by per node — three keyed shuffles, no driver
+    count + one min_by per node — three keyed shuffles, no driver
     state, frontier = |E| always. Labels must be integral node ids
-    (the max_by tie-break negates them); string ids hash to longs
-    first. Checkpoint discipline: the symmetrized edge table once at
+    (hashed 64-bit ids are safe: the tie-break negates the COUNT,
+    never the label, so LONG_MIN labels cannot overflow under ANSI);
+    string ids hash to longs first. Checkpoint discipline: the
+    symmetrized edge table once at
     entry (reused every round), each round's labels eagerly — bounded
     plan depth, deterministic scan counts (the bounded-iteration
     policy of `operators/dedup`).
@@ -532,10 +534,13 @@ def community_lpa(
             labels.select(F.col("node").alias("v"), "community"), "v"
         ).select(F.col("u").alias("node"), "community")
         counts = nbr.groupBy("node", "community").agg(F.count("*").alias("cnt"))
-        # mode with smallest-label tie-break: max of (cnt, -community)
+        # mode with smallest-label tie-break: MIN of (-cnt, community).
+        # Negate the count, never the label — labels may be hashed
+        # 64-bit ids and -LONG_MIN overflows under ANSI; counts are
+        # always positive.
         picked = counts.groupBy("node").agg(
-            F.max_by(
-                "community", F.struct(F.col("cnt"), (-F.col("community")).alias("neg"))
+            F.min_by(
+                "community", F.struct((-F.col("cnt")).alias("nc"), F.col("community"))
             ).alias("community")
         )
         if converge:
