@@ -69,8 +69,10 @@ additions in the deferred lane, inside the <=5 budget:
 q_quantile_sketch, q_weighted_sample, q_spatial_neighbors,
 q_lpa_communities).
 r10 gates on the final tree: oracle sweep 159/159 exact at sf0.01
-(203 s; earlier full-gate runs 157/157 at 167-212 s as the additions
-landed), full pytest 474→478→498 green as the round's tests landed;
+(203 s) AND 159/159 exact at sf0.1 (2,088 s — first full-battery
+bench-scale sweep; earlier full-gate runs 157/157 as the additions
+landed), full pytest 474→478→498→499 green as the round's tests
+landed;
 BENCH_REPS=3 medians committed as BENCH_MEDIANS_r10.json (39 entries,
 suite 69.3 s with the two new bench entries; the CC edge-recompute
 fix took q_curated_corpus 10.33 -> 5.93 s mid-round, and the final
