@@ -253,3 +253,33 @@ def test_lpa_long_min_label_no_overflow(spark):
     assert got == _lpa_py(edges, 2)
     assert lm in got  # the extreme id is a labeled node, and the min
     assert got[5] == lm or got[6] == lm or got[lm] == lm
+
+
+def test_radius_join_nan_coords_dropped_both_metrics(spark):
+    # NaN behaves like NULL — dropped, never a misleading guard trip
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, nan, 0.0), (3, 0.1, 0.1), (4, 0.0, nan)],
+        "id bigint, x double, y double",
+    )
+    got = {(a, b) for a, b, _ in radius_join(df, "id", "x", "y", 1.0).collect()}
+    assert got == {(1, 3)}
+    dfh = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, nan, 0.2), (3, 10.1, 0.1)],
+        "id bigint, lat double, lon double",
+    )
+    goth = {(a, b) for a, b, _ in radius_join(dfh, "id", "lat", "lon", 50.0, metric="haversine").collect()}
+    assert goth == {(1, 3)}
+
+
+def test_radius_join_haversine_two_table_mode(spark):
+    left = spark.createDataFrame([(1, 48.85, 2.35)], "id bigint, lat double, lon double")   # Paris
+    right = spark.createDataFrame(
+        [(7, 48.80, 2.30), (8, 51.50, -0.12), (9, 48.85, 179.0)],
+        "id bigint, lat double, lon double",
+    )  # Versailles-ish, London, antipode-ish
+    got = {(a, b): d for a, b, d in radius_join(
+        left, "id", "lat", "lon", 20.0, other=right, metric="haversine"
+    ).collect()}
+    assert set(got) == {(1, 7)}
+    assert abs(got[(1, 7)] - _haversine_km((1, 48.85, 2.35), (7, 48.80, 2.30))) < 1e-9

@@ -70,9 +70,18 @@ def _celled(
         # modular longitude ring: lon 180 wraps onto cell 0 (same cell
         # as -180), so antimeridian neighbors share/adjoin cells
         cy = F.pmod(F.floor((F.col(y_col) + F.lit(180.0)) / F.lit(cw_y)), F.lit(n_lon))
-    return df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).withColumns(
-        {"_cx": cx, "_cy": cy}
+    # NaN behaves like NULL (row dropped): without the explicit isnan
+    # filter a NaN latitude TRIPS the loudness guard (NaN sorts greater
+    # than every number in Spark comparisons) with a misleading message,
+    # while euclidean silently NULLed the cell — this unifies both
+    # metrics on the documented drop semantic.
+    valid = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & ~F.isnan(F.col(x_col))
+        & ~F.isnan(F.col(y_col))
     )
+    return df.where(valid).withColumns({"_cx": cx, "_cy": cy})
 
 
 def radius_join(
@@ -101,7 +110,7 @@ def radius_join(
     at that latitude, so the bound is what makes the grid lossless.
     Longitude cells form a modular ring (neighbor offsets wrap mod n),
     so antimeridian pairs (lon 179.9 vs -179.9) are found like any
-    others.
+    others. NULL and NaN coordinates drop the row (both metrics).
     """
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
