@@ -165,3 +165,23 @@ def test_no_query_goes_stale_unchecked() -> None:
         f"position {DRIVER_WINDOW}: {stale} — rotate them into "
         f"plans/registry._WINDOW now"
     )
+
+
+def test_rotation_plan_tool_agrees_with_ledger() -> None:
+    """tools/rotation_plan.py duplicates this module's ledger math by
+    necessity (tools are standalone); pin the shared invariants so the
+    copies cannot drift: same definition-order universe as the
+    registry, same row-green predicate on every report row."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_plan", REPO / "tools" / "rotation_plan.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.definition_order()) == {q.name for q in QUERIES}
+    for report in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(report.read_text())
+        for name, row in data.items():
+            if isinstance(row, dict):
+                assert mod._row_ok(row) == _row_ok(row), (report.name, name)

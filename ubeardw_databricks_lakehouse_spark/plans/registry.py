@@ -12,7 +12,9 @@ order is set by the explicit ``_WINDOW`` list at the bottom: its 50
 names become positions 1-50 for the next driver run; everything else
 keeps its definition order behind them.
 
-Rotation rule (enforced by tests/test_registry_order.py): no query may
+Rotation rule (enforced by tests/test_registry_order.py; the next
+window is computed mechanically by tools/rotation_plan.py — run it
+right after the driver drops a CORRECTNESS report): no query may
 go two consecutive rounds unchecked — every entry whose latest green
 evidence is two or more CORRECTNESS reports old, plus every entry with
 no green evidence at all, must be inside the window. Entries whose
