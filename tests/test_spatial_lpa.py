@@ -283,3 +283,49 @@ def test_radius_join_haversine_two_table_mode(spark):
     ).collect()}
     assert set(got) == {(1, 7)}
     assert abs(got[(1, 7)] - _haversine_km((1, 48.85, 2.35), (7, 48.80, 2.30))) < 1e-9
+
+
+def _lpa_py_weighted(edges_w, n_iter):
+    adj = defaultdict(dict)
+    for u, v, w in edges_w:
+        if u != v:
+            adj[u][v] = adj[u].get(v, 0) + w
+            adj[v][u] = adj[v].get(u, 0) + w
+    lbl = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v in adj:
+            votes = Counter()
+            for w_node, wt in adj[v].items():
+                votes[lbl[w_node]] += wt
+            new[v] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lbl = new
+    return lbl
+
+
+def test_lpa_weighted_matches_python_replay(spark):
+    random.seed(53)
+    edges = [
+        (random.randint(0, 30), random.randint(0, 30), random.randint(1, 9))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    for k in (1, 3):
+        got = dict(community_lpa(df, n_iter=k, weight_col="w").collect())
+        assert got == _lpa_py_weighted(edges, k), f"n_iter={k}"
+
+
+def test_lpa_weighted_flips_the_unweighted_mode(spark):
+    # node 0: two light neighbors labeled 10, one heavy neighbor
+    # labeled 20 — unweighted mode says 10, weighted says 20
+    edges = [(0, 10, 1), (0, 11, 1), (0, 20, 5), (10, 11, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    unweighted = dict(community_lpa(df, n_iter=1).collect())
+    weighted = dict(community_lpa(df, n_iter=1, weight_col="w").collect())
+    assert unweighted[0] == 10 and weighted[0] == 20
+
+
+def test_lpa_weighted_rejects_fractional_weights(spark):
+    df = spark.createDataFrame([(1, 2, 1.5)], "src bigint, dst bigint, w double")
+    with pytest.raises(Exception, match="integral"):
+        community_lpa(df, n_iter=1, weight_col="w").collect()

@@ -470,6 +470,7 @@ def community_lpa(
     dst: str = "dst",
     n_iter: int = 3,
     converge: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over an UNDIRECTED reading of ``edges``: every node
@@ -502,6 +503,13 @@ def community_lpa(
     policy). Oscillating structure simply runs to the cap, exactly as
     with ``converge=False``.
 
+    ``weight_col`` names an INTEGRAL edge-weight column (e.g. the
+    number of co-orders behind a part pair): each neighbor's label
+    then votes with the edge weight instead of 1 — standard weighted
+    LPA, still all-integer and engine-replayable. Duplicate (u, v)
+    rows SUM their weights; each undirected edge carries the same
+    weight in both directions.
+
     Scale shape: each round is one equi-join (edges x labels: route
     every neighbor's label over the edge table) + one (node, label)
     count + one min_by per node — three keyed shuffles, no driver
@@ -516,13 +524,40 @@ def community_lpa(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        # unweighted: duplicate input edges count ONCE (distinct),
+        # every neighbor votes 1
+        und = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .unionByName(
+                edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .withColumn("_w", F.lit(1).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # weighted: duplicate (u, v) rows SUM weights; integral-only
+        # (a float vote makes the mode engine-dependent at ties — the
+        # same reasoning as the all-integer label rule)
+        wt = F.col(weight_col)
+        directed = edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.when(wt.cast("bigint") == wt, wt.cast("bigint"))
+            .otherwise(F.raise_error(F.lit("weight_col must be integral")))
+            .alias("_w"),
+        )
+        und = (
+            directed.unionByName(
+                directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "_w")
+            )
+            .where(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint(eager=True)
+        )
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -532,8 +567,8 @@ def community_lpa(
     for _ in range(n_iter):
         nbr = und.join(
             labels.select(F.col("node").alias("v"), "community"), "v"
-        ).select(F.col("u").alias("node"), "community")
-        counts = nbr.groupBy("node", "community").agg(F.count("*").alias("cnt"))
+        ).select(F.col("u").alias("node"), "community", "_w")
+        counts = nbr.groupBy("node", "community").agg(F.sum("_w").alias("cnt"))
         # mode with smallest-label tie-break: MIN of (-cnt, community).
         # Negate the count, never the label — labels may be hashed
         # 64-bit ids and -LONG_MIN overflows under ANSI; counts are
