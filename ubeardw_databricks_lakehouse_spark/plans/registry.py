@@ -73,8 +73,10 @@ q_lpa_communities).
 r10 gates on the final tree: oracle sweep 159/159 exact at sf0.01
 (203 s) AND 159/159 exact at sf0.1 (2,088 s — first full-battery
 bench-scale sweep; earlier full-gate runs 157/157 as the additions
-landed; final HEAD sweep 159/159 after the NaN-coordinate fix),
-full pytest 474→478→498→499→501 green as the round's tests landed;
+landed; final HEAD gates after the NaN-coordinate fix and the
+weighted-LPA extension: sweep 159/159 at 187 s, full pytest 505),
+full pytest 474→478→498→499→501→505 green as the round's tests
+landed;
 BENCH_REPS=3 medians committed as BENCH_MEDIANS_r10.json (39 entries,
 suite 69.3 s with the two new bench entries; the CC edge-recompute
 fix took q_curated_corpus 10.33 -> 5.93 s mid-round, and the final
