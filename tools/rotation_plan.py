@@ -70,34 +70,27 @@ def main() -> None:
             if isinstance(row, dict) and _row_ok(row):
                 latest[name] = report.name
 
-    # simulate the NEXT report: it grades (and, we assume, refreshes)
-    # the CURRENT first-50 window
-    current_window = [q.name for q in QUERIES[:DRIVER_WINDOW]]
-    next_report = f"CORRECTNESS_r{len(reports) + 90:02d}.simulated"  # sorts last
-    sim_latest = dict(latest)
-    for n in current_window:
-        sim_latest[n] = next_report
-
     horizon = max(2, math.ceil(len(QUERIES) / DRIVER_WINDOW))
-    # once the next report EXISTS, the test's fresh set is the last
-    # (horizon-1) reports of [..., next] = the last (horizon-2)
-    # existing ones plus next — not (horizon-1) existing (that kept one
-    # extra round fresh and under-counted the stale cohort)
-    fresh_after_next = (
-        {r.name for r in reports[-(horizon - 2):]} if horizon > 2 else set()
-    ) | {next_report}
+    # The staleness test's EXACT semantics (test_no_query_goes_stale_
+    # unchecked): with the latest report on disk, fresh = the last
+    # (horizon-1) EXISTING reports; any entry whose newest green sits
+    # outside that set must be in the window NOW so the next report
+    # refreshes it. (An earlier revision of this tool simulated one
+    # extra report ahead and marked the whole next-oldest cohort "must"
+    # too — at 174 entries that demanded 74 > 50 slots and, worse,
+    # truncated the never-graded lane out of the window, inverting the
+    # grading contract. The designed cadence is: that next-oldest
+    # cohort goes red at the NEXT round boundary and rotates then.)
+    fresh = {r.name for r in reports[-(horizon - 1):]}
 
-    must = [
-        n for n in names_def
-        if n in sim_latest and sim_latest[n] not in fresh_after_next
-    ]
-    never = [n for n in names_def if n not in sim_latest]
+    must = [n for n in names_def if n in latest and latest[n] not in fresh]
+    never = [n for n in names_def if n not in latest]
     # oldest-evidence-first fill, definition-order tiebreak inside a round
     remaining = [
         n for n in names_def
-        if n not in set(must) and n not in set(never) and n in sim_latest
+        if n not in set(must) and n not in set(never)
     ]
-    remaining.sort(key=lambda n: (sim_latest[n], names_def.index(n)))
+    remaining.sort(key=lambda n: (latest[n], names_def.index(n)))
 
     window = must + never
     free = DRIVER_WINDOW - len(window)
@@ -106,17 +99,29 @@ def main() -> None:
               f"horizon structurally violated; widen or split")
     window = (window + remaining[:max(free, 0)])[:DRIVER_WINDOW]
 
+    # forecast: entries NOT in this window whose evidence falls off the
+    # horizon once the next report lands = the floor of next round's
+    # demand (they go red at that boundary by design and rotate then)
+    fresh_after_next = {r.name for r in reports[-(horizon - 2):]} if (
+        horizon > 2) else set()
+    next_demand = [
+        n for n in names_def
+        if n not in set(window)
+        and n in latest and latest[n] not in fresh_after_next
+    ]
+
     by_round: dict[str, int] = {}
     for n in window:
-        by_round[sim_latest.get(n, "never")] = by_round.get(
-            sim_latest.get(n, "never"), 0) + 1
+        by_round[latest.get(n, "never")] = by_round.get(
+            latest.get(n, "never"), 0) + 1
     print(json.dumps({
         "registry": len(QUERIES), "horizon": horizon,
-        "stale_after_next_report": len(must),
+        "stale_now": len(must),
         "never_graded": len(never),
         "deferred_new": list(_DEFERRED_NEW),
         "fill": max(free, 0),
         "window_by_evidence_round": by_round,
+        "next_round_demand_floor": len(next_demand),
     }, indent=2))
     print("\n_WINDOW: list[str] = [")
     for i in range(0, len(window), 2):

@@ -768,46 +768,51 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r10 window rationale (from CORRECTNESS_r01-r09 evidence; r9 verdict
-# "Next round #1" — the registry's own demand math, CAPACITY NOTE above):
-# - the 19 entries whose newest green is CORRECTNESS_r06 promote first:
-#   their evidence falls off the 4-report horizon the moment
-#   CORRECTNESS_r10 lands, exactly as the forward-looking staleness
-#   test predicted when r09 landed.
-# - q_peak_concurrency (r9's one _DEFERRED_NEW addition, the only
-#   never-driver-graded entry) promotes per test_deferred_new_queue.
-# - the remaining 30 slots pull the oldest-evidence cohort forward:
-#   30 of the 50 entries whose newest green is CORRECTNESS_r07, in
+# r11 window rationale (from CORRECTNESS_r01-r10 evidence; r10 verdict
+# "Next round #1" — mechanically generated by tools/rotation_plan.py,
+# whose semantics were aligned this round with the staleness test: an
+# earlier revision simulated one extra report ahead, which at 174
+# entries produced an unsatisfiable 74-slot "must" set and truncated
+# the never-graded lane out of the window — the opposite of the
+# grading contract):
+# - the 20 entries whose newest green is CORRECTNESS_r07 promote
+#   first: their evidence falls off the 4-report horizon now that
+#   CORRECTNESS_r10 is on disk (exactly the list the staleness test
+#   prints).
+# - the four r10 _DEFERRED_NEW additions (q_quantile_sketch,
+#   q_weighted_sample, q_spatial_neighbors, q_lpa_communities — the
+#   never-driver-graded lane) promote per test_deferred_new_queue.
+# - the remaining 26 slots pull the oldest-evidence cohort forward:
+#   26 of the 50 entries whose newest green is CORRECTNESS_r08, in
 #   registry definition order (round-tie tiebreak — same policy as
-#   every prior rotation). The other 20 r7 entries head the r11 window
-#   (demand r11 = 20 + deferred + free slots <= 50).
-# 19 + 1 + 30 = 50/50: exactly full. Mechanically verified against the
-# reports: ledger after r09 is r6=19, r7=50, r8=50, r9=50, never=1.
+#   every prior rotation). The other 24 r8 entries head the r12
+#   window (demand r12 floor = 24, well under 50).
+# 20 + 4 + 26 = 50/50: exactly full. Mechanically verified against the
+# reports: ledger after r10 is r7=20, r8=50, r9=50, r10=50, never=4.
 _WINDOW: list[str] = [
-    # r6-latest-green lane (falls off the 4-report horizon when r10
-    # lands; the full 19-entry cohort in definition order)
-    "q_customers_no_orders", "q_priority_filters", "q_customer_tiers",
-    "q_rollup_revenue", "q_cube_orders", "q_part_stats",
-    "q12_late_shipments", "q14_promo_revenue", "q04_priority_semi",
-    "q10_returned_items", "q_customer_deciles", "q07_nation_volume",
-    "q08_market_share", "q_bm25_search", "q_gapfill_daily",
-    "q_pagerank_trading", "q_customer_percentiles", "q_masked_read",
-    "q_interpolate_daily",
-    # never-driver-graded lane (r9 deferred-new queue)
-    "q_peak_concurrency",
-    # r7-latest-green lane (first 30 of the 50-entry cohort in
-    # definition order; the other 20 head r11)
-    "q_token_stats", "q_embedding_dedup_fast", "q_repetition_profile",
-    "q_unigram_lm", "q_dsir", "q_sessionization", "q_scd2_history",
-    "q_streaming_event_counts", "q_streaming_windowed_counts",
-    "q_funnel", "q_retention_cohorts", "q_asof_attribution",
-    "q_cohort_set_ops", "q_salted_brand_revenue", "q_unpivot_balances",
-    "q_dim_date", "q09_product_profit", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q21_waiting_supplier",
-    "q22_idle_customers", "q_props_json", "q_moving_value",
-    "q_daily_timeseries", "q_top_purchasers", "q_event_quantiles",
-    "q_time_rollup_multires",
+    # r7-latest-green lane (falls off the 4-report horizon now that
+    # r10 is on disk; the full 20-entry cohort in definition order)
+    "q_error_after_purchase", "q_bpe_encode", "q_hybrid_search_rrf",
+    "q_bigram_lm", "q_mmr_rerank", "q_quality_buckets",
+    "q_dup_span_removal", "q_cms_heavy_hitters", "q_winsorized_stats",
+    "q_kmv_distinct", "q02_min_cost_supplier", "q11_important_parts",
+    "q16_supplier_diversity", "q20_dominant_suppliers",
+    "q_triangle_suppliers", "q_fuzzy_part_match", "q_event_transitions",
+    "q_value_histogram", "q_entity_clusters", "q_trailing_7day",
+    # never-driver-graded lane (r10 deferred-new queue, in queue order)
+    "q_quantile_sketch", "q_weighted_sample", "q_spatial_neighbors",
+    "q_lpa_communities",
+    # r8-latest-green lane (first 26 of the 50-entry cohort in
+    # definition order; the other 24 head r12)
+    "q_lang_quality", "q_geo_enrichment", "q_simhash",
+    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
+    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
+    "q_winnow_fingerprints", "q_winnow_overlap", "q_time_travel",
+    "q_ivm_refresh", "q_audio_windows", "q_row_fingerprints",
+    "q_embedding_dedup", "q_sequence_packing", "q_neardup_verified_fast",
+    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
+    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
+    "q_contamination", "q_span_dedup", "q_linear_quality",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -934,12 +939,13 @@ _WINDOW: list[str] = [
 #    the rounds as CTEs), which async/random-tie-break LPA never is.
 # At 174 entries the horizon stays 4 = ceil(174/50); demand
 # r11 = 20 r7-stale + 4 deferred + 26 free.
-_DEFERRED_NEW: list[str] = [
-    "q_quantile_sketch",
-    "q_weighted_sample",
-    "q_spatial_neighbors",
-    "q_lpa_communities",
-]
+# r11 rotation: the four-entry r10 queue promoted into the window above
+# and this list emptied (contract honored — every prior queue rotated
+# on schedule: r5: 24, r7: 19, r8: 24, r9: 1, r10: 1, r11: 4). Ledger
+# after r10 is r7=20, r8=50, r9=50, r10=50, never=4; the r11 window
+# takes 20+4+26 and the demand sequence stays satisfiable: r12 = 24
+# remaining-r8 + deferred + free slots, r13 <= 50.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
