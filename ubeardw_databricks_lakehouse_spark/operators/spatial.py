@@ -10,16 +10,37 @@ neighborhood, equi-join on the cell coordinates, then apply the exact
 distance predicate as a residual filter.
 
 Losslessness: if dist(a, b) <= r then |ax-bx| <= r and |ay-by| <= r,
-so floor(ax/r) and floor(bx/r) differ by at most 1 (same for y) — the
-3x3 neighborhood is a superset of every qualifying pair, and each
-candidate pair surfaces exactly once (b's home cell is unique and a's
-nine exploded cells are distinct).
+so floor(ax/cw) and floor(bx/cw) differ by at most 1 for any cell
+width cw >= r (same for y) — the 3x3 neighborhood is a superset of
+every qualifying pair, and each candidate pair surfaces exactly once
+(b's home cell is unique and a's exploded cells are distinct). The
+cell width carries a 1e-6 relative margin in BOTH metrics: the
+qualifying predicate is the FLOAT residual dx*dx+dy*dy <= r*r, and a
+pair whose float residual just passes while its true coordinate delta
+exceeds r by an ulp could otherwise land two cells apart (the margin
+is ~1e10 ulps wide, the rounding error a handful — the superset claim
+is unconditional again).
 
-Scale: shuffle volume is 9|A| + |B| rows keyed by cell — linear,
-equi-keyed, AQE-skew-splittable; a dense city cell is ONE hot key that
-AQE splits, vs. the nested-loop plan where density is a global
-quadratic. Replication factor is exactly 9 regardless of radius; pick
-the cell from the radius, never the reverse.
+Self-join mode emits only the 5-cell HALF-neighborhood
+{(0,0),(0,+1),(+1,-1),(+1,0),(+1,+1)}: for any two distinct cells u,v
+exactly one of v-u / u-v lies in that set (its non-zero members plus
+their negations tile all 8 neighbor offsets), so every cross-cell
+pair surfaces exactly once with no ordering filter, and same-cell
+pairs dedup on id order as before; output ids are normalized with
+least/greatest. This nearly halves the exploded shuffle: 5|A| + |A|
+rows vs the two-table mode's 9|A| + |B| — at 64M points the 9-way
+explode was the measured single-node spill wall (SCALING.md r10
+ladder). On the modular longitude ring the half-set argument needs
+n >= 3 ring cells (with n <= 2, +1 and -1 coincide mod n and the
+"exactly one direction" claim fails); degenerate 1-2 cell rings fall
+back to the full neighborhood + id-order filter.
+
+Scale: shuffle volume is 5|A| + |A| (self) / 9|A| + |B| (two-table)
+rows keyed by cell — linear, equi-keyed, AQE-skew-splittable; a dense
+city cell is ONE hot key that AQE splits, vs. the nested-loop plan
+where density is a global quadratic. Replication factor is a constant
+regardless of radius; pick the cell from the radius, never the
+reverse.
 
 Cross-engine exactness (the repo's no-libm policy, cf. the PPS
 sampler): the ``euclidean`` metric uses only IEEE-exact double ops
@@ -121,7 +142,10 @@ def radius_join(
             raise ValueError(f"input must not already have a {c!r} column")
 
     if metric == "euclidean":
-        cw_x = cw_y = float(radius)
+        # 1e-6 relative margin: the float residual can admit a pair
+        # whose true delta exceeds r by an ulp; with cw > r such a pair
+        # still spans at most one cell boundary (see module docstring)
+        cw_x = cw_y = float(radius) * 1.000001
     else:
         # km -> degrees, EXACT spherical bounds (a linear 111.045-km/deg
         # approximation under-sizes the lon cell near the latitude bound
@@ -156,8 +180,21 @@ def radius_join(
         n_lon = None
         lon_offsets = (-1, 0, 1)
         guard = None
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in lon_offsets]
+    # self mode: the 5-cell half-neighborhood finds each cross-cell
+    # pair exactly once (module docstring); needs +1 and -1 to be
+    # distinct on the lon ring, so degenerate 1-2 cell rings keep the
+    # full neighborhood + id-order filter
+    half = self_mode and (n_lon is None or n_lon >= 3)
+    if half:
+        offsets = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in lon_offsets]
 
+    if self_mode:
+        # id-order dedup (same-cell pairs) and least/greatest output
+        # normalization both drop null-id rows anyway — make the drop
+        # explicit so the half-neighborhood path cannot leak them
+        points = points.where(F.col(id_col).isNotNull())
     left = _celled(points, x_col, y_col, cw_x, cw_y, n_lon=n_lon, max_abs_x=guard)
     right = _celled(
         other if other is not None else points,
@@ -180,6 +217,7 @@ def radius_join(
                     F.struct(
                         (F.col("_cx") + F.lit(dx)).alias("cx"),
                         _cy_off(dy).alias("cy"),
+                        F.lit(dx == 0 and dy == 0).alias("home"),
                     )
                     for dx, dy in offsets
                 ]
@@ -188,6 +226,7 @@ def radius_join(
     ).select(
         f"{id_col}_a", "_xa", "_ya",
         F.col("_cell.cx").alias("_cx"), F.col("_cell.cy").alias("_cy"),
+        F.col("_cell.home").alias("_home"),
     )
     b = right.select(
         F.col(id_col).alias(f"{id_col}_b"),
@@ -197,7 +236,15 @@ def radius_join(
     )
     cand = a.join(b, ["_cx", "_cy"])
     if self_mode:
-        cand = cand.where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        if half:
+            # cross-cell candidates are already unique; only same-cell
+            # (home) candidates need the id-order dedup
+            cand = cand.where(
+                ~F.col("_home")
+                | (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            )
+        else:
+            cand = cand.where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
 
     if metric == "euclidean":
         dx = F.col("_xa") - F.col("_xb")
@@ -214,4 +261,12 @@ def radius_join(
         dist = km.alias("dist_km")
         pred = km <= F.lit(float(radius))
 
+    if self_mode and half:
+        # cross-cell pairs surface in cell order, not id order —
+        # normalize so the contract (<id>_a < <id>_b) holds
+        return cand.where(pred).select(
+            F.least(F.col(f"{id_col}_a"), F.col(f"{id_col}_b")).alias(f"{id_col}_a"),
+            F.greatest(F.col(f"{id_col}_a"), F.col(f"{id_col}_b")).alias(f"{id_col}_b"),
+            dist,
+        )
     return cand.where(pred).select(f"{id_col}_a", f"{id_col}_b", dist)
