@@ -1550,6 +1550,35 @@ def test_connected_components_star_deep_chain(spark):
     assert prop.where("component != 0").count() > 0
 
 
+def test_connected_components_auto_engine_selection(spark):
+    """The auto engine: shallow graphs resolve inside the propagation
+    budget; a graph deeper than the budget flips to the star engine
+    instead of returning unconverged labels (the silent hazard plain
+    propagation has at its cap)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    # deep chain (diameter 199 >> prop_budget): auto must converge
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = connected_components_auto(e, v)
+    assert got.where("component != 0").count() == 0
+    # shallow blob + singleton: same labels as ground truth
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    v2 = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long")
+    got2 = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_auto(e2, v2).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
 def test_connected_components_star_singletons_and_self_loops(spark):
     from ubeardw_databricks_lakehouse_spark.operators.dedup import (
         connected_components_star,
@@ -1567,20 +1596,21 @@ def test_connected_components_star_singletons_and_self_loops(spark):
 
 
 def test_dedup_clusters_star_engine_equivalent(spark):
-    """dedup_clusters(cc='star') produces identical clusters to the
-    propagation default on the sf0.001 corpus."""
+    """All three cc engines (auto default, propagation, star) produce
+    identical clusters on the sf0.001 corpus."""
     from ubeardw_databricks_lakehouse_spark.operators.dedup import dedup_clusters
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     base = {
         r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
-        for r in dedup_clusters(docs).collect()
+        for r in dedup_clusters(docs).collect()  # auto default
     }
-    star = {
-        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
-        for r in dedup_clusters(docs, cc="star").collect()
-    }
-    assert star == base
+    for engine in ("propagation", "star"):
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+            for r in dedup_clusters(docs, cc=engine).collect()
+        }
+        assert got == base, engine
 
 
 def test_resize_raw_images_exact_gather(spark):

@@ -678,7 +678,25 @@ def connected_components(
     dropped only from the output), so callers must pass
     vertices ⊇ endpoints for strict subgraph semantics — every caller
     in this repo does.
+
+    If the graph is deeper than ``max_iter`` the returned labels are
+    NOT converged — use ``connected_components_auto`` when the shape
+    is not known to be shallow (it detects budget exhaustion and
+    finishes with the diameter-free star engine).
     """
+    labels, _ = _min_label_propagation(edges, max_iter)
+    verts = vertices.select(F.col(id_col).alias("v")).distinct()
+    return verts.join(labels, "v", "left").select(
+        F.col("v").alias(id_col),
+        F.coalesce("lbl", F.col("v")).alias("component"),
+    )
+
+
+def _min_label_propagation(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame, bool]:
+    """The propagation core: endpoint labels plus a converged flag (so
+    callers can tell a fixpoint from budget exhaustion)."""
     # materialize the symmetrized edge set ONCE: it is re-read by the
     # seed and by every round's join, and the caller's edge lineage is
     # often the expensive part (dedup_clusters hands over the whole
@@ -698,6 +716,7 @@ def connected_components(
         .agg(F.least(F.col("v"), F.min("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter - 1):
         msgs_min = (
             sym.join(labels, "v")
@@ -725,7 +744,47 @@ def connected_components(
         changed = new_labels.where("_chg").limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    return labels, converged
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    prop_budget: int = 8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Engine selection as behavior (not a caller decision): run
+    min-label propagation with a SMALL round budget; if the graph
+    turns out deep, finish with the large-star/small-star engine.
+
+    No cheap ex-ante statistic separates the two regimes — mean degree
+    confuses isolated pairs (degree 1, shallow, propagation's best
+    case) with long chains (degree 2, propagation's worst case), and
+    diameter is exactly the quantity you cannot afford to compute. The
+    shape detector that IS free: near-dup collision graphs are shallow
+    by construction (3-4 propagation rounds, measured on the sf0.1
+    corpus where propagation beats star ~1.2 s vs ~1.9 s), so a
+    propagation run that exhausts ``prop_budget`` rounds without a
+    fixpoint has itself proven the graph deep — switch to the
+    O(log n) engine, whose converged labels are identical
+    (pytest-pinned). This also closes a silent-correctness hazard:
+    plain ``connected_components`` returns UNCONVERGED labels when the
+    budget runs out; auto never does.
+
+    Cost accounting: the common (shallow) path pays one extra eager
+    checkpoint of the pair list (tiny — it is the collision graph, not
+    the corpus); the deep path pays ``prop_budget`` wasted cheap
+    rounds before the star engine takes over from the checkpoint.
+    """
+    # pin the caller's (often expensive) edge lineage once so a star
+    # fallback re-reads a cache, never re-runs MinHash->LSH->verify
+    edges = edges.localCheckpoint(eager=True)
+    labels, converged = _min_label_propagation(edges, prop_budget)
+    if not converged:
+        return connected_components_star(edges, vertices, id_col, max_iter)
     verts = vertices.select(F.col(id_col).alias("v")).distinct()
     return verts.join(labels, "v", "left").select(
         F.col("v").alias(id_col),
@@ -845,7 +904,7 @@ def dedup_clusters(
     band_size: int = 2,
     shingle_n: int = 2,
     threshold: float = 0.5,
-    cc: str = "propagation",
+    cc: str = "auto",
 ) -> DataFrame:
     """Near-duplicate clusters: LSH-verified pairs -> connected
     components -> canonical pick (min id per cluster).
@@ -855,10 +914,12 @@ def dedup_clusters(
     ``is_canonical`` yields the deduplicated corpus with exactly one
     representative per near-dup group.
 
-    ``cc``: "propagation" (default; near-dup graphs are shallow and
-    the oracle replays it) or "star" (large-star/small-star — O(log n)
-    rounds, the choice when components may be deep; identical labels,
-    pytest-pinned).
+    ``cc``: "auto" (default — propagation with a small round budget,
+    star fallback when the graph proves deep; see
+    ``connected_components_auto``), "propagation" (near-dup graphs are
+    shallow and the oracle replays it; unconverged past the cap) or
+    "star" (large-star/small-star — O(log n) rounds regardless of
+    diameter; identical labels, pytest-pinned).
     """
     pairs = neardup_verified_pairs(
         df, id_col, text_col, n_hashes, band_size, shingle_n, threshold
@@ -885,9 +946,13 @@ def embedding_dedup_clusters(
 
 
 def _clusters_from_pairs(
-    pairs: DataFrame, df: DataFrame, id_col: str, cc: str = "propagation"
+    pairs: DataFrame, df: DataFrame, id_col: str, cc: str = "auto"
 ) -> DataFrame:
-    cc_fn = connected_components_star if cc == "star" else connected_components
+    cc_fn = {
+        "star": connected_components_star,
+        "propagation": connected_components,
+        "auto": connected_components_auto,
+    }[cc]
     comp = cc_fn(pairs.select("id_a", "id_b"), df, id_col)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
@@ -911,7 +976,7 @@ def embedding_dedup_clusters_fast(
     nprobe: int = 6,
     dim: int = 64,
     n_blocks: int = 2,
-    cc: str = "propagation",
+    cc: str = "auto",
     assign: str = "auto",
 ) -> DataFrame:
     """Production twin of ``embedding_dedup_clusters``: pairs form only
