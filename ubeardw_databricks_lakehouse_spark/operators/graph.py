@@ -513,10 +513,15 @@ def community_lpa(
     Scale shape: each round is one equi-join (edges x labels: route
     every neighbor's label over the edge table) + one (node, label)
     count + one min_by per node — three keyed shuffles, no driver
-    state, frontier = |E| always. Labels must be integral node ids
-    (hashed 64-bit ids are safe: the tie-break negates the COUNT,
-    never the label, so LONG_MIN labels cannot overflow under ANSI);
-    string ids hash to longs first. Checkpoint discipline: the
+    state, frontier = |E| always. Node ids MUST be integral (hashed
+    64-bit ids are safe: the tie-break negates the COUNT, never the
+    label, so LONG_MIN labels cannot overflow under ANSI); non-integral
+    src/dst columns raise TypeError at entry — hash string ids with
+    ``xxhash64`` BEFORE calling (an implicit in-operator hash would
+    silently change the label space the caller sees). NULL edge
+    weights raise with their own message (an unweighted edge is weight
+    1, not NULL — a NULL usually means an upstream join leak, better
+    loud). Checkpoint discipline: the
     symmetrized edge table once at
     entry (reused every round), each round's labels eagerly — bounded
     plan depth, deterministic scan counts (the bounded-iteration
@@ -524,6 +529,18 @@ def community_lpa(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    from pyspark.sql import types as T_
+
+    for c in (src, dst):
+        ctype = edges.schema[c].dataType
+        if not isinstance(
+            ctype, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+        ):
+            raise TypeError(
+                f"community_lpa needs integral node ids; {c!r} is "
+                f"{ctype.simpleString()} — hash string ids with "
+                "xxhash64 first"
+            )
     if weight_col is None:
         # unweighted: duplicate input edges count ONCE (distinct),
         # every neighbor votes 1 — plan identical to the pre-weighted
@@ -542,10 +559,22 @@ def community_lpa(
         # (a float vote makes the mode engine-dependent at ties — the
         # same reasoning as the all-integer label rule)
         wt = F.col(weight_col)
+        # both guards live INSIDE the used expression (a raise_error in
+        # a pruned column never fires — the spatial-operator lesson);
+        # NULL gets its own message: cast("bigint") == wt is NULL for
+        # NULL weights, which used to fall into the integral branch
+        # with a misleading message
         directed = edges.select(
             F.col(src).alias("u"),
             F.col(dst).alias("v"),
-            F.when(wt.cast("bigint") == wt, wt.cast("bigint"))
+            F.when(
+                wt.isNull(),
+                F.raise_error(F.lit(
+                    f"NULL in {weight_col!r}: weights must be non-null "
+                    "(an unweighted edge is 1, not NULL)"
+                )),
+            )
+            .when(wt.cast("bigint") == wt, wt.cast("bigint"))
             .otherwise(F.raise_error(F.lit("weight_col must be integral")))
             .alias("_w"),
         )

@@ -152,6 +152,13 @@ def global_running_sum(
     out of the O(P) offsets pass for free (with_global_row_number's
     with_total, sum form), sparing callers a separate corpus-scanning
     aggregate.
+
+    Session discipline: the pinned checkpoint lives until the result
+    frame is garbage-collected or ``unpersist()``-ed. A session
+    chaining several large prefix-sum jobs must release each result
+    before the next — holding every job's checkpoint concurrently
+    GC-thrashed at 100M+ total resident rows in the 80M-row PPS
+    stress run (SCALING.md, "Operational catch", r10 ladder).
     """
     import pandas as pd
     from pyspark.sql import types as T

@@ -216,6 +216,14 @@ def pps_systematic_sample(
     100 TB shape: one map pass for the hash, ONE range shuffle for the
     prefix sum, an O(P) offsets broadcast, a broadcast 1-row total,
     and a filter. Nothing driver-side beyond the partition offsets.
+
+    Session discipline: the prefix sum pins an eager localCheckpoint
+    of the ordered frame (see global_running_sum). A long-lived
+    session running several large sampling jobs must let each job's
+    result drop (or ``unpersist()`` it) before the next — holding many
+    checkpointed frames concurrently GC-thrashed at 100M+ total
+    resident rows in the 80M-row stress run (SCALING.md, "Operational
+    catch", r10 PPS ladder).
     """
     from pyspark.sql import types as T_
 
