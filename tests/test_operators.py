@@ -2375,3 +2375,23 @@ def test_pps_sample_guards(spark):
         pps_systematic_sample(
             spark.range(3).select("id", F.lit(1).alias("w")), "id", "w", 0
         )
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """df.unpersist() does NOT free checkpoint blocks (measured — the
+    helper's reason to exist); release_local_checkpoint does, and is a
+    safe no-op on non-checkpointed frames."""
+    from ubeardw_databricks_lakehouse_spark.core.session import (
+        release_local_checkpoint,
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert n_persisted() == base + 1
+    assert release_local_checkpoint(df) is True
+    assert n_persisted() == base
+    # non-checkpointed frame: no-op, returns False
+    assert release_local_checkpoint(spark.range(5)) is False

@@ -347,3 +347,85 @@ def test_lpa_null_weight_raises_its_own_message(spark):
     )
     with pytest.raises(Exception, match="non-null"):
         community_lpa(df, n_iter=1, weight_col="w").collect()
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def _kcore_py(edges, k, n_iter=10**9):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    rounds = 0
+    while rounds < n_iter:
+        drop = {v for v in adj if len(adj[v]) < k}
+        if not drop:
+            break
+        for v in drop:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+        adj = {v: nb for v, nb in adj.items() if nb}
+        rounds += 1
+    return {v: len(nb) for v, nb in adj.items()}
+
+
+def test_kcore_planted_clique_survives_chain_peels(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import kcore
+
+    # 6-clique (degrees 5) + a 30-node chain hanging off it: at k=3
+    # the chain peels away end-in, the clique survives intact
+    edges = [(i, j) for i, j in itertools.combinations(range(6), 2)]
+    edges += [(5 + i, 6 + i) for i in range(30)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = dict(kcore(df, k=3, n_iter=50).collect())
+    assert got == {v: 5 for v in range(6)}
+    # k above the clique degree: empty core, empty frame (not an error)
+    assert kcore(df, k=6, n_iter=50).count() == 0
+
+
+def test_kcore_matches_python_replay_random_graph(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import kcore
+
+    random.seed(71)
+    edges = list({(random.randint(0, 60), random.randint(0, 60)) for _ in range(180)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (2, 3, 4):
+        got = dict(kcore(df, k=k, n_iter=100).collect())
+        assert got == _kcore_py(edges, k), f"k={k}"
+
+
+def test_kcore_fixed_round_cap_is_partial_peel(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import kcore
+
+    # a 10-node chain at k=2 peels one node per end per round; the
+    # round-capped result equals the python replay at the same cap,
+    # and a converged run equals the unbounded replay (empty)
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got1 = dict(kcore(df, k=2, n_iter=1, converge=False).collect())
+    assert got1 == _kcore_py(edges, 2, n_iter=1)
+    assert kcore(df, k=2, n_iter=50).count() == 0
+    # fixpoint stability: extra rounds past convergence change nothing
+    clique = [(i, j) for i, j in itertools.combinations(range(5), 2)]
+    dfc = spark.createDataFrame(clique, "src bigint, dst bigint")
+    a = dict(kcore(dfc, k=3, n_iter=2).collect())
+    b = dict(kcore(dfc, k=3, n_iter=20).collect())
+    assert a == b == {v: 4 for v in range(5)}
+
+
+def test_kcore_validation(spark):
+    from ubeardw_databricks_lakehouse_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="k must"):
+        kcore(df, k=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        kcore(df, k=2, n_iter=0)
+    dfs = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="xxhash64"):
+        kcore(dfs, k=2)

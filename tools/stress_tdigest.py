@@ -39,7 +39,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from ubeardw_databricks_lakehouse_spark.core.session import get_spark, ship_package
+    from ubeardw_databricks_lakehouse_spark.core.session import (
+        get_spark,
+        release_local_checkpoint,
+        ship_package,
+    )
     from ubeardw_databricks_lakehouse_spark.operators.tdigest import (
         tdigest_build,
         tdigest_merge,
@@ -92,8 +96,8 @@ def main() -> None:
             "p50": round(got[0.5], 4), "p99": round(got[0.99], 4),
         })
         print(json.dumps(results[-1]), flush=True)
-        per_source.unpersist()
-        vals.unpersist()
+        release_local_checkpoint(per_source)
+        release_local_checkpoint(vals)
 
     if len(results) >= 2:
         a, b = results[0], results[-1]

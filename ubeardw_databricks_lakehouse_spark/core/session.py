@@ -117,3 +117,32 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_local_checkpoint(df) -> bool:
+    """Free the pinned blocks of an eagerly ``localCheckpoint``-ed
+    DataFrame NOW instead of waiting for the JVM ContextCleaner.
+
+    ``df.unpersist()`` does NOT release checkpoint blocks (it targets
+    the cache manager, and a checkpointed frame is a LogicalRDD, not
+    an InMemoryRelation) and dropping the Python reference frees them
+    only on an eventual GC cycle — measured on this runtime: blocks
+    still pinned after del + gc.collect() + System.gc(). Long
+    iterative loops (k-core peel, CC rounds, multi-rung stress
+    ladders) that hold every superseded round's edge set this way
+    exhaust unified memory at the 10^7-row scale (the r10 PPS-ladder
+    GC thrash, and the kcore 32M OOM that motivated this helper).
+
+    Only call on a frame that is truly dead — a checkpointed frame
+    read after release recomputes from an EMPTY lineage and returns
+    wrong results. Returns True when blocks were actually released
+    (the plan was a checkpoint LogicalRDD), False for a no-op.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass
+    return False

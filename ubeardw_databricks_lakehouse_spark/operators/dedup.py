@@ -697,6 +697,8 @@ def _min_label_propagation(
 ) -> tuple[DataFrame, bool]:
     """The propagation core: endpoint labels plus a converged flag (so
     callers can tell a fixpoint from budget exhaustion)."""
+    from ..core.session import release_local_checkpoint
+
     # materialize the symmetrized edge set ONCE: it is re-read by the
     # seed and by every round's join, and the caller's edge lineage is
     # often the expensive part (dedup_clusters hands over the whole
@@ -742,10 +744,17 @@ def _min_label_propagation(
             .select(F.col("v"), F.col("_new").alias("lbl"), "_chg")
         ).localCheckpoint(eager=True)  # truncate the iterative lineage
         changed = new_labels.where("_chg").limit(1).count()
+        # the superseded round's label frame is dead once the new
+        # checkpoint is materialized — release its pinned blocks now
+        # (the kcore-32M/PPS-ladder lesson; ContextCleaner is too slow)
+        release_local_checkpoint(labels)
         labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
+    # the final labels are a materialized checkpoint — the symmetrized
+    # edge set is no longer needed by anything downstream
+    release_local_checkpoint(sym)
     return labels, converged
 
 
@@ -872,9 +881,13 @@ def connected_components_star(
             F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
         ).first()
 
+    from ..core.session import release_local_checkpoint
+
     prev = None
     for _ in range(max_iter):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        release_local_checkpoint(prev_e)  # superseded round — free now
         cur = _checksum(e)
         if prev is not None and (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             break

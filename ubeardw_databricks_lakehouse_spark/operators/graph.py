@@ -587,6 +587,8 @@ def community_lpa(
             .agg(F.sum("_w").alias("_w"))
             .localCheckpoint(eager=True)
         )
+    from ..core.session import release_local_checkpoint
+
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -624,10 +626,116 @@ def community_lpa(
             )
         # every node has degree >= 1 in the symmetrized table, so the
         # join is total — no isolated-node coalesce needed here
+        prev_labels = labels
         labels = picked.localCheckpoint(eager=True)
+        # the superseded round's label frame is dead once the new
+        # checkpoint is materialized — release its pinned blocks (the
+        # kcore/PPS-ladder lesson; see core.session.release_local_checkpoint)
+        release_local_checkpoint(prev_labels)
         if converge:
             changed = labels.where(F.col("community") != F.col("_prev")).count()
             labels = labels.drop("_prev")
             if changed == 0:
                 break
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    n_iter: int = 10,
+    converge: bool = True,
+) -> DataFrame:
+    """k-core of an UNDIRECTED reading of ``edges`` by synchronous
+    degree peeling: each round drops EVERY node whose current degree
+    is < ``k``, then the edges touching a dropped node; repeat until
+    fixpoint (or ``n_iter`` rounds). Returns (node, core_degree) for
+    the surviving subgraph — the density-based FILTERING primitive the
+    graph family lacked (CC = connectivity, PageRank = centrality,
+    BFS = reachability, triangles = local density, LPA = clustering):
+    at corpus scale the k-core is the standard spam/bot-subgraph and
+    link-farm detector (a farm's mutual-link backbone survives peeling
+    long after organic structure has dissolved).
+
+    Oracle pairing (the community_lpa precedent, and one property
+    stronger): rounds are synchronous, the state is the edge set, and
+    peeling a fixpoint is a no-op — so a DuckDB replay of EXACTLY
+    ``n_iter`` chained CTE rounds equals the Spark result whether
+    Spark converged early (its fixpoint absorbs DuckDB's surplus
+    rounds) or hit the cap (both engines then hold the same round-R
+    state). All-integer logic (degrees and comparisons), no
+    tie-breaks needed at all — peeling is order-free within a round
+    by construction.
+
+    Scale shape: each round is one degree groupBy + two semi-joins on
+    the node key (alive-filter of both endpoints) over a
+    monotonically SHRINKING edge set, checkpointed eagerly (bounded
+    plan depth, the bounded-iteration policy). The convergence probe
+    is an edge count on the just-materialized frame: the edge set
+    only shrinks, so count-unchanged ⇔ fixpoint. Node ids must be
+    integral (hash strings with xxhash64 first — same contract and
+    same loud TypeError as community_lpa).
+
+    Reference scope: no counterpart (the reference has no graph
+    surface); public-algorithm implementation (Seidman 1983 cores;
+    the synchronous peel is the standard distributed formulation).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    from pyspark.sql import types as T_
+
+    for c in (src, dst):
+        ctype = edges.schema[c].dataType
+        if not isinstance(
+            ctype, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+        ):
+            raise TypeError(
+                f"kcore needs integral node ids; {c!r} is "
+                f"{ctype.simpleString()} — hash string ids with "
+                "xxhash64 first"
+            )
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from ..core.session import release_local_checkpoint
+
+    n_edges = sym.count()
+    for _ in range(n_iter):
+        if n_edges == 0:
+            break
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("u")
+        )
+        nxt = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        # the superseded round's edge set is dead the moment the new
+        # checkpoint is materialized — release its pinned blocks NOW
+        # (waiting for the ContextCleaner OOMed the 32M-node ladder)
+        release_local_checkpoint(sym)
+        sym = nxt
+        if converge and n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("u").alias("node"), "core_degree")
+    )

@@ -751,9 +751,10 @@ QUERIES: list[QueryDef] = [
              llm_q.Q_SPATIAL_NEIGHBORS_SQL,
              "spatial radius SELF-join at pair grain (operatorized "
              "form of the q_geo_radius_join inline pattern): grid-"
-             "cell 3x3-neighborhood equi-join, each unordered pair "
-             "once; IEEE-exact squared-distance residual, fully "
-             "oracle-paired vs DuckDB brute force"),
+             "cell 5-cell half-neighborhood equi-join (r11: 9N -> 5N "
+             "exploded rows), each unordered pair once; IEEE-exact "
+             "squared-distance residual, fully oracle-paired vs "
+             "DuckDB brute force"),
     QueryDef("q_lpa_communities", relational.q_lpa_communities,
              relational.Q_LPA_COMMUNITIES_SQL,
              "label-propagation communities on the part co-order "
@@ -762,6 +763,15 @@ QUERIES: list[QueryDef] = [
              "total tie-break, fixed 3 rounds — all-integer, DuckDB "
              "replays the iteration as chained CTEs, fully "
              "oracle-paired"),
+    # Tier 13 — added in r11 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_kcore_parts", relational.q_kcore_parts,
+             relational.Q_KCORE_PARTS_SQL,
+             "k-core by synchronous degree peeling on the repeat-"
+             "co-purchase part graph (the density-FILTERING class the "
+             "graph family lacked — the spam/link-farm primitive): "
+             "peeling is fixpoint-stable, so the fixed-R chained-CTE "
+             "replay is exact at any R — all-integer, no tie-breaks, "
+             "fully oracle-paired"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -945,7 +955,17 @@ _WINDOW: list[str] = [
 # after r10 is r7=20, r8=50, r9=50, r10=50, never=4; the r11 window
 # takes 20+4+26 and the demand sequence stays satisfiable: r12 = 24
 # remaining-r8 + deferred + free slots, r13 <= 50.
-_DEFERRED_NEW: list[str] = []
+# r11 addition (budget <=5, genuinely new classes only — the r10
+# verdict's named highest-value gap): exactly ONE — q_kcore_parts,
+# the density-based graph FILTERING class (iterative degree peel).
+# The family had connectivity/centrality/reachability/density/
+# clustering but nothing that FILTERS by density — the standard
+# spam/bot-subgraph primitive of a web-scale curation pipeline. The
+# peel is fixpoint-stable, making the fixed-round DuckDB replay exact
+# at any round count (one property stronger than LPA's pairing). At
+# 175 entries the horizon stays 4 = ceil(175/50); demand r12 = 24
+# r8-stale + 1 deferred + 25 free.
+_DEFERRED_NEW: list[str] = ["q_kcore_parts"]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)

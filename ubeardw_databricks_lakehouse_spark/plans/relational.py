@@ -3570,3 +3570,69 @@ l3 AS (
 )
 SELECT node AS part, community FROM l3 ORDER BY part
 """
+
+
+# ---------------------------------------------------------------------------
+# q_kcore_parts (r11 — the density-based graph FILTERING class): k-core
+# by synchronous degree peeling on the repeat-co-purchase backbone
+# (part pairs co-ordered in >= 2 distinct orders). The graph family
+# had connectivity (CC), centrality (PageRank), reachability (BFS),
+# local density (triangles) and clustering (LPA) — nothing FILTERED by
+# density; the k-core is the standard spam/link-farm detector in a
+# web-scale curation pipeline. Oracle pairing is one property STRONGER
+# than LPA's: the peel state is the edge set and peeling a fixpoint is
+# a no-op, so a DuckDB replay of exactly R chained CTE rounds equals
+# the Spark result whether Spark converged early (its fixpoint absorbs
+# the surplus rounds) or hit the cap (both hold the round-R state) —
+# exact at ANY R, all-integer, no tie-breaks (peeling is order-free
+# within a round by construction).
+# ---------------------------------------------------------------------------
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    lp = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("m"))
+        .where(F.col("m") >= 2)
+        .select("src", "dst")
+    )
+    core = kcore(e0, k=3, n_iter=4, converge=True)
+    return core.select(
+        F.col("node").alias("part"), "core_degree"
+    ).orderBy("part")
+
+
+Q_KCORE_PARTS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+a1 AS (SELECT u FROM edges GROUP BY u HAVING COUNT(*) >= 3),
+e1 AS (SELECT e.u, e.v FROM edges e
+       JOIN a1 x ON e.u = x.u JOIN a1 y ON e.v = y.u),
+a2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+e2 AS (SELECT e.u, e.v FROM e1 e
+       JOIN a2 x ON e.u = x.u JOIN a2 y ON e.v = y.u),
+a3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
+e3 AS (SELECT e.u, e.v FROM e2 e
+       JOIN a3 x ON e.u = x.u JOIN a3 y ON e.v = y.u),
+a4 AS (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 3),
+e4 AS (SELECT e.u, e.v FROM e3 e
+       JOIN a4 x ON e.u = x.u JOIN a4 y ON e.v = y.u)
+SELECT u AS part, COUNT(*) AS core_degree FROM e4 GROUP BY u ORDER BY part
+"""
