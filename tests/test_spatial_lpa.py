@@ -429,3 +429,19 @@ def test_kcore_validation(spark):
     dfs = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(TypeError, match="xxhash64"):
         kcore(dfs, k=2)
+
+
+def test_radius_join_shuffle_hash_hint_identical_pairs(spark):
+    # the opt-in SHUFFLE_HASH hint changes the physical join, never
+    # the pair set (the 64M spill-wall fix; see operator docstring)
+    random.seed(97)
+    pts = [(i, random.uniform(-20, 20), random.uniform(-20, 20)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    base = {(a, b): d for a, b, d in radius_join(df, "id", "x", "y", 2.0).collect()}
+    hinted = {
+        (a, b): d
+        for a, b, d in radius_join(
+            df, "id", "x", "y", 2.0, join_hint="SHUFFLE_HASH"
+        ).collect()
+    }
+    assert hinted == base == _brute_pairs(pts, 2.0)

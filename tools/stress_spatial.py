@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--scales", default="1000000,4000000")
     ap.add_argument("--radius", type=float, default=1.0)
     ap.add_argument("--density", type=float, default=4.0, help="points per unit area")
+    ap.add_argument("--hint", default=None,
+                    help="join_hint for radius_join (e.g. SHUFFLE_HASH; "
+                         "size partitions so each hash build fits memory)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -43,7 +47,11 @@ def main() -> None:
     from ubeardw_databricks_lakehouse_spark.core.session import get_spark, ship_package
     from ubeardw_databricks_lakehouse_spark.operators.spatial import radius_join
 
-    spark = get_spark(app_name="stress-spatial")
+    spark = get_spark(
+        app_name="stress-spatial",
+        **({"shuffle_partitions": args.shuffle_partitions}
+           if args.shuffle_partitions else {}),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
@@ -59,7 +67,8 @@ def main() -> None:
              / F.lit(1_000_000_007.0) * F.lit(side)).alias("y"),
         ).localCheckpoint(eager=True)  # time the JOIN, not the generator
 
-        pairs = radius_join(pts, "id", "x", "y", args.radius)
+        pairs = radius_join(pts, "id", "x", "y", args.radius,
+                            join_hint=args.hint)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 

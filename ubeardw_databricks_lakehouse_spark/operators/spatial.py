@@ -114,6 +114,7 @@ def radius_join(
     other: DataFrame | None = None,
     metric: str = "euclidean",
     max_abs_lat: float = 70.0,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Pairs of points within ``radius`` of each other.
 
@@ -132,6 +133,20 @@ def radius_join(
     Longitude cells form a modular ring (neighbor offsets wrap mod n),
     so antimeridian pairs (lon 179.9 vs -179.9) are found like any
     others. NULL and NaN coordinates drop the row (both metrics).
+
+    ``join_hint``: optional Spark join hint applied to the home-cell
+    (build) side of the candidate join — pass ``"SHUFFLE_HASH"`` when
+    the point set is too big to broadcast AND partitions are sized so
+    each per-partition hash build fits memory (points/partitions rows
+    per map). Measured at the 64M-point / 8g single-box spill wall:
+    the default SortMergeJoin's wall is the SORT of the exploded side
+    (177-199 s, spill-bound — which is also why halving the exploded
+    rows barely moved it), while SHUFFLE_HASH at 256 partitions runs
+    129 s (1.4x) with no sort at all. Left None (default) the planner
+    picks broadcast at small scale and the spill-robust sort-merge
+    beyond it — the hint trades that graceful degradation for speed,
+    so it is opt-in: an under-partitioned hash build OOMs outright
+    (measured at 32 partitions).
     """
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -234,6 +249,8 @@ def radius_join(
         F.col(y_col).alias("_yb"),
         "_cx", "_cy",
     )
+    if join_hint:
+        b = b.hint(join_hint)
     cand = a.join(b, ["_cx", "_cy"])
     if self_mode:
         if half:
