@@ -82,6 +82,24 @@ suite 69.3 s with the two new bench entries; the CC edge-recompute
 fix took q_curated_corpus 10.33 -> 5.93 s mid-round, and the final
 sample's uniform 1.09x common-37 drift is host load, analyzed in
 SCALING.md).
+r11 UPDATE: rotation delivered exactly as prescribed (20 r7-stale +
+the four r10 deferred additions at positions 21-24 + 26 oldest-r8 in
+definition order; _DEFERRED_NEW emptied) — after first FIXING
+tools/rotation_plan.py, whose one-extra-report lookahead demanded an
+unsatisfiable 74 slots and truncated the never-graded lane out of
+the window (see the tool's docstring note). Ledger after r10:
+r7=20, r8=50, r9=50, r10=50, never=4. Registry closes r11 at 175
+entries (ONE addition in the deferred lane, inside the <=5 budget:
+q_kcore_parts — the density-filtering graph class; fixpoint-stable
+peel makes its fixed-R CTE replay exact at any R). Horizon stays
+4 = ceil(175/50); demand r12 = 24 remaining-r8 + 1 deferred + 25
+free slots pulling the oldest-r9 cohort forward.
+r11 gates on the final tree: oracle sweep 160/160 exact at sf0.01
+(284 s, concurrent with nothing), full pytest 514 green (the r11
+tests: kcore battery, CC-auto engine selection, LPA input guards,
+spatial half-neighborhood + SHUFFLE_HASH equivalence,
+release_local_checkpoint pin); BENCH_MEDIANS_r11.json committed at
+5 reps (41 entries incl. the new t-digest merge-vs-rebuild pair).
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
