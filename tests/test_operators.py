@@ -2393,5 +2393,22 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert n_persisted() == base + 1
     assert release_local_checkpoint(df) is True
     assert n_persisted() == base
+    # a projection over the checkpoint (the .drop() shape iterative
+    # loops carry) must release the underlying leaf too
+    df2 = (
+        spark.range(1000)
+        .selectExpr("id", "id * 2 as b")
+        .localCheckpoint(eager=True)
+    )
+    assert n_persisted() == base + 1
+    assert release_local_checkpoint(df2.drop("b")) is True
+    assert n_persisted() == base
     # non-checkpointed frame: no-op, returns False
     assert release_local_checkpoint(spark.range(5)) is False
+    # a join of two frames (multi-leaf): left alone
+    a = spark.range(10).localCheckpoint(eager=True)
+    b = spark.range(10).localCheckpoint(eager=True)
+    assert release_local_checkpoint(a.join(b, "id")) is False
+    assert n_persisted() == base + 2
+    release_local_checkpoint(a)
+    release_local_checkpoint(b)

@@ -135,14 +135,24 @@ def release_local_checkpoint(df) -> bool:
 
     Only call on a frame that is truly dead — a checkpointed frame
     read after release recomputes from an EMPTY lineage and returns
-    wrong results. Returns True when blocks were actually released
-    (the plan was a checkpoint LogicalRDD), False for a no-op.
+    wrong results. Returns True when blocks were actually released,
+    False for a no-op. Accepts the checkpoint frame itself OR a
+    plan over exactly one checkpoint leaf (e.g. the ``.drop()``
+    projection an iterative loop carries — caught by pytest: the
+    root-only check silently no-opped on those from round 2 on);
+    multi-leaf plans are left alone (another leaf might be live).
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith(".LogicalRDD"):
             plan.rdd().unpersist(False)
             return True
+        leaves = plan.collectLeaves()
+        if leaves.size() == 1:
+            leaf = leaves.apply(0)
+            if leaf.getClass().getName().endswith(".LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                return True
     except Exception:
         pass
     return False

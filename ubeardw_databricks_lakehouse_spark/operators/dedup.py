@@ -790,10 +790,20 @@ def connected_components_auto(
     """
     # pin the caller's (often expensive) edge lineage once so a star
     # fallback re-reads a cache, never re-runs MinHash->LSH->verify
+    from ..core.session import release_local_checkpoint
+
     edges = edges.localCheckpoint(eager=True)
     labels, converged = _min_label_propagation(edges, prop_budget)
     if not converged:
-        return connected_components_star(edges, vertices, id_col, max_iter)
+        release_local_checkpoint(labels)  # partial labels: garbage
+        out = connected_components_star(edges, vertices, id_col, max_iter)
+        # star materialized its own normalized copy at entry, and its
+        # result reads its final checkpoint — the entry pin is dead
+        release_local_checkpoint(edges)
+        return out
+    # converged: the labels checkpoint is materialized — neither the
+    # edge pin nor the (already released) sym is needed downstream
+    release_local_checkpoint(edges)
     verts = vertices.select(F.col(id_col).alias("v")).distinct()
     return verts.join(labels, "v", "left").select(
         F.col("v").alias(id_col),
