@@ -95,11 +95,13 @@ peel makes its fixed-R CTE replay exact at any R). Horizon stays
 4 = ceil(175/50); demand r12 = 24 remaining-r8 + 1 deferred + 25
 free slots pulling the oldest-r9 cohort forward.
 r11 gates on the final tree: oracle sweep 160/160 exact at sf0.01
-(284 s, concurrent with nothing), full pytest 514 green (the r11
-tests: kcore battery, CC-auto engine selection, LPA input guards,
-spatial half-neighborhood + SHUFFLE_HASH equivalence,
-release_local_checkpoint pin); BENCH_MEDIANS_r11.json committed at
-5 reps (41 entries incl. the new t-digest merge-vs-rebuild pair).
+(281 s) AND 160/160 exact at sf0.1 (2,232 s — the bench-scale
+certification, the r10 precedent repeated), full pytest 515 green
+(the r11 tests: kcore battery, CC-auto engine selection, LPA input
+guards, spatial half-neighborhood + SHUFFLE_HASH equivalence,
+release_local_checkpoint shape pins); BENCH_MEDIANS_r11.json
+committed at 5 reps (41 entries incl. the new t-digest
+merge-vs-rebuild pair), diffed vs r10 with tools/bench_diff.py.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
