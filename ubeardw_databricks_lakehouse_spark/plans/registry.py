@@ -798,51 +798,50 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r11 window rationale (from CORRECTNESS_r01-r10 evidence; r10 verdict
+# r12 window rationale (from CORRECTNESS_r01-r11 evidence; r11 verdict
 # "Next round #1" — mechanically generated by tools/rotation_plan.py,
-# whose semantics were aligned this round with the staleness test: an
-# earlier revision simulated one extra report ahead, which at 174
-# entries produced an unsatisfiable 74-slot "must" set and truncated
-# the never-graded lane out of the window — the opposite of the
-# grading contract):
-# - the 20 entries whose newest green is CORRECTNESS_r07 promote
+# run first thing this round; ledger after r11 is r8=24, r9=50,
+# r10=50, r11=50, never=1):
+# - the 24 entries whose newest green is CORRECTNESS_r08 promote
 #   first: their evidence falls off the 4-report horizon now that
-#   CORRECTNESS_r10 is on disk (exactly the list the staleness test
+#   CORRECTNESS_r11 is on disk (exactly the list the staleness test
 #   prints).
-# - the four r10 _DEFERRED_NEW additions (q_quantile_sketch,
-#   q_weighted_sample, q_spatial_neighbors, q_lpa_communities — the
-#   never-driver-graded lane) promote per test_deferred_new_queue.
-# - the remaining 26 slots pull the oldest-evidence cohort forward:
-#   26 of the 50 entries whose newest green is CORRECTNESS_r08, in
+# - q_kcore_parts (the r11 _DEFERRED_NEW addition — the
+#   never-driver-graded lane) promotes per test_deferred_new_queue.
+# - the remaining 25 slots pull the oldest-evidence cohort forward:
+#   25 of the 50 entries whose newest green is CORRECTNESS_r09, in
 #   registry definition order (round-tie tiebreak — same policy as
-#   every prior rotation). The other 24 r8 entries head the r12
-#   window (demand r12 floor = 24, well under 50).
-# 20 + 4 + 26 = 50/50: exactly full. Mechanically verified against the
-# reports: ledger after r10 is r7=20, r8=50, r9=50, r10=50, never=4.
+#   every prior rotation). The other 25 r9 entries head the r13
+#   window (demand r13 floor = 25, well under 50).
+# 24 + 1 + 25 = 50/50: exactly full.
 _WINDOW: list[str] = [
-    # r7-latest-green lane (falls off the 4-report horizon now that
-    # r10 is on disk; the full 20-entry cohort in definition order)
-    "q_error_after_purchase", "q_bpe_encode", "q_hybrid_search_rrf",
-    "q_bigram_lm", "q_mmr_rerank", "q_quality_buckets",
-    "q_dup_span_removal", "q_cms_heavy_hitters", "q_winsorized_stats",
-    "q_kmv_distinct", "q02_min_cost_supplier", "q11_important_parts",
-    "q16_supplier_diversity", "q20_dominant_suppliers",
-    "q_triangle_suppliers", "q_fuzzy_part_match", "q_event_transitions",
-    "q_value_histogram", "q_entity_clusters", "q_trailing_7day",
-    # never-driver-graded lane (r10 deferred-new queue, in queue order)
-    "q_quantile_sketch", "q_weighted_sample", "q_spatial_neighbors",
-    "q_lpa_communities",
-    # r8-latest-green lane (first 26 of the 50-entry cohort in
-    # definition order; the other 24 head r12)
-    "q_lang_quality", "q_geo_enrichment", "q_simhash",
-    "q_embedding_topk_lsh", "q_user_event_arrays", "q_approx_profile",
-    "q_editdist_verify", "q_dedup_clusters", "q_embedding_topk_ivf",
-    "q_winnow_fingerprints", "q_winnow_overlap", "q_time_travel",
-    "q_ivm_refresh", "q_audio_windows", "q_row_fingerprints",
-    "q_embedding_dedup", "q_sequence_packing", "q_neardup_verified_fast",
-    "q_embedding_topk_ivf_fast", "q_embedding_quantized",
-    "q_frame_sampling", "q_pii_redaction", "q_sentence_split",
-    "q_contamination", "q_span_dedup", "q_linear_quality",
+    # r8-latest-green lane (falls off the 4-report horizon now that
+    # r11 is on disk; the full 24-entry cohort in definition order)
+    "q_containment_pairs", "q_pareto_parts",
+    "q_column_profile", "q_kanon_risk",
+    "q_benford_totals", "q_event_lift",
+    "q_oov_rate", "q_copurchase_brands",
+    "q_gini_revenue", "q_mad_outliers",
+    "q_user_streaks", "q_chisq_drift",
+    "q_conversion_latency", "q_fk_integrity",
+    "q_revenue_concentration", "q_corr_profile",
+    "q_supplier_reach", "q_label_agreement",
+    "q_geo_radius_join", "q_lag1_autocorr",
+    "q_ranksum_sources", "q_weighted_median",
+    "q_ols_trend", "q_cusum_changepoint",
+    # never-driver-graded lane (r11 deferred-new queue)
+    "q_kcore_parts",
+    # r9-latest-green lane (first 25 of the 50-entry cohort in
+    # definition order; the other 25 head r13)
+    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
+    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
+    "q_sample_per_source", "q_stream_attribution",
+    "q_contamination_bloom", "q_session_windows", "q_bpe_merges",
+    "q_inverted_index", "q_pq_codes", "q_text_profile",
+    "q_exact_dedup", "q_jaccard_pairs", "q_minhash_signatures",
+    "q_lsh_candidates", "q_neardup_verified", "q_embedding_topk",
+    "q_embedding_neardup", "q_multimodal_features", "q_chunking",
+    "q_vocabulary", "q_label_centroids",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -985,7 +984,13 @@ _WINDOW: list[str] = [
 # at any round count (one property stronger than LPA's pairing). At
 # 175 entries the horizon stays 4 = ceil(175/50); demand r12 = 24
 # r8-stale + 1 deferred + 25 free.
-_DEFERRED_NEW: list[str] = ["q_kcore_parts"]
+# r12 rotation: q_kcore_parts promoted into the window above and this
+# list emptied (contract honored — every prior queue rotated on
+# schedule: r5: 24, r7: 19, r8: 24, r9: 1, r10: 1, r11: 4, r12: 1).
+# Ledger after r11 is r8=24, r9=50, r10=50, r11=50, never=1; the r12
+# window takes 24+1+25 and the demand sequence stays satisfiable:
+# r13 = 25 remaining-r9 + deferred + free slots, r14 <= 50.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
