@@ -99,6 +99,17 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Load gate (r11 verdict #6): every round spends adjudication time on
+    # uniform host-load drift. Record the START loadavg and stamp the
+    # artifact "degraded": true when the 1-min load already exceeds the
+    # threshold before any Spark work — the timings are then known-biased
+    # and round-over-round diffs should not be graded from them. Stamp,
+    # don't refuse: the driver's per-round run must still produce an
+    # artifact. Threshold overridable via BENCH_MAX_START_LOAD (an idle
+    # box reads <2; the bench itself pushes load to ~4 once running).
+    global _START_LOAD, _DEGRADED
+    _START_LOAD = os.getloadavg()[0]
+    _DEGRADED = _START_LOAD > float(os.environ.get("BENCH_MAX_START_LOAD", "4.0"))
     spark = get_spark(app_name="ubeardw-bench")
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
@@ -263,25 +274,30 @@ def main() -> None:
     _emit(timings, sf)
 
 
+_START_LOAD: float = 0.0
+_DEGRADED: bool = False
+
+
 def _emit(timings: dict[str, float], sf: str) -> None:
     total = round(sum(timings.values()), 3)
     # loadavg at emit time attributes uniform round-over-round drift to
     # machine load from the artifact alone (the r6 lesson: a +21%
-    # suite-wide driver-run cluster with no plan changes).
+    # suite-wide driver-run cluster with no plan changes); loadavg_start
+    # + the degraded stamp capture the pre-Spark condition (r11 #6).
     load1, load5, load15 = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
-                "reps": max(1, int(os.environ.get("BENCH_REPS", "1"))),
-            }
-        )
-    )
+    art = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "loadavg_start": round(_START_LOAD, 2),
+        "reps": max(1, int(os.environ.get("BENCH_REPS", "1"))),
+    }
+    if _DEGRADED:
+        art["degraded"] = True
+    print(json.dumps(art))
 
 
 if __name__ == "__main__":

@@ -2394,21 +2394,26 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert release_local_checkpoint(df) is True
     assert n_persisted() == base
     # a projection over the checkpoint (the .drop() shape iterative
-    # loops carry) must release the underlying leaf too
+    # loops carry): the leaf could be SHARED with another live frame,
+    # so by default it is left alone — releasing it requires the
+    # explicit allow_projection opt-in (r11 advice: silent-corruption
+    # failure mode on a public core.session export)
     df2 = (
         spark.range(1000)
         .selectExpr("id", "id * 2 as b")
         .localCheckpoint(eager=True)
     )
     assert n_persisted() == base + 1
-    assert release_local_checkpoint(df2.drop("b")) is True
+    assert release_local_checkpoint(df2.drop("b")) is False
+    assert n_persisted() == base + 1
+    assert release_local_checkpoint(df2.drop("b"), allow_projection=True) is True
     assert n_persisted() == base
     # non-checkpointed frame: no-op, returns False
     assert release_local_checkpoint(spark.range(5)) is False
-    # a join of two frames (multi-leaf): left alone
+    # a join of two frames (multi-leaf): left alone even when opted in
     a = spark.range(10).localCheckpoint(eager=True)
     b = spark.range(10).localCheckpoint(eager=True)
-    assert release_local_checkpoint(a.join(b, "id")) is False
+    assert release_local_checkpoint(a.join(b, "id"), allow_projection=True) is False
     assert n_persisted() == base + 2
     release_local_checkpoint(a)
     release_local_checkpoint(b)

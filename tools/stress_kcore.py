@@ -111,8 +111,8 @@ def main() -> None:
             "core_nodes": n_core, "core_frac": round(n_core / n, 4),
         })
         print(json.dumps(results[-1]), flush=True)
-        release_local_checkpoint(core)
-        release_local_checkpoint(edges)
+        release_local_checkpoint(core, allow_projection=True)
+        release_local_checkpoint(edges, allow_projection=True)
 
     if len(results) >= 2:
         a, b = results[0], results[-1]

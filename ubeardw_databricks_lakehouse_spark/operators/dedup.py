@@ -747,14 +747,14 @@ def _min_label_propagation(
         # the superseded round's label frame is dead once the new
         # checkpoint is materialized — release its pinned blocks now
         # (the kcore-32M/PPS-ladder lesson; ContextCleaner is too slow)
-        release_local_checkpoint(labels)
+        release_local_checkpoint(labels, allow_projection=True)
         labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
     # the final labels are a materialized checkpoint — the symmetrized
     # edge set is no longer needed by anything downstream
-    release_local_checkpoint(sym)
+    release_local_checkpoint(sym, allow_projection=True)
     return labels, converged
 
 
@@ -795,15 +795,15 @@ def connected_components_auto(
     edges = edges.localCheckpoint(eager=True)
     labels, converged = _min_label_propagation(edges, prop_budget)
     if not converged:
-        release_local_checkpoint(labels)  # partial labels: garbage
+        release_local_checkpoint(labels, allow_projection=True)  # partial labels: garbage
         out = connected_components_star(edges, vertices, id_col, max_iter)
         # star materialized its own normalized copy at entry, and its
         # result reads its final checkpoint — the entry pin is dead
-        release_local_checkpoint(edges)
+        release_local_checkpoint(edges, allow_projection=True)
         return out
     # converged: the labels checkpoint is materialized — neither the
     # edge pin nor the (already released) sym is needed downstream
-    release_local_checkpoint(edges)
+    release_local_checkpoint(edges, allow_projection=True)
     verts = vertices.select(F.col(id_col).alias("v")).distinct()
     return verts.join(labels, "v", "left").select(
         F.col("v").alias(id_col),
@@ -897,7 +897,7 @@ def connected_components_star(
     for _ in range(max_iter):
         prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        release_local_checkpoint(prev_e)  # superseded round — free now
+        release_local_checkpoint(prev_e, allow_projection=True)  # superseded round — free now
         cur = _checksum(e)
         if prev is not None and (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             break

@@ -631,7 +631,7 @@ def community_lpa(
         # the superseded round's label frame is dead once the new
         # checkpoint is materialized — release its pinned blocks (the
         # kcore/PPS-ladder lesson; see core.session.release_local_checkpoint)
-        release_local_checkpoint(prev_labels)
+        release_local_checkpoint(prev_labels, allow_projection=True)
         if converge:
             changed = labels.where(F.col("community") != F.col("_prev")).count()
             labels = labels.drop("_prev")
@@ -729,7 +729,7 @@ def kcore(
         # the superseded round's edge set is dead the moment the new
         # checkpoint is materialized — release its pinned blocks NOW
         # (waiting for the ContextCleaner OOMed the 32M-node ladder)
-        release_local_checkpoint(sym)
+        release_local_checkpoint(sym, allow_projection=True)
         sym = nxt
         if converge and n_next == n_edges:
             break
