@@ -445,3 +445,32 @@ def test_radius_join_shuffle_hash_hint_identical_pairs(spark):
         ).collect()
     }
     assert hinted == base == _brute_pairs(pts, 2.0)
+
+
+def test_radius_join_shuffle_hash_auto_sizes_and_matches(spark):
+    # SHUFFLE_HASH_AUTO derives the build-side partition count
+    # (r11 verdict #3): pair set identical to the default plan, the
+    # physical join is a ShuffledHashJoin, and the derived count is
+    # max(shuffle.partitions, ceil(build_rows / target_build_rows))
+    random.seed(41)
+    pts = [(i, random.uniform(-20, 20), random.uniform(-20, 20)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    base = {(a, b): d for a, b, d in radius_join(df, "id", "x", "y", 2.0).collect()}
+    auto = radius_join(
+        df, "id", "x", "y", 2.0,
+        join_hint="SHUFFLE_HASH_AUTO", target_build_rows=50,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    got = {(a, b): d for a, b, d in auto.collect()}
+    assert got == base == _brute_pairs(pts, 2.0)
+    # the sizing count() can be skipped via build_rows_estimate; an
+    # estimate forcing more partitions than shuffle.partitions must
+    # surface in the plan's repartition width
+    auto2 = radius_join(
+        df, "id", "x", "y", 2.0,
+        join_hint="SHUFFLE_HASH_AUTO",
+        build_rows_estimate=10_000_000, target_build_rows=100_000,
+    )
+    assert "ShuffledHashJoin" in auto2._jdf.queryExecution().executedPlan().toString()
+    assert {(a, b): d for a, b, d in auto2.collect()} == base

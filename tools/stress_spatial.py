@@ -36,9 +36,15 @@ def main() -> None:
     ap.add_argument("--radius", type=float, default=1.0)
     ap.add_argument("--density", type=float, default=4.0, help="points per unit area")
     ap.add_argument("--hint", default=None,
-                    help="join_hint for radius_join (e.g. SHUFFLE_HASH; "
-                         "size partitions so each hash build fits memory)")
+                    help="join_hint for radius_join (SHUFFLE_HASH with "
+                         "--shuffle-partitions sized by hand, or "
+                         "SHUFFLE_HASH_AUTO to derive the partition count)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--checksum", action="store_true",
+                    help="also emit bit_xor(xxhash64(id_a, id_b)) over the "
+                         "pair set — order-independent, so two runs with "
+                         "identical pair sets print identical checksums "
+                         "(the A/B bit-identical proof, one agg pass)")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -73,13 +79,21 @@ def main() -> None:
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
         t0 = time.perf_counter()
-        got = pairs.count()
+        if args.checksum:
+            row = pairs.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(id_a, id_b))").alias("ck"),
+            ).collect()[0]
+            got, checksum = row["n"], row["ck"]
+        else:
+            got, checksum = pairs.count(), None
         wall = time.perf_counter() - t0
         # E[pairs] = N * (pi r^2 * density) / 2, edge effects shave a hair
         expect = n * math.pi * args.radius**2 * args.density / 2
         results.append({"n": n, "wall_s": round(wall, 2), "pairs": got,
                         "expected_pairs": int(expect),
-                        "ratio": round(got / expect, 4)})
+                        "ratio": round(got / expect, 4),
+                        **({"pairset_xor": checksum} if checksum is not None else {})})
         print(json.dumps(results[-1]), flush=True)
         assert 0.9 < got / expect < 1.1, "pair count off the analytic expectation"
 

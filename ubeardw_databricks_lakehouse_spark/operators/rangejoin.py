@@ -12,9 +12,25 @@ the equi-join unlocks broadcast/bucketing like any other join.
 
 Pick ``bin_width`` near the median interval span: wider bins cut
 interval replication, narrower bins cut residual-filter waste.
+
+Sort-vs-hash at scale: this join has the same exploded-side
+sort-merge shape whose 64M wall the spatial A/B root-caused to the
+external SORT, not the join itself (operators/spatial.py,
+SCALING.md r11). The same opt-in escape hatch is exposed here:
+``join_hint="SHUFFLE_HASH"`` (caller sizes partitions) or
+``"SHUFFLE_HASH_AUTO"`` (partition count derived as
+``max(shuffle.partitions, ceil(points / target_build_rows))`` via a
+cheap count or a caller estimate). The hint is applied to the BINNED
+POINT side — the un-replicated side, the analogue of the spatial
+home-cell side — and the exploded interval side streams as the
+probe. Ladder A/B recorded in SCALING.md r12; the hint stays opt-in
+because an under-partitioned hash build OOMs outright where
+sort-merge degrades gracefully (the spatial lesson, measured).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,10 +44,21 @@ def range_join_binned(
     hi_col: str,
     bin_width: int,
     extra_on: list[str] | None = None,
+    join_hint: str | None = None,
+    build_rows_estimate: int | None = None,
+    target_build_rows: int = 250_000,
 ) -> DataFrame:
     """Inner join of left points to right intervals [lo, hi] (inclusive),
     optionally also equi-keyed on ``extra_on``. Numeric (long) range
-    dimension — cast timestamps to epoch first."""
+    dimension — cast timestamps to epoch first.
+
+    ``join_hint``: None (default — planner picks broadcast/sort-merge),
+    ``"SHUFFLE_HASH"`` (hash-build the point side; caller must size
+    ``spark.sql.shuffle.partitions`` so points/partitions rows fit one
+    map's memory), or ``"SHUFFLE_HASH_AUTO"`` (derives that partition
+    count from ``build_rows_estimate`` or a ``left.count()``, then
+    repartitions the point side on the join keys so only the exploded
+    interval side re-shuffles)."""
     extra_on = extra_on or []
     w = F.lit(bin_width)
     binned_l = left.withColumn("_bin", F.floor(F.col(point_col) / w))
@@ -41,6 +68,17 @@ def range_join_binned(
             F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))
         ),
     )
+    if join_hint == "SHUFFLE_HASH_AUTO":
+        n_build = (
+            build_rows_estimate if build_rows_estimate is not None else left.count()
+        )
+        base_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_parts = max(base_parts, math.ceil(n_build / max(1, target_build_rows)))
+        binned_l = binned_l.repartition(n_parts, "_bin", *extra_on).hint(
+            "SHUFFLE_HASH"
+        )
+    elif join_hint:
+        binned_l = binned_l.hint(join_hint)
     return binned_l.join(exploded_r, ["_bin", *extra_on]).where(
         F.col(point_col).between(F.col(lo_col), F.col(hi_col))
     ).drop("_bin")

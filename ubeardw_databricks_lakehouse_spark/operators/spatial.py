@@ -115,6 +115,8 @@ def radius_join(
     metric: str = "euclidean",
     max_abs_lat: float = 70.0,
     join_hint: str | None = None,
+    build_rows_estimate: int | None = None,
+    target_build_rows: int = 250_000,
 ) -> DataFrame:
     """Pairs of points within ``radius`` of each other.
 
@@ -147,6 +149,18 @@ def radius_join(
     beyond it — the hint trades that graceful degradation for speed,
     so it is opt-in: an under-partitioned hash build OOMs outright
     (measured at 32 partitions).
+
+    ``join_hint="SHUFFLE_HASH_AUTO"`` removes the manual sizing step
+    (r11 verdict #3): the build side is repartitioned on the cell keys
+    to ``max(shuffle.partitions, ceil(build_rows / target_build_rows))``
+    partitions and hinted SHUFFLE_HASH; the join reuses that
+    partitioning (Spark's EnsureRequirements shuffles only the exploded
+    probe side to match), so each per-map hash build holds at most
+    ~``target_build_rows`` points (default 250k — the 64M/256-partition
+    rung that ran OOM-free at 8g; each point row is ~24 bytes payload,
+    so 250k rows is single-digit MB per build). ``build_rows_estimate``
+    skips the sizing ``count()`` when the caller already knows the
+    cardinality (a catalog rowcount, a previous stage's count).
     """
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -249,7 +263,23 @@ def radius_join(
         F.col(y_col).alias("_yb"),
         "_cx", "_cy",
     )
-    if join_hint:
+    if join_hint == "SHUFFLE_HASH_AUTO":
+        build_src = other if other is not None else points
+        n_build = (
+            build_rows_estimate
+            if build_rows_estimate is not None
+            else build_src.count()
+        )
+        base_parts = int(
+            build_src.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        n_parts = max(base_parts, math.ceil(n_build / max(1, target_build_rows)))
+        # explicit repartition on the join keys: the join reuses this
+        # partitioning, so only the 5x/9x exploded probe side shuffles
+        # to n_parts and every per-map hash build is bounded by
+        # ~target_build_rows regardless of total N
+        b = b.repartition(n_parts, "_cx", "_cy").hint("SHUFFLE_HASH")
+    elif join_hint:
         b = b.hint(join_hint)
     cand = a.join(b, ["_cx", "_cy"])
     if self_mode:
