@@ -203,6 +203,42 @@ def main() -> None:
         3,
     )  # the checkpointed status frame is O(corpus ids) — tiny
 
+    # incremental near-dup amortization (the r12 registry addition):
+    # the LSH band index is the warehouse's stored state — built off
+    # the clock like ivfpq_search's index and the status= twin above —
+    # and the timed leg is the per-ingest-batch upsert (delta = the
+    # doc_id%10 cohort vs the other 90% as base). The one-shot
+    # q_neardup_verified entry above keeps paying the full re-hash;
+    # the delta between the two IS the incremental story.
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_signatures,
+        neardup_upsert,
+    )
+
+    docs_nd = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nd_base = docs_nd.where("doc_id % 10 != 0")
+    nd_delta = docs_nd.where("doc_id % 10 = 0").localCheckpoint(eager=True)
+    nd_index = lsh_band_index(
+        minhash_signatures(nd_base, n_hashes=8, shingle_n=2)
+    ).localCheckpoint(eager=True)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pairs_nd, _bands_nd = neardup_upsert(
+            nd_index, nd_delta, nd_base, threshold=0.5
+        )
+        materialize(pairs_nd)
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    mid = len(samples) // 2
+    timings["q_neardup_upsert_amortized"] = round(
+        samples[mid]
+        if len(samples) % 2
+        else (samples[mid - 1] + samples[mid]) / 2,
+        3,
+    )
+
     # t-digest merge-reuse amortization (r10 verdict #6): a warehouse
     # stores per-source digest rows once; every later rollup re-clusters
     # KILOBYTE summaries instead of re-scanning the corpus. Timing both

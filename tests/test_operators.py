@@ -351,6 +351,70 @@ def test_neardup_with_persisted_signatures(spark, tmp_path):
     assert persisted == one_shot and one_shot
 
 
+def test_neardup_upsert_equals_batch_rerun(spark):
+    # the incremental contract: upsert(base_index, delta) emits exactly
+    # the batch re-run's verified pairs that touch >=1 delta doc, and
+    # base_index + returned delta bands == the batch-built index
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        lsh_band_index,
+        neardup_upsert,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.where("doc_id % 10 != 0")
+    delta = docs.where("doc_id % 10 = 0")
+    base_index = lsh_band_index(minhash_signatures(base, n_hashes=8, shingle_n=2))
+    pairs, delta_bands = neardup_upsert(base_index, delta, base, threshold=0.5)
+    got = {tuple(r) for r in pairs.collect()}
+    batch = neardup_verified_pairs(docs, threshold=0.5)
+    want = {
+        tuple(r)
+        for r in batch.where("id_a % 10 = 0 OR id_b % 10 = 0").collect()
+    }
+    assert got == want and want  # non-trivial: sf0.001 has cross-split dups
+    full_index = {
+        tuple(r)
+        for r in lsh_band_index(
+            minhash_signatures(docs, n_hashes=8, shingle_n=2)
+        ).collect()
+    }
+    upserted = {tuple(r) for r in base_index.unionByName(delta_bands).collect()}
+    assert upserted == full_index
+    # broadcast_delta=False changes the join strategy, never the pairs
+    pairs2, _ = neardup_upsert(
+        base_index, delta, base, threshold=0.5, broadcast_delta=False
+    )
+    assert {tuple(r) for r in pairs2.collect()} == want
+
+
+def test_neardup_upsert_planted_cross_split_pair(spark):
+    # a planted near-dup pair split across base/delta must surface as
+    # (base_id, delta_id) with id_a < id_b, verified counts exact
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        lsh_band_index,
+        neardup_upsert,
+    )
+
+    base_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    delta_docs = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy cat"),
+            (9, "unrelated delta document with novel words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = lsh_band_index(minhash_signatures(base_docs, n_hashes=8, shingle_n=2))
+    pairs, _ = neardup_upsert(idx, delta_docs, base_docs, threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 7)}
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [

@@ -318,6 +318,39 @@ WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
 """
 
 # ---------------------------------------------------------------------------
+# q_neardup_incremental: the CONTINUOUS-ingest near-dup — new docs
+# against a materialized LSH band index (operators/dedup.neardup_upsert),
+# O(delta), never a corpus re-scan. The split is deterministic
+# (doc_id % 10 = 0 is the arriving batch); the operator's contract is
+# that its output equals the batch re-run's pairs touching >=1 delta
+# doc, so the oracle replays the full batch pipeline and filters —
+# the equality IS what the driver grades.
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_band_index, neardup_upsert
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    delta = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    # the warehouse state: band index materialized over the base corpus
+    # (built off the delta's clock in production; built inline here —
+    # the driver grades values, bench grades the amortized leg)
+    idx = lsh_band_index(
+        minhash_signatures(base, n_hashes=8, shingle_n=2), n_hashes=8, band_size=2
+    )
+    pairs, _delta_bands = neardup_upsert(
+        idx, delta, base, n_hashes=8, band_size=2, shingle_n=2, threshold=0.5
+    )
+    return pairs
+
+
+Q_NEARDUP_INCREMENTAL_SQL = (
+    Q_NEARDUP_VERIFIED_SQL + "  AND (id_a % 10 = 0 OR id_b % 10 = 0)\n"
+)
+
+# ---------------------------------------------------------------------------
 # q_dedup_clusters: the keep/drop decision — LSH-verified pairs ->
 # connected components -> canonical representative per cluster. Oracle
 # computes the same components with a recursive reachability CTE.
