@@ -505,6 +505,14 @@ def neardup_upsert(
     the delta's band rows to the index. The same incremental-view
     pattern as storage/ivm.py, applied to near-dup state.
 
+    Relation to signature reuse (``neardup_verified_pairs`` with a
+    persisted ``signatures=`` table, query-level twin
+    ``q_incremental_neardup``): that pattern skips only the RE-HASH —
+    its banding self-join still runs over every corpus signature per
+    batch, O(corpus) shuffle. Here candidates come from probing the
+    stored index with the delta's bands, O(delta) shuffle; the corpus
+    is scanned, never shuffled.
+
     Returns ``(verified_pairs, delta_band_rows)``: pairs in the batch
     contract ``(id_a, id_b, n_shingles_a, n_shingles_b, n_common)``
     with ``id_a < id_b`` — exactly the batch run's pairs that touch at

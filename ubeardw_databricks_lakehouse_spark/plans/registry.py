@@ -795,13 +795,15 @@ QUERIES: list[QueryDef] = [
     # Tier 14 — added in r12 (deferred-new lane, see _DEFERRED_NEW).
     QueryDef("q_neardup_incremental", llm_q.q_neardup_incremental,
              llm_q.Q_NEARDUP_INCREMENTAL_SQL,
-             "incremental near-dup upsert: delta docs vs a materialized "
-             "LSH band index (the continuously-ingesting-corpus class — "
-             "O(delta) per batch, never a corpus re-scan; the IVM "
-             "pattern applied to near-dup state): output contract is "
-             "the batch re-run's pairs touching >=1 delta doc, so the "
-             "oracle replays the batch pipeline and filters — fully "
-             "oracle-paired"),
+             "incremental near-dup UPSERT: delta docs vs a materialized "
+             "LSH band index — candidate generation is O(delta), a "
+             "broadcast probe of the stored index, where the existing "
+             "q_incremental_neardup (signature REUSE) only skips the "
+             "re-hash and still self-joins all corpus bands per batch; "
+             "this is the IVM pattern applied to near-dup state. Output "
+             "contract is the batch re-run's pairs touching >=1 delta "
+             "doc, so the oracle replays the batch pipeline and filters "
+             "— fully oracle-paired"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
