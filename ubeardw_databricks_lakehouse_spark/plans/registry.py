@@ -102,6 +102,26 @@ guards, spatial half-neighborhood + SHUFFLE_HASH equivalence,
 release_local_checkpoint shape pins); BENCH_MEDIANS_r11.json
 committed at 5 reps (41 entries incl. the new t-digest
 merge-vs-rebuild pair), diffed vs r10 with tools/bench_diff.py.
+r12 UPDATE: rotation delivered exactly as prescribed by
+tools/rotation_plan.py run first thing (24 r8-stale + q_kcore_parts +
+25 oldest-r9 in definition order; _DEFERRED_NEW emptied then refilled
+with ONE genuinely-new-class entry, q_neardup_incremental — the
+incremental/continuous-ingest near-dup class: delta bands probe a
+materialized LSH band index, O(delta) candidates where the existing
+signature-reuse entry still self-joins all corpus bands). Ledger
+after r11: r8=24, r9=50, r10=50, r11=50, never=1. Registry closes
+r12 at 176 entries; horizon stays 4 = ceil(176/50); demand r13 = 25
+remaining-r9 + 1 deferred + 24 free slots pulling the oldest-r10
+cohort forward.
+r12 gates on the final tree: oracle sweep 161/161 exact at sf0.01
+(222 s) AND 161/161 exact at sf0.1 (2,198 s — the bench-scale
+certification, third round running), full pytest 519 green (the r12
+tests: neardup_upsert batch-equivalence + planted cross-split pair,
+SHUFFLE_HASH_AUTO pair-set equality + derived-width plan pin,
+release_local_checkpoint allow_projection gate); BENCH_MEDIANS_r12
+committed at 5 reps, diffed vs r11 with tools/bench_diff.py (which
+now prints both runs' loadavg, and bench.py stamps degraded:true
+when the start load exceeds BENCH_MAX_START_LOAD).
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
