@@ -545,9 +545,15 @@ def neardup_upsert(
         F.col("band_idx").alias("_bi"),
         F.col("band_hash").alias("_bh"),
     )
+    # the id inequality is a no-op under the new-ids contract but makes
+    # a REPLAYED batch harmless (streaming foreachBatch redelivery: the
+    # delta's own bands are already in the index — without the guard
+    # each doc would pair with itself)
     nv_base = nb.join(
         base_side,
-        (F.col("band_idx") == F.col("_bi")) & (F.col("band_hash") == F.col("_bh")),
+        (F.col("band_idx") == F.col("_bi"))
+        & (F.col("band_hash") == F.col("_bh"))
+        & (F.col(id_col) != F.col("_idx_id")),
     ).select(
         F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
         F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),

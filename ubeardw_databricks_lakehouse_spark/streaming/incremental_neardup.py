@@ -1,0 +1,124 @@
+"""Continuously-maintained near-dup state — a document stream feeding
+the LSH band index via foreachBatch.
+
+This is the streaming face of ``operators/dedup.neardup_upsert`` (the
+r12 incremental class): each micro-batch of newly ingested documents
+
+    micro-batch -> band the delta (O(delta)) ->
+    probe the STORED band index for new-vs-base candidates +
+    delta self-join for new-vs-new ->
+    exact-Jaccard verify against only the touched corpus docs ->
+    MERGE pairs / band rows / docs into their tables
+
+so the warehouse's near-dup pair table and band index are always
+current without ever re-hashing the corpus — the same
+recompute-only-what-the-batch-touches shape as
+``streaming/incremental_gold.py`` and the metric-view IVM
+(``storage/ivm.py``).
+
+Exactly-once under foreachBatch's at-least-once redelivery: all three
+writes are keyed MERGEs (pairs on (id_a, id_b), index on
+(doc_id, band_idx) — one row per doc per band — corpus on doc_id),
+and ``neardup_upsert`` guards the index probe with an id inequality,
+so a replayed batch — whose bands are already IN the index — finds
+the same pairs and merges them idempotently instead of self-pairing
+or duplicating. Pinned in pytest by re-running a wave from a fresh
+checkpoint and asserting the pair table is unchanged.
+
+Write order (pairs -> index -> corpus) makes a mid-batch crash safe:
+pairs landing without the index/corpus update just means the replay
+re-derives and re-merges them; the index row landing BEFORE its
+corpus doc would instead make the next batch's verify silently miss
+the doc's shingles, which is why the corpus merge comes last only
+AFTER the index merge in the same batch function (both replay-safe,
+neither readable by the next batch until this function returns —
+foreachBatch batches are serialized per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import neardup_upsert
+from ..storage.lakehouse import Lakehouse
+
+
+def start_incremental_neardup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    lake: Lakehouse,
+    checkpoint: str,
+    corpus_table: str = "neardup_corpus",
+    index_table: str = "neardup_band_index",
+    pairs_table: str = "neardup_pairs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the foreachBatch query maintaining the near-dup tables.
+
+    ``docs_stream`` needs at least (id_col, text_col). Documents with
+    ids already in the corpus are dropped (the upsert contract: an id
+    replacing an existing doc must be deleted from the index first) —
+    which is also what makes source-level redelivery harmless.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if batch.isEmpty():
+            return
+        if lake.exists(corpus_table):
+            corpus = lake.read(corpus_table)
+            # enforce the new-ids contract (and source redelivery
+            # safety) structurally, not by trusting the source
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+            # anti-join + the upsert below both traverse `batch`; pin it
+            # so the plan runs once per branch, and because foreachBatch
+            # overwrites/merges the very tables batch reads from
+            batch = batch.localCheckpoint(eager=True)
+            if batch.isEmpty():
+                return
+            index = lake.read(index_table)
+            pairs, delta_bands = neardup_upsert(
+                index, batch, corpus,
+                id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+                band_size=band_size, shingle_n=shingle_n,
+                threshold=threshold, hash_fn=hash_fn,
+            )
+            lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
+            # merge ONLY the delta's band rows — existing index rows are
+            # immutable, so the MERGE source stays O(delta). (The parquet
+            # twin still rewrites the table file-wise, its documented
+            # MERGE limitation; on delta this is O(files touched).)
+            lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
+        else:
+            # first batch bootstraps the state: empty index, empty corpus
+            batch = batch.localCheckpoint(eager=True)
+            id_type = batch.schema[id_col].dataType.simpleString()
+            empty_index = spark.createDataFrame(
+                [], f"{id_col} {id_type}, band_idx int, band_hash string"
+            )
+            pairs, delta_bands = neardup_upsert(
+                empty_index, batch, batch.limit(0),
+                id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+                band_size=band_size, shingle_n=shingle_n,
+                threshold=threshold, hash_fn=hash_fn,
+            )
+            lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
+            lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
+        lake.upsert(corpus_table, batch, keys=[id_col])
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
