@@ -248,3 +248,55 @@ def test_auto_compact_no_thrash_and_property_survives_overwrite(spark, tmp_path)
     n2 = count_files()
     assert n2 <= max(n1 + 1, 2)
     assert lake.read("t").count() == 9
+
+
+def test_optimize_write_one_file_per_partition_dir(spark, tmp_path):
+    """optimizeWrite twin (M5's pre-write half): with the property set,
+    every write repartitions on the partition columns, so each
+    partition directory receives exactly ONE file per write instead of
+    one per (task, value); the property survives overwrite and is a
+    no-op for unpartitioned tables."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.storage.lakehouse import Lakehouse
+
+    def files_per_dir(lake, name):
+        out = {}
+        for r, _d, files in os.walk(lake.path(name)):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n and "p=" in os.path.basename(r):
+                out[os.path.basename(r)] = n
+        return out
+
+    # p cast to int: partition-dir type inference reads "p=0" back as
+    # int, and append's schema enforcement rightly rejects a mismatch
+    df = (
+        spark.range(1000)
+        .repartition(8)
+        .withColumn("p", F.pmod("id", F.lit(4)).cast("int"))
+    )
+    lake = Lakehouse(spark, str(tmp_path))
+    lake.overwrite("t", df, partition_by=["p"])
+    before = files_per_dir(lake, "t")
+    assert max(before.values()) > 1  # the small-file explosion is real
+
+    lake.set_optimize_write("t")
+    lake.overwrite("t", df, partition_by=["p"])
+    after = files_per_dir(lake, "t")
+    assert set(after) == {"p=0", "p=1", "p=2", "p=3"}
+    assert all(n == 1 for n in after.values()), after
+    assert lake.read("t").count() == 1000
+    # appends get one NEW file per directory, not one per task
+    lake.append("t", df)
+    appended = files_per_dir(lake, "t")
+    assert all(n == 2 for n in appended.values()), appended
+    assert lake.read("t").count() == 2000
+    # property survived the overwrite-after-set and reads back
+    assert lake.read_table_meta("t")["optimize_write"] is True
+    # unpartitioned table: property is a harmless no-op
+    lake.overwrite("u", spark.range(10).toDF("id"))
+    lake.set_optimize_write("u")
+    lake.append("u", spark.range(10, 20).toDF("id"))
+    assert lake.read("u").count() == 20

@@ -175,10 +175,11 @@ class Lakehouse:
                     f"append to {name!r} adds columns {sorted(extra)}; "
                     "schema evolution requires merge_schema=True"
                 )
+        partition_by = partition_by or self.partitioning(name)
+        df = self._maybe_optimize_write(name, df, partition_by)
         writer = df.write.format(self.fmt).mode("append")
         if merge_schema and self.fmt == "delta":
             writer = writer.option("mergeSchema", "true")
-        partition_by = partition_by or self.partitioning(name)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(name))
@@ -201,6 +202,46 @@ class Lakehouse:
         meta = {**self.read_table_meta(name), "auto_compact_max_files": int(max_files)}
         with open(os.path.join(self.path(name), "_graft_meta.json"), "w") as f:
             json.dump(meta, f)
+
+    def set_optimize_write(self, name: str, enabled: bool = True) -> None:
+        """Table property: shuffle rows onto the table's partition
+        columns BEFORE every write — the parquet twin of Delta's
+        ``delta.autoOptimize.optimizeWrite`` (M5's other half; the
+        autoCompact half is ``set_auto_compact``). Without it, every
+        write task holding rows of a partition value opens its own
+        file in that partition directory, so a 32-task append to a
+        10-partition table emits up to 320 files; with it, all rows of
+        a partition value land in ONE task and each directory gets one
+        file per write. Skew note: a hot partition value becomes one
+        task — exactly Delta's optimizeWrite behavior; for a known-hot
+        key, leave this off and rely on auto-compact instead. No-op
+        for unpartitioned tables (there is no per-directory writer
+        explosion to prevent; sizing their file count is autoCompact's
+        job, which has the post-write byte counts this pre-write hook
+        lacks). On delta the property forwards to TBLPROPERTIES and
+        the engine enforces it.
+
+        Reference parity: jobs/batch_job.json:85-86 sets both
+        autoOptimize properties on the gold tables."""
+        if self.fmt == "delta":  # pragma: no cover - delta not in container
+            self.spark.sql(
+                f"ALTER TABLE delta.`{self.path(name)}` SET TBLPROPERTIES "
+                f"('delta.autoOptimize.optimizeWrite' = '{str(enabled).lower()}')"
+            )
+        meta = {**self.read_table_meta(name), "optimize_write": bool(enabled)}
+        with open(os.path.join(self.path(name), "_graft_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _maybe_optimize_write(
+        self, name: str, df: DataFrame, partition_by: list[str] | None
+    ) -> DataFrame:
+        if (
+            self.fmt != "delta"  # delta enforces its own property
+            and partition_by
+            and self.read_table_meta(name).get("optimize_write")
+        ):
+            return df.repartition(*partition_by)
+        return df
 
     def _maybe_auto_compact(self, name: str) -> None:
         mx = self.read_table_meta(name).get("auto_compact_max_files")
@@ -389,6 +430,7 @@ class Lakehouse:
             meta = self.read_table_meta(name) or None
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
         partition_by = partition_by or self.partitioning(name)
+        df = self._maybe_optimize_write(name, df, partition_by)
         writer = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
