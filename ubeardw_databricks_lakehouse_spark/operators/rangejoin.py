@@ -42,7 +42,7 @@ def range_join_binned(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_width: int,
+    bin_width: int | str,
     extra_on: list[str] | None = None,
     join_hint: str | None = None,
     build_rows_estimate: int | None = None,
@@ -52,6 +52,17 @@ def range_join_binned(
     optionally also equi-keyed on ``extra_on``. Numeric (long) range
     dimension — cast timestamps to epoch first.
 
+    ``bin_width``: bins per the module docstring rule (pick near the
+    median interval span), or the string ``"auto"`` to derive it — one
+    cheap agg computes the median span (``percentile_approx`` over
+    ``hi - lo``) and uses ``max(1, median_span)``. The rule is
+    MEASURED, not folklore: at the 64M rung, bin = span vs span/8 cut
+    the exploded-side shuffle 9x -> 2x rows for a 1.54x wall win with
+    a bit-identical match set (SCALING.md r12) — a bigger lever than
+    the join hint. Auto pays one extra job over the interval side;
+    pass an explicit width when the span distribution is known or the
+    intervals frame is expensive to traverse twice.
+
     ``join_hint``: None (default — planner picks broadcast/sort-merge),
     ``"SHUFFLE_HASH"`` (hash-build the point side; caller must size
     ``spark.sql.shuffle.partitions`` so points/partitions rows fit one
@@ -60,6 +71,16 @@ def range_join_binned(
     repartitions the point side on the join keys so only the exploded
     interval side re-shuffles)."""
     extra_on = extra_on or []
+    if bin_width == "auto":
+        bin_width = int(
+            right.select(
+                F.percentile_approx(F.col(hi_col) - F.col(lo_col), 0.5).alias("m")
+            ).collect()[0]["m"]
+            or 1
+        )
+        bin_width = max(1, bin_width)
+    elif not isinstance(bin_width, int) or bin_width < 1:
+        raise ValueError(f"bin_width must be a positive int or 'auto', got {bin_width!r}")
     w = F.lit(bin_width)
     binned_l = left.withColumn("_bin", F.floor(F.col(point_col) / w))
     exploded_r = right.withColumn(
