@@ -115,13 +115,19 @@ remaining-r9 + 1 deferred + 24 free slots pulling the oldest-r10
 cohort forward.
 r12 gates on the final tree: oracle sweep 161/161 exact at sf0.01
 (222 s) AND 161/161 exact at sf0.1 (2,198 s — the bench-scale
-certification, third round running), full pytest 519 green (the r12
-tests: neardup_upsert batch-equivalence + planted cross-split pair,
-SHUFFLE_HASH_AUTO pair-set equality + derived-width plan pin,
-release_local_checkpoint allow_projection gate); BENCH_MEDIANS_r12
-committed at 5 reps, diffed vs r11 with tools/bench_diff.py (which
-now prints both runs' loadavg, and bench.py stamps degraded:true
-when the start load exceeds BENCH_MAX_START_LOAD).
+certification, third round running), full pytest 525 green (519 at
+the mid-round gate; the r12 tests: neardup_upsert batch-equivalence
++ planted cross-split pair, streaming incremental-neardup
+convergence + crash-replay idempotence, SHUFFLE_HASH_AUTO pair-set
+equality + derived-width plan pin, release_local_checkpoint
+allow_projection gate, optimizeWrite file layout, bench tooling);
+BENCH_MEDIANS_r12 committed at 5 reps from a final-HEAD run
+(shared-41 vs r11 = 1.07x, max entry 1.33x), diffed vs r11 with
+tools/bench_diff.py (which now prints both runs' loadavg, and
+bench.py stamps degraded:true when the start load exceeds
+BENCH_MAX_START_LOAD); the anomalous first medians run stays
+committed as BENCH_MEDIANS_r12_run1.json with its adjudication in
+SCALING.md.
 
 r4 window rationale: the 45 entries that held tier-5 positions 51-95 in
 r3 carry CORRECTNESS_r02 evidence (two rounds stale after r4) -> all in.
