@@ -836,50 +836,54 @@ QUERIES: list[QueryDef] = [
 # names are promoted to positions 1-50, in this order; the remaining
 # entries follow in definition order.
 #
-# r12 window rationale (from CORRECTNESS_r01-r11 evidence; r11 verdict
+# r13 window rationale (from CORRECTNESS_r01-r12 evidence; r12 verdict
 # "Next round #1" — mechanically generated by tools/rotation_plan.py,
-# run first thing this round; ledger after r11 is r8=24, r9=50,
-# r10=50, r11=50, never=1):
-# - the 24 entries whose newest green is CORRECTNESS_r08 promote
+# run first thing this round; ledger after r12 is r9=25, r10=50,
+# r11=50, r12=50, never=1):
+# - the 25 entries whose newest green is CORRECTNESS_r09 promote
 #   first: their evidence falls off the 4-report horizon now that
-#   CORRECTNESS_r11 is on disk (exactly the list the staleness test
+#   CORRECTNESS_r12 is on disk (exactly the list the staleness test
 #   prints).
-# - q_kcore_parts (the r11 _DEFERRED_NEW addition — the
+# - q_neardup_incremental (the r12 _DEFERRED_NEW addition — the
 #   never-driver-graded lane) promotes per test_deferred_new_queue.
-# - the remaining 25 slots pull the oldest-evidence cohort forward:
-#   25 of the 50 entries whose newest green is CORRECTNESS_r09, in
+# - the remaining 24 slots pull the oldest-evidence cohort forward:
+#   24 of the 50 entries whose newest green is CORRECTNESS_r10, in
 #   registry definition order (round-tie tiebreak — same policy as
-#   every prior rotation). The other 25 r9 entries head the r13
-#   window (demand r13 floor = 25, well under 50).
-# 24 + 1 + 25 = 50/50: exactly full.
+#   every prior rotation). The other 26 r10 entries head the r14
+#   window (demand r14 floor = 26, well under 50).
+# 25 + 1 + 24 = 50/50: exactly full.
 _WINDOW: list[str] = [
-    # r8-latest-green lane (falls off the 4-report horizon now that
-    # r11 is on disk; the full 24-entry cohort in definition order)
-    "q_containment_pairs", "q_pareto_parts",
-    "q_column_profile", "q_kanon_risk",
-    "q_benford_totals", "q_event_lift",
-    "q_oov_rate", "q_copurchase_brands",
-    "q_gini_revenue", "q_mad_outliers",
-    "q_user_streaks", "q_chisq_drift",
-    "q_conversion_latency", "q_fk_integrity",
-    "q_revenue_concentration", "q_corr_profile",
-    "q_supplier_reach", "q_label_agreement",
-    "q_geo_radius_join", "q_lag1_autocorr",
-    "q_ranksum_sources", "q_weighted_median",
-    "q_ols_trend", "q_cusum_changepoint",
-    # never-driver-graded lane (r11 deferred-new queue)
-    "q_kcore_parts",
-    # r9-latest-green lane (first 25 of the 50-entry cohort in
-    # definition order; the other 25 head r13)
-    "q_boilerplate_ngrams", "q_quality_rules", "q_doc_top_terms",
-    "q_curated_corpus", "q_corpus_splits", "q_source_mixing",
-    "q_sample_per_source", "q_stream_attribution",
-    "q_contamination_bloom", "q_session_windows", "q_bpe_merges",
-    "q_inverted_index", "q_pq_codes", "q_text_profile",
-    "q_exact_dedup", "q_jaccard_pairs", "q_minhash_signatures",
-    "q_lsh_candidates", "q_neardup_verified", "q_embedding_topk",
-    "q_embedding_neardup", "q_multimodal_features", "q_chunking",
-    "q_vocabulary", "q_label_centroids",
+    # r9-latest-green lane (falls off the 4-report horizon now that
+    # r12 is on disk; the full 25-entry cohort in definition order)
+    "q_stratified_sample", "q_dim_time",
+    "q01_pricing_summary", "q_user_lifecycle_pivot",
+    "q03_shipping_priority", "q05_region_revenue",
+    "q06_forecast_revenue", "q_market_segment",
+    "q_top_customers", "q_order_gaps",
+    "q_union_entities", "q_export_manifest",
+    "q_embedding_topk_ivfpq", "q_embedding_topk_ivfpq_search",
+    "q_csv_roundtrip", "q_jsonl_roundtrip",
+    "q_orc_roundtrip", "q_pagerank_trading_fast",
+    "q_kmeans_clusters", "q_incremental_neardup",
+    "q_snapshot_diff", "q_image_resize",
+    "q_hard_negatives", "q_training_export",
+    "q_seasonal_decomposition",
+    # never-driver-graded lane (r12 deferred-new queue)
+    "q_neardup_incremental",
+    # r10-latest-green lane (first 24 of the 50-entry cohort in
+    # definition order; the other 26 head r14)
+    "q_token_stats", "q_embedding_dedup_fast",
+    "q_repetition_profile", "q_unigram_lm",
+    "q_dsir", "q_sessionization",
+    "q_scd2_history", "q_streaming_event_counts",
+    "q_streaming_windowed_counts", "q_funnel",
+    "q_retention_cohorts", "q_asof_attribution",
+    "q_cohort_set_ops", "q_salted_brand_revenue",
+    "q_unpivot_balances", "q_dim_date",
+    "q_customers_no_orders", "q_priority_filters",
+    "q_customer_tiers", "q_rollup_revenue",
+    "q_cube_orders", "q_part_stats",
+    "q12_late_shipments", "q14_promo_revenue",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -1038,7 +1042,14 @@ _WINDOW: list[str] = [
 # actually runs (the storage/ivm.py pattern applied to near-dup
 # state). At 176 entries the horizon stays 4 = ceil(176/50); demand
 # r13 = 25 r9-stale + 1 deferred + 24 free.
-_DEFERRED_NEW: list[str] = ["q_neardup_incremental"]
+# r13 rotation: q_neardup_incremental promoted into the window above
+# and this list emptied (contract honored — every prior queue rotated
+# on schedule: r5: 24, r7: 19, r8: 24, r9: 1, r10: 1, r11: 4, r12: 1,
+# r13: 1). Ledger after r12 is r9=25, r10=50, r11=50, r12=50, never=1;
+# the r13 window takes 25+1+24 and the demand sequence stays
+# satisfiable: r14 = 26 remaining-r10 + deferred + free slots,
+# r15 <= 50.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
