@@ -20,7 +20,7 @@ from ubeardw_databricks_lakehouse_spark.streaming.incremental_neardup import (
 DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 
-def _run_wave(spark, lake, tmp_path, wave_df, n, checkpoint=None):
+def _run_wave(spark, lake, tmp_path, wave_df, n, checkpoint=None, **kw):
     src = tmp_path / f"wave{n}"
     src.mkdir(exist_ok=True)
     wave_df.select("doc_id", "text").write.mode("overwrite").parquet(
@@ -31,6 +31,7 @@ def _run_wave(spark, lake, tmp_path, wave_df, n, checkpoint=None):
     q = start_incremental_neardup(
         spark, stream, lake,
         checkpoint=checkpoint or str(tmp_path / f"ckpt{n}"),
+        **kw,
     )
     q.awaitTermination(120)
 
@@ -104,4 +105,85 @@ def test_incremental_neardup_mid_batch_crash_replay(spark, tmp_path):
         for r in lsh_band_index(minhash_signatures(docs, n_hashes=8, shingle_n=2)).collect()
     }
     assert {tuple(r) for r in lake.read("neardup_band_index").collect()} == full_idx
+    assert lake.read("neardup_corpus").count() == docs.count()
+
+
+def test_incremental_neardup_bucketed_state_prunes_merges(spark, tmp_path):
+    """state_buckets mode: (1) converges to the exact batch answer with
+    bucket columns carried on every state table, and (2) a small wave's
+    MERGEs rewrite ONLY the touched bucket directories — the untouched
+    corpus/index buckets keep their exact files (the O(touched) pruned
+    MERGE path, the parquet twin of Delta's file-pruned MERGE)."""
+    import os
+
+    docs = spark.read.parquet(DOCS)
+    base = docs.where("doc_id >= 8")
+    wave = docs.where("doc_id < 8")  # 8 docs: leaves buckets idle at B=64
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    B = 64
+    _run_wave(spark, lake, tmp_path, base, 0, state_buckets=B)
+
+    def files(table):
+        out = {}
+        root_dir = lake.path(table)
+        for root, _d, fs in os.walk(root_dir):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, root_dir)] = os.path.getmtime(p)
+        return out
+
+    corpus_before = files("neardup_corpus")
+    index_before = files("neardup_band_index")
+    touched_corpus = {
+        r.b
+        for r in wave.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(B)).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    assert len(touched_corpus) < B
+
+    _run_wave(spark, lake, tmp_path, wave, 1, state_buckets=B)
+
+    # untouched corpus buckets: identical files after the wave's MERGE
+    corpus_after = files("neardup_corpus")
+    untouched_checked = 0
+    for rel, mtime in corpus_before.items():
+        bucket = int(rel.split(os.sep)[0].split("=")[1])
+        if bucket not in touched_corpus:
+            assert corpus_after.get(rel) == mtime, f"{rel} rewritten"
+            untouched_checked += 1
+    assert untouched_checked > 0
+    # index: SOME bucket dir survived untouched (band buckets of the
+    # wave are data-dependent; assert pruning happened, not its exact set)
+    index_after = files("neardup_band_index")
+    assert any(
+        index_after.get(rel) == mtime for rel, mtime in index_before.items()
+    ), "every index bucket was rewritten — MERGE did not prune"
+
+    # converged state == the batch pipeline's answer
+    want = {
+        tuple(r)
+        for r in neardup_verified_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        tuple(r)
+        for r in lake.read("neardup_pairs")
+        .select("id_a", "id_b", "n_shingles_a", "n_shingles_b", "n_common")
+        .collect()
+    }
+    assert got == want and want
+    got_idx = {
+        tuple(r)
+        for r in lake.read("neardup_band_index")
+        .select("doc_id", "band_idx", "band_hash")
+        .collect()
+    }
+    full_idx = {
+        tuple(r)
+        for r in lsh_band_index(
+            minhash_signatures(docs, n_hashes=8, shingle_n=2)
+        ).collect()
+    }
+    assert got_idx == full_idx
     assert lake.read("neardup_corpus").count() == docs.count()

@@ -20,7 +20,10 @@ SCALING.md r11). The same opt-in escape hatch is exposed here:
 ``join_hint="SHUFFLE_HASH"`` (caller sizes partitions) or
 ``"SHUFFLE_HASH_AUTO"`` (partition count derived as
 ``max(shuffle.partitions, ceil(points / target_build_rows))`` via a
-cheap count or a caller estimate). The hint is applied to the BINNED
+cheap count or a caller estimate — an AVERAGE-case bound: hash
+partitioning on the bin keys puts a hot BIN whole in one partition,
+so bin-skewed data can exceed target_build_rows per build; shrink
+``bin_width`` for known-hot bins). The hint is applied to the BINNED
 POINT side — the un-replicated side, the analogue of the spatial
 home-cell side — and the exploded interval side streams as the
 probe. Ladder A/B recorded in SCALING.md r12; the hint stays opt-in

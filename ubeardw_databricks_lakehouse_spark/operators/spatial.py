@@ -155,12 +155,18 @@ def radius_join(
     to ``max(shuffle.partitions, ceil(build_rows / target_build_rows))``
     partitions and hinted SHUFFLE_HASH; the join reuses that
     partitioning (Spark's EnsureRequirements shuffles only the exploded
-    probe side to match), so each per-map hash build holds at most
-    ~``target_build_rows`` points (default 250k — the 64M/256-partition
-    rung that ran OOM-free at 8g; each point row is ~24 bytes payload,
-    so 250k rows is single-digit MB per build). ``build_rows_estimate``
-    skips the sizing ``count()`` when the caller already knows the
-    cardinality (a catalog rowcount, a previous stage's count).
+    probe side to match), so each per-map hash build holds
+    ~``target_build_rows`` points ON AVERAGE (default 250k — the
+    64M/256-partition rung that ran OOM-free at 8g; each point row is
+    ~24 bytes payload, so 250k rows is single-digit MB per build).
+    Skew caveat: hash partitioning on the cell keys puts a hot CELL
+    entirely in one partition, so a dataset concentrated in few cells
+    can exceed the average bound arbitrarily — exactly the
+    optimizeWrite hot-partition note; for known-hot cells shrink
+    ``cell_size`` (more, smaller cells) or size partitions manually.
+    ``build_rows_estimate`` skips the sizing ``count()`` when the
+    caller already knows the cardinality (a catalog rowcount, a
+    previous stage's count).
     """
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -276,8 +282,9 @@ def radius_join(
         n_parts = max(base_parts, math.ceil(n_build / max(1, target_build_rows)))
         # explicit repartition on the join keys: the join reuses this
         # partitioning, so only the 5x/9x exploded probe side shuffles
-        # to n_parts and every per-map hash build is bounded by
-        # ~target_build_rows regardless of total N
+        # to n_parts and the AVERAGE per-map hash build is
+        # ~target_build_rows regardless of total N (a hot cell still
+        # lands whole in one partition — see the docstring skew caveat)
         b = b.repartition(n_parts, "_cx", "_cy").hint("SHUFFLE_HASH")
     elif join_hint:
         b = b.hint(join_hint)

@@ -346,8 +346,13 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# wrap the batch oracle as a subselect so the delta filter composes
+# regardless of the base query's tail (a future ORDER BY/LIMIT on the
+# batch oracle would silently corrupt a string-appended AND)
 Q_NEARDUP_INCREMENTAL_SQL = (
-    Q_NEARDUP_VERIFIED_SQL + "  AND (id_a % 10 = 0 OR id_b % 10 = 0)\n"
+    "SELECT * FROM (\n"
+    + Q_NEARDUP_VERIFIED_SQL
+    + ") WHERE id_a % 10 = 0 OR id_b % 10 = 0\n"
 )
 
 # ---------------------------------------------------------------------------

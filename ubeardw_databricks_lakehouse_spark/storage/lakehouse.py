@@ -304,6 +304,7 @@ class Lakehouse:
         update_condition: str | None = None,
         partition_by: list[str] | None = None,
         allow_schema_evolution: bool = False,
+        prune: bool = True,
     ) -> None:
         """MERGE: update matched (optionally guarded), insert unmatched.
 
@@ -314,6 +315,29 @@ class Lakehouse:
         ``allow_schema_evolution=True`` admits source-only columns into
         the table (existing rows get NULL) — Delta's
         ``schema.autoMerge`` contract; without it they are an error.
+
+        **Partition-pruned rewrite (parquet twin).** When the table is
+        partitioned and every partition column is also a merge KEY
+        (``pcols <= keys`` — e.g. a ``pmod(xxhash64(key), B)`` bucket
+        column carried in both source and keys), the parquet fallback
+        reads ONLY the partitions the source touches, merges, and swaps
+        ONLY those directories: the per-batch MERGE term is O(touched
+        partitions), not O(table) — the twin of Delta MERGE's
+        file-pruning (reference: pipelines/gold_pipeline.py:789-796 is
+        the pruned MERGE being twinned). The ``pcols <= keys`` gate is
+        what makes pruning SAFE: a matched target row necessarily lives
+        in a touched partition, so no match can hide in an unread one.
+        Pruning factor is honest hash math: ``delta_rows`` uniformly
+        hashed rows touch ``B*(1-(1-1/B)^delta_rows)`` of ``B`` buckets
+        — real wins need ``delta_rows`` below ``B`` (at 100 TB, B is
+        sized to ~128 MB buckets, i.e. large). Set ``prune=False`` to
+        force the full-table rewrite. Crash note: the pruned swap
+        promotes per-partition (each directory individually
+        trash-aside-renamed), so a mid-swap crash leaves a mix of
+        old/new partitions — safe under this module's MERGE contract
+        (replayed MERGEs are idempotent), unlike a torn ARBITRARY
+        write; schema evolution always falls back to the full rewrite
+        (untouched partitions must be rewritten to carry new columns).
         """
         if not self.exists(name):
             self.overwrite(name, source, partition_by)
@@ -339,7 +363,31 @@ class Lakehouse:
         # came from, so a source row with a NULL merge key inserts intact
         # (Delta MERGE whenNotMatchedInsertAll semantics) instead of
         # collapsing to an all-NULL row.
-        target = self.read(name).withColumn("_tgt", F.lit(True)).alias("target")
+        full = self.read(name)
+        pcols = self.partitioning(name)
+        pruned = (
+            prune
+            and bool(pcols)
+            and set(pcols) <= set(keys)
+            and set(pcols) <= set(source.columns)
+            # schema evolution must rewrite untouched partitions too
+            and set(source.columns) <= set(full.columns)
+        )
+        if pruned:
+            # distinct partition values the source touches — bounded by
+            # the partition count, a plan parameter not a data collect
+            touched = source.select(*pcols).distinct().collect()
+            if not touched:
+                return
+            # per-column isin: exact for one partition column, a
+            # superset for nested specs (extra partitions merge as
+            # no-ops and rewrite unchanged — correct, just less pruned)
+            pred = None
+            for p in pcols:
+                c = F.col(p).isin([r[p] for r in touched])
+                pred = c if pred is None else pred & c
+            full = full.where(pred)
+        target = full.withColumn("_tgt", F.lit(True)).alias("target")
         src = source.withColumn("_src", F.lit(True)).alias("source")
         cond = None
         for k in keys:
@@ -384,7 +432,11 @@ class Lakehouse:
                     .otherwise(F.lit(None))
                     .alias(c)
                 )
-        self._swap(name, joined.select(*out_cols), partition_by)
+        merged = joined.select(*out_cols)
+        if pruned:
+            self._swap_partitions(name, merged, pcols)
+        else:
+            self._swap(name, merged, partition_by)
 
     def update_where(
         self, name: str, condition: str, set_map: dict[str, str]
@@ -412,6 +464,50 @@ class Lakehouse:
     def delete_where(self, name: str, condition: str) -> None:
         df = self.read(name).where(~F.expr(condition))
         self._swap(name, df)
+
+    def _swap_partitions(
+        self, name: str, df: DataFrame, pcols: list[str]
+    ) -> None:
+        """Commit a rewrite of ONLY the partitions present in ``df``.
+
+        ``df`` is written partitioned into a staging directory; each
+        leaf partition directory it produced is then trash-aside
+        renamed over the live table's same directory (created if new).
+        Partitions absent from ``df`` are never read or touched — the
+        O(touched) half of the pruned-MERGE contract. Leaf directory
+        names come from Spark's own partitioned write (value escaping
+        included), never re-derived by hand. Root sidecar meta and
+        untouched partitions are left as-is. Each directory promote is
+        atomic; the set of promotes is not — see ``upsert``'s crash
+        note (idempotent-MERGE replay contract)."""
+        tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+        df.write.format(self.fmt).mode("overwrite").partitionBy(*pcols).save(tmp)
+        final = self.path(name)
+        trashes: list[str] = []
+        # leaf partition dirs, relative to tmp (depth == len(pcols))
+        def leaves(d: str, depth: int) -> list[str]:
+            if depth == 0:
+                return [d]
+            out: list[str] = []
+            for sub in os.listdir(d):
+                p = os.path.join(d, sub)
+                if "=" in sub and os.path.isdir(p):
+                    out.extend(leaves(p, depth - 1))
+            return out
+        for leaf in leaves(tmp, len(pcols)):
+            rel = os.path.relpath(leaf, tmp)
+            dst = os.path.join(final, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(dst):
+                trash = os.path.join(
+                    self.root, f".trash-{name}-{uuid.uuid4().hex[:8]}"
+                )
+                os.rename(dst, trash)
+                trashes.append(trash)
+            os.rename(leaf, dst)
+        shutil.rmtree(tmp)
+        for trash in trashes:
+            shutil.rmtree(trash)
 
     def _swap(
         self,

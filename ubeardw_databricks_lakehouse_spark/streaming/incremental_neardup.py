@@ -33,13 +33,32 @@ the doc's shingles, which is why the corpus merge comes last only
 AFTER the index merge in the same batch function (both replay-safe,
 neither readable by the next batch until this function returns —
 foreachBatch batches are serialized per query).
+
+State-table layout (``state_buckets``): with ``state_buckets=B > 0``
+each state table is hash-bucket partitioned on a key-derived column —
+index by ``pmod(xxhash64(band_hash), B)``, corpus by
+``pmod(xxhash64(doc_id), B)``, pairs by ``pmod(xxhash64(id_a), B)`` —
+and the bucket column joins the MERGE keys, so ``Lakehouse.upsert``'s
+partition-pruned rewrite path applies: the per-batch MERGE term is
+O(touched buckets), not O(corpus) (on delta the same layout prunes
+files natively). Size B so delta rows per batch stay BELOW B — uniform
+hashing touches ``B*(1-(1-1/B)^rows)`` buckets, so a batch with more
+rows than buckets degenerates to the full rewrite.
+
+Memory: the per-batch ``localCheckpoint`` pin is explicitly released
+(``release_local_checkpoint``) once the batch's rows are merged —
+checkpoint blocks survive unpersist()/GC on this runtime
+(core/session.py:122), so a forever-running stream would otherwise
+accrete one dead delta-sized block per micro-batch.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..core.session import release_local_checkpoint
 from ..operators.dedup import neardup_upsert
 from ..storage.lakehouse import Lakehouse
 
@@ -60,6 +79,8 @@ def start_incremental_neardup(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     available_now: bool = True,
+    broadcast_delta: bool = True,
+    state_buckets: int = 0,
 ) -> StreamingQuery:
     """Start the foreachBatch query maintaining the near-dup tables.
 
@@ -67,14 +88,31 @@ def start_incremental_neardup(
     ids already in the corpus are dropped (the upsert contract: an id
     replacing an existing doc must be deleted from the index first) —
     which is also what makes source-level redelivery harmless.
+
+    ``broadcast_delta`` forwards to ``neardup_upsert``: keep the
+    default for steady micro-batches (the stored index is scanned,
+    never shuffled); pass False for a giant backfill delta where a
+    forced broadcast would OOM and the planner should pick the side.
+
+    ``state_buckets=B > 0`` bucket-partitions the three state tables
+    (module docstring) so each MERGE rewrites only touched buckets.
+    The layout is fixed at table creation; changing B for existing
+    tables requires a rewrite.
     """
+    bucketed = state_buckets > 0
+
+    def _bucket(df: DataFrame, col: str, alias: str) -> DataFrame:
+        return df.withColumn(
+            alias,
+            F.pmod(F.xxhash64(F.col(col)), F.lit(state_buckets)).cast("int"),
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         if batch.isEmpty():
             return
         if lake.exists(corpus_table):
-            corpus = lake.read(corpus_table)
+            corpus = lake.read(corpus_table).select(id_col, text_col)
             # enforce the new-ids contract (and source redelivery
             # safety) structurally, not by trusting the source
             batch = batch.join(corpus.select(id_col), id_col, "left_anti")
@@ -82,37 +120,85 @@ def start_incremental_neardup(
             # so the plan runs once per branch, and because foreachBatch
             # overwrites/merges the very tables batch reads from
             batch = batch.localCheckpoint(eager=True)
-            if batch.isEmpty():
-                return
-            index = lake.read(index_table)
-            pairs, delta_bands = neardup_upsert(
-                index, batch, corpus,
-                id_col=id_col, text_col=text_col, n_hashes=n_hashes,
-                band_size=band_size, shingle_n=shingle_n,
-                threshold=threshold, hash_fn=hash_fn,
-            )
-            lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
-            # merge ONLY the delta's band rows — existing index rows are
-            # immutable, so the MERGE source stays O(delta). (The parquet
-            # twin still rewrites the table file-wise, its documented
-            # MERGE limitation; on delta this is O(files touched).)
-            lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
+            try:
+                if batch.isEmpty():
+                    return
+                index = lake.read(index_table)
+                pairs, delta_bands = neardup_upsert(
+                    index, batch, corpus,
+                    id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+                    band_size=band_size, shingle_n=shingle_n,
+                    threshold=threshold, hash_fn=hash_fn,
+                    broadcast_delta=broadcast_delta,
+                )
+                _merge_all(batch, pairs, delta_bands)
+            finally:
+                # the batch's rows are merged (or the batch was empty):
+                # the pinned blocks are dead — free them NOW, or a
+                # forever-running stream accretes one per micro-batch
+                release_local_checkpoint(batch)
         else:
             # first batch bootstraps the state: empty index, empty corpus
             batch = batch.localCheckpoint(eager=True)
-            id_type = batch.schema[id_col].dataType.simpleString()
-            empty_index = spark.createDataFrame(
-                [], f"{id_col} {id_type}, band_idx int, band_hash string"
+            try:
+                id_type = batch.schema[id_col].dataType.simpleString()
+                empty_index = spark.createDataFrame(
+                    [], f"{id_col} {id_type}, band_idx int, band_hash string"
+                )
+                pairs, delta_bands = neardup_upsert(
+                    empty_index, batch, batch.limit(0),
+                    id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+                    band_size=band_size, shingle_n=shingle_n,
+                    threshold=threshold, hash_fn=hash_fn,
+                    broadcast_delta=broadcast_delta,
+                )
+                _merge_all(batch, pairs, delta_bands)
+            finally:
+                release_local_checkpoint(batch)
+
+    def _merge_all(
+        batch: DataFrame, pairs: DataFrame, delta_bands: DataFrame
+    ) -> None:
+        # merge ONLY the delta's band rows — existing index rows are
+        # immutable, so the MERGE source stays O(delta); with
+        # state_buckets the bucket column joins the keys, so the
+        # rewrite side is O(touched buckets) too (pruned-MERGE path)
+        if bucketed:
+            # the pruned MERGE traverses each source twice (bucket
+            # distinct + the merge join) and `pairs` carries the
+            # verify leg — pin both once, release when merged
+            pairs = _bucket(pairs, "id_a", "pair_bucket").localCheckpoint(
+                eager=True
             )
-            pairs, delta_bands = neardup_upsert(
-                empty_index, batch, batch.limit(0),
-                id_col=id_col, text_col=text_col, n_hashes=n_hashes,
-                band_size=band_size, shingle_n=shingle_n,
-                threshold=threshold, hash_fn=hash_fn,
-            )
+            bands = _bucket(
+                delta_bands, "band_hash", "band_bucket"
+            ).localCheckpoint(eager=True)
+            try:
+                lake.upsert(
+                    pairs_table,
+                    pairs,
+                    keys=["pair_bucket", "id_a", "id_b"],
+                    partition_by=["pair_bucket"],
+                )
+                lake.upsert(
+                    index_table,
+                    bands,
+                    keys=["band_bucket", id_col, "band_idx"],
+                    partition_by=["band_bucket"],
+                )
+                lake.upsert(
+                    corpus_table,
+                    _bucket(batch, id_col, "id_bucket"),
+                    keys=["id_bucket", id_col],
+                    partition_by=["id_bucket"],
+                )
+            finally:
+                release_local_checkpoint(pairs)
+                release_local_checkpoint(bands)
+        else:
             lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
             lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
-        lake.upsert(corpus_table, batch, keys=[id_col])
+            lake.upsert(corpus_table, batch, keys=[id_col])
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)
