@@ -33,6 +33,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _loadgate import load_stamp  # noqa: E402
 
 
 def main() -> None:
@@ -93,12 +96,13 @@ def main() -> None:
         )
 
     def timed_upsert(docs_b, idx, docs_d):
+        stamp = load_stamp()
         t0 = time.perf_counter()
         pairs, _bands = neardup_upsert(
             idx, docs_d, docs_b, threshold=0.5, hash_fn="xxhash64"
         )
         n_pairs = pairs.count()
-        return time.perf_counter() - t0, n_pairs
+        return time.perf_counter() - t0, n_pairs, stamp
 
     results = []
     largest = None
@@ -108,11 +112,11 @@ def main() -> None:
             minhash_signatures(docs_b, hash_fn="xxhash64"), hash_fn="xxhash64"
         ).localCheckpoint(eager=True)  # the stored state, built off-clock
         docs_d = delta_docs(args.delta, n_base).localCheckpoint(eager=True)
-        wall, n_pairs = timed_upsert(docs_b, idx, docs_d)
+        wall, n_pairs, stamp = timed_upsert(docs_b, idx, docs_d)
         recall = n_pairs / args.delta
         results.append({"n_base": n_base, "n_delta": args.delta,
                         "upsert_s": round(wall, 2), "pairs": n_pairs,
-                        "recall_vs_planted": round(recall, 4)})
+                        "recall_vs_planted": round(recall, 4), **stamp})
         print(json.dumps(results[-1]), flush=True)
         assert 0.95 < recall < 1.1, "planted-pair recall off expectation"
         if n_base == max(bases):
@@ -126,10 +130,11 @@ def main() -> None:
     n_base = max(bases)
     for n_delta in deltas:
         docs_d = delta_docs(n_delta, n_base).localCheckpoint(eager=True)
-        wall, n_pairs = timed_upsert(docs_b, idx, docs_d)
+        wall, n_pairs, stamp = timed_upsert(docs_b, idx, docs_d)
         results.append({"n_base": n_base, "n_delta": n_delta,
                         "upsert_s": round(wall, 2), "pairs": n_pairs,
-                        "recall_vs_planted": round(n_pairs / n_delta, 4)})
+                        "recall_vs_planted": round(n_pairs / n_delta, 4),
+                        **stamp})
         print(json.dumps(results[-1]), flush=True)
         release_local_checkpoint(docs_d, allow_projection=True)
 

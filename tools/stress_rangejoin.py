@@ -32,6 +32,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _loadgate import load_stamp  # noqa: E402
 
 
 def main() -> None:
@@ -93,6 +96,7 @@ def main() -> None:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+        stamp = load_stamp()
         t0 = time.perf_counter()
         if args.checksum:
             row = joined.agg(
@@ -111,6 +115,7 @@ def main() -> None:
             "wall_s": round(wall, 2), "matches": got,
             "expected": expect, "ratio": round(got / expect, 4),
             **({"pairset_xor": checksum} if checksum is not None else {}),
+            **stamp,
         })
         print(json.dumps(results[-1]), flush=True)
         assert 0.9 < got / expect < 1.1, "match count off the analytic expectation"

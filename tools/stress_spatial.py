@@ -28,6 +28,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _loadgate import load_stamp  # noqa: E402
 
 
 def main() -> None:
@@ -78,6 +81,7 @@ def main() -> None:
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
+        stamp = load_stamp()
         t0 = time.perf_counter()
         if args.checksum:
             row = pairs.agg(
@@ -93,7 +97,8 @@ def main() -> None:
         results.append({"n": n, "wall_s": round(wall, 2), "pairs": got,
                         "expected_pairs": int(expect),
                         "ratio": round(got / expect, 4),
-                        **({"pairset_xor": checksum} if checksum is not None else {})})
+                        **({"pairset_xor": checksum} if checksum is not None else {}),
+                        **stamp})
         print(json.dumps(results[-1]), flush=True)
         assert 0.9 < got / expect < 1.1, "pair count off the analytic expectation"
 

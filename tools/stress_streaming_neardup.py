@@ -12,14 +12,24 @@ pair counts double-check recall while the clock runs.
 
 What to expect, by design: the COMPUTE legs are O(delta) —
 tools/stress_neardup_upsert shows the operator near-flat in base —
-but on the parquet storage twin every keyed MERGE rewrites its table
-(the documented Lakehouse.upsert limitation), so wave walls carry an
-O(corpus) write term that Delta's file-pruned MERGE would not. This
-tool exists to keep that split measured instead of asserted: wave
-walls are reported next to the corpus size at the time, and the
-docs/s figure is the honest single-box parquet-twin number.
+and with ``--state-buckets B`` (r13) the STORAGE legs are pruned
+MERGEs too: each state table is bucket-partitioned on a key-derived
+hash column, so a wave rewrites only the buckets it touches instead
+of the whole table (Lakehouse.upsert's partition-pruned path — the
+parquet twin of Delta's file-pruned MERGE). At ``--state-buckets 0``
+(legacy layout) every keyed MERGE rewrites its table, so wave walls
+carry an O(corpus) write term; this tool keeps that split measured
+instead of asserted — wave walls are reported next to the corpus
+size, each with a loadavg stamp (tools/_loadgate).
+
+Memory gate (r13): after every wave the executor storage is asserted
+EMPTY (``pinned_rdd_blocks``) — the per-batch localCheckpoint pins
+must be released by the stream itself, or a forever-running pipeline
+accretes one dead delta-sized block per micro-batch; run with
+``--waves 100`` to pin the long-haul behavior.
 
 Usage: python tools/stress_streaming_neardup.py --base 500000 --wave 50000 --waves 4
+       python tools/stress_streaming_neardup.py --base 200000 --wave 2000 --waves 100 --state-buckets 128
 """
 
 from __future__ import annotations
@@ -41,7 +51,11 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=4)
     ap.add_argument("--tokens", type=int, default=20)
     ap.add_argument("--vocab", type=int, default=1000)
+    ap.add_argument("--state-buckets", type=int, default=0,
+                    help="bucket-partition the state tables (pruned MERGEs)")
     args = ap.parse_args()
+
+    from _loadgate import load_stamp, pinned_rdd_blocks
 
     from pyspark.sql import functions as F
 
@@ -88,20 +102,31 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(src, "data"))
         schema = spark.read.parquet(os.path.join(src, "data")).schema
         stream = spark.readStream.schema(schema).parquet(os.path.join(src, "data"))
+        stamp = load_stamp()
         t0 = time.perf_counter()
         q = start_incremental_neardup(
             spark, stream, lake,
             checkpoint=os.path.join(tmp, f"ckpt{n}"),
             hash_fn="xxhash64",
+            state_buckets=args.state_buckets,
         )
         q.awaitTermination(600)
-        return time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        # the memory gate: the stream must have released its per-batch
+        # localCheckpoint pins — anything left accretes forever
+        pinned = pinned_rdd_blocks(spark)
+        assert pinned["pinned_rdds"] == 0, (
+            f"wave {n} leaked {pinned['pinned_rdds']} pinned RDD blocks "
+            f"({pinned['pinned_mem_bytes']} bytes) — localCheckpoint not released"
+        )
+        return wall, stamp
 
     # wave 0 bootstraps the corpus (its wall includes hashing the base)
     results = []
-    wall0 = run_wave(base_docs(args.base), 0)
+    wall0, stamp0 = run_wave(base_docs(args.base), 0)
     results.append({"wave": 0, "docs": args.base, "wall_s": round(wall0, 2),
-                    "corpus_after": args.base, "docs_per_s": int(args.base / wall0)})
+                    "corpus_after": args.base, "docs_per_s": int(args.base / wall0),
+                    **stamp0})
     print(json.dumps(results[-1]), flush=True)
 
     offset = args.base
@@ -109,7 +134,7 @@ def main() -> None:
         lake.read("neardup_pairs").count() if lake.exists("neardup_pairs") else 0
     )
     for w in range(1, args.waves + 1):
-        wall = run_wave(delta_docs(args.wave, offset, args.base), w)
+        wall, stamp = run_wave(delta_docs(args.wave, offset, args.base), w)
         offset += args.wave
         n_pairs = lake.read("neardup_pairs").count()
         # expected new pairs: each delta doc pairs with its base source
@@ -126,6 +151,7 @@ def main() -> None:
             "corpus_after": offset, "docs_per_s": int(args.wave / wall),
             "new_pairs": n_pairs - prev_pairs,
             "recall_vs_expected": round(recall, 4),
+            **stamp,
         })
         print(json.dumps(results[-1]), flush=True)
         assert 0.9 < recall < 1.1, "pair count off the analytic expectation"
@@ -134,9 +160,11 @@ def main() -> None:
     deltas = [r for r in results if r["wave"] >= 1]
     print(json.dumps({
         "metric": "streaming_neardup_wave_walls",
+        "state_buckets": args.state_buckets,
         "wave_walls_s": [r["wall_s"] for r in deltas],
         "docs_per_s_last": deltas[-1]["docs_per_s"],
         "corpus_final": offset,
+        "pinned_after_run": pinned_rdd_blocks(spark),
         "loadavg": list(os.getloadavg()),
     }))
 

@@ -76,10 +76,14 @@ class Lakehouse:
             return False
         if self.fmt == "delta":
             return os.path.isdir(os.path.join(p, "_delta_log"))
-        return any(
-            f.endswith(".parquet") or f == "_SUCCESS" or os.path.isdir(os.path.join(p, f))
-            for f in os.listdir(p)
-        )
+        # require an actual data file: a PARTITIONED overwrite of an
+        # empty DataFrame leaves only _SUCCESS (no partition values ->
+        # no files -> no readable schema), and such a table must read
+        # as absent so the next write re-creates it
+        for root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, name: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions column sets across files (the
