@@ -187,6 +187,53 @@ def test_upsert_partition_pruned_rewrites_only_touched(spark, tmp_path):
     assert lakeA.read("t").count() == 401
 
 
+def test_upsert_insert_only_fast_path_appends(spark, tmp_path):
+    """All-new source keys into a bucket-partitioned table: MERGE is
+    an append of delta-sized files — NO partition is rewritten, not
+    even the touched ones (Delta MERGE's no-matches behavior)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    def bucketed(df):
+        return df.withColumn(
+            "b", F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int")
+        )
+
+    lake = Lakehouse(spark, str(tmp_path))
+    base = bucketed(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    )
+    lake.overwrite("t", base, partition_by=["b"])
+
+    def files():
+        out = {}
+        for root, _d, fs in os.walk(lake.path("t")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, lake.path("t"))] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    src = bucketed(
+        spark.range(1000, 1016).select(
+            F.col("id").alias("k"), F.lit("new").alias("v")
+        )
+    )
+    lake.upsert("t", src, keys=["b", "k"])
+    after = files()
+    # every pre-existing file survives bit-identical; new files appear
+    for rel, mtime in before.items():
+        assert after.get(rel) == mtime, f"{rel} was rewritten on insert-only MERGE"
+    assert len(after) > len(before)
+    got = {r.k: r.v for r in lake.read("t").collect()}
+    assert len(got) == 116 and got[5] == "old" and got[1005] == "new"
+    # replay the same source: matches now exist -> pruned rewrite, no dupes
+    lake.upsert("t", src, keys=["b", "k"])
+    assert lake.read("t").count() == 116
+
+
 def test_upsert_prune_requires_pcols_in_keys(spark, tmp_path):
     """Partition columns NOT in the merge keys must fall back to the
     full rewrite: a matched row may live in an unread partition (e.g.

@@ -575,3 +575,84 @@ def test_training_export_amortized_status(spark):
     p = _plan(amortized)
     n = len(re.findall(r"FileScan parquet", p))
     assert n <= 2, f"amortized export still scans {n} times"
+
+
+def test_auto_join_hint_resolves_by_size(spark):
+    """join_hint="AUTO" (the shipping default for the exploded joins):
+    a build side under the broadcast threshold stays unhinted — the
+    executed plan BROADCASTS — and one over it engages the sized
+    shuffle-hash build; the pair set never changes (r12 verdict #4)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.operators.rangejoin import (
+        range_join_binned,
+    )
+    from ubeardw_databricks_lakehouse_spark.operators.spatial import radius_join
+
+    # stats-bearing source (range -> accurate sizeInBytes); an
+    # ExistingRDD would carry the default huge estimate and AUTO would
+    # (correctly) refuse to assume broadcast
+    df = spark.range(300).select(
+        "id",
+        (F.pmod(F.xxhash64("id"), F.lit(100000)) / 2500.0 - 20).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)) / 2500.0 - 20).alias("y"),
+    )
+    base = {(a, b): d for a, b, d in radius_join(df, "id", "x", "y", 2.0).collect()}
+
+    auto = radius_join(df, "id", "x", "y", 2.0, join_hint="AUTO")
+    assert "BroadcastHashJoin" in _plan(auto)  # small build -> broadcast
+    assert {(a, b): d for a, b, d in auto.collect()} == base
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        big = radius_join(df, "id", "x", "y", 2.0, join_hint="AUTO")
+        assert "ShuffledHashJoin" in _plan(big)  # over threshold -> sized build
+        assert {(a, b): d for a, b, d in big.collect()} == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # same trigger on the binned range join
+    rpts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") * 7).alias("x"))
+    ivs = spark.range(500).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 11).alias("lo"),
+        (F.col("id") * 11 + 20).alias("hi"),
+    )
+    want = {(r.pid, r.iid) for r in range_join_binned(rpts, ivs, "x", "lo", "hi", bin_width=20).collect()}
+    j = range_join_binned(rpts, ivs, "x", "lo", "hi", bin_width="auto", join_hint="AUTO")
+    assert "BroadcastHashJoin" in _plan(j)
+    assert {(r.pid, r.iid) for r in j.collect()} == want
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        j2 = range_join_binned(rpts, ivs, "x", "lo", "hi", bin_width="auto", join_hint="AUTO")
+        assert "ShuffledHashJoin" in _plan(j2)
+        assert {(r.pid, r.iid) for r in j2.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_shipping_plans_use_derived_knobs(spark):
+    """The registry entries exercising the exploded joins ship with the
+    derived knobs active: at sf scale AUTO resolves to a broadcast (the
+    plan pin the r12 verdict asked for in place of a timing), and
+    q_error_after_purchase's bin_width="auto" derives exactly the 6h
+    span the hand-set constant carried."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.plans.events_q import (
+        q_error_after_purchase,
+    )
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import q_spatial_neighbors
+
+    sn = q_spatial_neighbors(spark, SF)
+    assert "BroadcastHashJoin" in _plan(sn)
+    assert "CartesianProduct" not in _plan(sn)
+
+    ep = q_error_after_purchase(spark, SF)
+    p = _plan(ep)
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # auto bin width == the median (= only) interval span: every bin id
+    # in the plan divides by 21_600_000_000 — check via the plan's
+    # floor division constant
+    assert "21600000000" in p.replace(",", "")

@@ -166,3 +166,41 @@ def release_local_checkpoint(df, allow_projection: bool = False) -> bool:
     except Exception:
         pass
     return False
+
+
+def resolve_auto_join_hint(build_df) -> str | None:
+    """Size-trigger for the exploded-join operators' ``join_hint="AUTO"``
+    (radius_join, range_join_binned — r12 verdict #4: the derived knobs
+    should be the shipping default, engaged only where size warrants).
+
+    Uses Catalyst's own estimate (``optimizedPlan().stats().sizeInBytes``
+    — free, no job) of the BUILD side:
+
+    - at or below ``spark.sql.autoBroadcastJoinThreshold``: return None.
+      The planner will broadcast, which is optimal at this size; hinting
+      SHUFFLE_HASH here would force a shuffle where none is needed.
+    - above it (or with broadcast disabled, threshold < 0): return
+      ``"SHUFFLE_HASH_AUTO"`` — the measured 64M-scale fast path (the
+      default SortMergeJoin's wall is the exploded-side SORT; see
+      operators/spatial.py). Its sizing count() is amortized against a
+      join this size by definition of the trigger.
+
+    Estimates can be wrong (a selective filter under a raw scan inflates
+    sizeInBytes -> the join is hash-partitioned when broadcast would
+    have done; harmless, just a shuffle). Callers wanting exact control
+    pass an explicit hint instead of AUTO.
+    """
+    try:
+        size = int(str(
+            build_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+        thr = int(
+            build_df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        return "SHUFFLE_HASH_AUTO"  # no estimate -> assume big (safe at scale)
+    if 0 <= size <= thr:
+        return None
+    return "SHUFFLE_HASH_AUTO"

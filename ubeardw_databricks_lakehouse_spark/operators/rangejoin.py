@@ -69,10 +69,13 @@ def range_join_binned(
     ``join_hint``: None (default — planner picks broadcast/sort-merge),
     ``"SHUFFLE_HASH"`` (hash-build the point side; caller must size
     ``spark.sql.shuffle.partitions`` so points/partitions rows fit one
-    map's memory), or ``"SHUFFLE_HASH_AUTO"`` (derives that partition
+    map's memory), ``"SHUFFLE_HASH_AUTO"`` (derives that partition
     count from ``build_rows_estimate`` or a ``left.count()``, then
     repartitions the point side on the join keys so only the exploded
-    interval side re-shuffles)."""
+    interval side re-shuffles), or ``"AUTO"`` (the shipping-plan
+    default: Catalyst's free size estimate picks None — the planner
+    broadcasts — below ``spark.sql.autoBroadcastJoinThreshold`` and
+    SHUFFLE_HASH_AUTO above it; ``core.session.resolve_auto_join_hint``)."""
     extra_on = extra_on or []
     if bin_width == "auto":
         bin_width = int(
@@ -92,6 +95,12 @@ def range_join_binned(
             F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))
         ),
     )
+    if join_hint == "AUTO":
+        # size-triggered: None (planner broadcasts) below the broadcast
+        # threshold, the sized hash build above it (core/session.py)
+        from ..core.session import resolve_auto_join_hint
+
+        join_hint = resolve_auto_join_hint(binned_l)
     if join_hint == "SHUFFLE_HASH_AUTO":
         n_build = (
             build_rows_estimate if build_rows_estimate is not None else left.count()

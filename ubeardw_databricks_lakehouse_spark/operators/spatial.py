@@ -167,6 +167,12 @@ def radius_join(
     ``build_rows_estimate`` skips the sizing ``count()`` when the
     caller already knows the cardinality (a catalog rowcount, a
     previous stage's count).
+
+    ``join_hint="AUTO"`` (the shipping-plan default, r12 verdict #4)
+    resolves per size using Catalyst's free estimate: build side at or
+    under ``spark.sql.autoBroadcastJoinThreshold`` stays unhinted (the
+    planner broadcasts — optimal, zero shuffle), above it behaves as
+    ``SHUFFLE_HASH_AUTO`` (see ``core.session.resolve_auto_join_hint``).
     """
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -269,6 +275,13 @@ def radius_join(
         F.col(y_col).alias("_yb"),
         "_cx", "_cy",
     )
+    if join_hint == "AUTO":
+        # size-triggered: None (planner broadcasts) below the broadcast
+        # threshold, the sized hash build above it — the shipping
+        # default that needs no per-site judgement
+        from ..core.session import resolve_auto_join_hint
+
+        join_hint = resolve_auto_join_hint(b)
     if join_hint == "SHUFFLE_HASH_AUTO":
         build_src = other if other is not None else points
         n_build = (

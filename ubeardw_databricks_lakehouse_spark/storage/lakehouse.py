@@ -342,6 +342,19 @@ class Lakehouse:
         (replayed MERGEs are idempotent), unlike a torn ARBITRARY
         write; schema evolution always falls back to the full rewrite
         (untouched partitions must be rewritten to carry new columns).
+
+        **Insert-only fast path.** Within the pruned path, if NO source
+        key matches a row in the touched partitions (one semi-join
+        probe — the steady state for append-mostly state like a band
+        index, where every source row is guaranteed new), MERGE is
+        definitionally an INSERT of every source row: the write is a
+        plain partitioned append of delta-sized files, O(delta)
+        regardless of how many buckets the batch touches — exactly
+        Delta MERGE's no-matches behavior (new files only, nothing
+        rewritten). Matches found (e.g. a crash-replayed batch) fall
+        through to the pruned rewrite. Steady appends grow file counts:
+        pair with ``set_auto_compact`` (checked after each fast-path
+        write).
         """
         if not self.exists(name):
             self.overwrite(name, source, partition_by)
@@ -391,6 +404,29 @@ class Lakehouse:
                 c = F.col(p).isin([r[p] for r in touched])
                 pred = c if pred is None else pred & c
             full = full.where(pred)
+            # insert-only fast path: one semi-join probe over the
+            # touched partitions; zero matches -> MERGE == plain
+            # partitioned append of delta-sized files (no rewrite)
+            has_match = bool(
+                full.join(
+                    source.select(*keys).distinct(), keys, "left_semi"
+                ).take(1)
+            )
+            if not has_match:
+                src_cols = set(source.columns)
+                insert = source.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in src_cols
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in self.read(name).schema.fields
+                    ]
+                )
+                insert.write.format(self.fmt).mode("append").partitionBy(
+                    *pcols
+                ).save(self.path(name))
+                self._maybe_auto_compact(name)
+                return
         target = full.withColumn("_tgt", F.lit(True)).alias("target")
         src = source.withColumn("_src", F.lit(True)).alias("source")
         cond = None
