@@ -559,3 +559,150 @@ def test_bigram_lm_hand_case(spark):
     assert abs(out[1]["bits_per_bigram"] - (-math.log2(3 / 7))) < 1e-6
     # p(c|a) = (1+1)/(3+4) = 2/7
     assert abs(out[3]["bits_per_bigram"] - (-math.log2(2 / 7))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN maintenance (r13): ivf_upsert / ivfpq_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_upsert_equals_rebuild_and_search_matches(spark, emb):
+    """The maintained IVF state (base assignment UNION the upsert's
+    delta assignment) is pointwise-identical to re-assigning the grown
+    corpus against the same centroids, and search over it equals
+    rebuild-then-search exactly."""
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        _centroids,
+        assign_cells,
+        ivf_search,
+        ivf_upsert,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = _centroids(base, "embedding", "label", 64).localCheckpoint(eager=True)
+    base_cells = assign_cells(base, cents, "vec_id", "embedding", 1)
+    delta_cells, info = ivf_upsert(cents, delta)
+    assert info == {}  # no baseline handed in -> zero metric jobs
+    maintained = {
+        (r.vec_id, r.cell)
+        for r in base_cells.unionByName(delta_cells).select("vec_id", "cell").collect()
+    }
+    rebuilt = {
+        (r.vec_id, r.cell)
+        for r in assign_cells(emb, cents, "vec_id", "embedding", 1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert maintained == rebuilt and maintained
+
+    q = emb.filter(F.col("vec_id") < 6)
+    got = {
+        tuple(r)
+        for r in ivf_search(
+            cents, base_cells.unionByName(delta_cells), q, k=3, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_search(
+            cents, assign_cells(emb, cents, "vec_id", "embedding", 1), q,
+            k=3, nprobe=2,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivf_upsert_drift_guard(spark):
+    """In-distribution delta: no retrain. A delta from an unseen
+    cluster direction: distortion blows past the baseline and retrain
+    fires. Clustered geometry on purpose — the guard compares against
+    the TRAINED quantizer's residual, which is only meaningful when
+    the quantizer actually explains the training data (on uniform
+    random vectors base distortion is already near the cosine ceiling
+    and no drift is detectable by any ratio)."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.similarity import (
+        _centroids,
+        assign_cells,
+        ivf_distortion,
+        ivf_upsert,
+    )
+
+    rnd = random.Random(7)
+    dim, K = 16, 4
+
+    def cluster_rows(start_id, n, axis):
+        rows = []
+        for i in range(n):
+            v = [rnd.uniform(-0.02, 0.02) for _ in range(dim)]
+            v[axis] += 1.0
+            rows.append((start_id + i, axis, [float(x) for x in v]))
+        return rows
+
+    base_rows = []
+    for c in range(K):
+        base_rows += cluster_rows(100 * c, 40, c)
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, label long, embedding array<float>"
+    )
+    cents = _centroids(base, "embedding", "label", dim).localCheckpoint(eager=True)
+    base_d = ivf_distortion(
+        cents, assign_cells(base, cents, "vec_id", "embedding", 1)
+    )
+    assert base_d is not None and 0 < base_d < 0.01  # tight clusters
+
+    # in-distribution delta (same cluster axes, new ids): no retrain
+    in_dist = spark.createDataFrame(
+        [r for c in range(K) for r in cluster_rows(1000 + 100 * c, 10, c)],
+        "vec_id long, label long, embedding array<float>",
+    )
+    _cells, info = ivf_upsert(cents, in_dist, base_distortion=base_d)
+    assert info["retrain"] is False
+    assert info["delta_distortion"] < 1.5 * base_d
+
+    # drifted ingest: a cluster on an axis no centroid explains
+    drifted = spark.createDataFrame(
+        cluster_rows(9000, 40, K + 3),
+        "vec_id long, label long, embedding array<float>",
+    )
+    _cells2, info2 = ivf_upsert(cents, drifted, base_distortion=base_d)
+    assert info2["retrain"] is True
+    assert info2["delta_distortion"] > 1.5 * base_d
+
+
+def test_ivfpq_upsert_codes_equal_reencode(spark, emb):
+    """Delta codes from ivfpq_upsert + the build's base codes equal
+    re-encoding the grown corpus with the same quantizers, and the
+    ADC search over the maintained codes table is well-formed."""
+    from ubeardw_databricks_lakehouse_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_upsert,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents, codebook, codes = ivfpq_build(base, m=8, ksub=8, n_iter=1)
+    codes = codes.localCheckpoint(eager=True)
+    delta_codes = ivfpq_upsert((cents, codebook, codes), delta, m=8)
+    maintained = {
+        tuple(r) for r in codes.unionByName(delta_codes).collect()
+    }
+    reencoded = {
+        tuple(r)
+        for r in ivfpq_upsert((cents, codebook, codes), emb, m=8).collect()
+    }
+    assert maintained == reencoded and maintained
+
+    q = emb.filter(F.col("vec_id") < 4)
+    rows = ivfpq_search(
+        (cents, codebook, codes.unionByName(delta_codes)), q, k=3, nprobe=2, m=8
+    ).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

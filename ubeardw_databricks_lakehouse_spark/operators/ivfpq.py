@@ -159,6 +159,40 @@ def ivfpq_search(
     )
 
 
+def ivfpq_upsert(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Incremental IVFADC maintenance: encode ONLY the delta against
+    the EXISTING coarse centroids and PQ codebook — O(delta) work, the
+    stored codes table is never re-read. Returns the delta's
+    (neighbor_id, cell, sub_id, code) rows; ``codes UNION delta`` is
+    pointwise-identical to re-encoding the grown corpus with the same
+    quantizers (encoding is a deterministic function of (vector,
+    cents, codebook) — pinned in pytest), so ``ivfpq_search`` over the
+    maintained table equals rebuild-with-same-quantizers exactly.
+    Drift detection reuses ``similarity.ivf_distortion`` on the coarse
+    assignment — the codes stay valid until the COARSE quantizer
+    drifts, which is the expensive retrain this operator makes rare.
+    """
+    cents, codebook, _codes = index
+    dsub = dim // m
+    assert dsub * m == dim, "dim must be divisible by m"
+    assigned = assign_cells(new_vecs, cents, id_col, vec_col, 1)
+    resid = _residuals(assigned, cents, id_col, vec_col)
+    return _assign(
+        _subvectors(resid, id_col, "rv", m, dsub),
+        codebook.select("sub_id", F.col("code").alias("cell"), "cvec"),
+        id_col,
+    ).join(resid.select(id_col, "cell"), id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "sub_id", "code"
+    )
+
+
 def topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -360,7 +360,31 @@ def topk_ivf(
     """
     builder = _centroids if exact_centroids else _centroids_fast
     cents = builder(corpus, vec_col, cell_col, dim)
-    corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1).select(
+    corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
+    return ivf_search(
+        cents, corpus_cells, queries, id_col, vec_col, k=k, nprobe=nprobe
+    )
+
+
+def ivf_search(
+    cents: DataFrame,
+    corpus_cells: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a MAINTAINED IVF state: ``cents`` (cell, cvec) and
+    ``corpus_cells`` (id, vector, cell — the stored assignment table,
+    e.g. ``assign_cells`` output unioned with ``ivf_upsert`` deltas).
+
+    Split out of ``topk_ivf`` (which trains + assigns + searches in
+    one shot) so a continuously-ingesting corpus pays only the query
+    legs per search: probe assignment is broadcast K-row work, the
+    corpus side is scanned via the cell equi-join, never re-assigned.
+    """
+    corpus_side = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         "cell",
@@ -370,7 +394,7 @@ def topk_ivf(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
         )
     )
-    scored = corpus_cells.join(query_cells, "cell").where(
+    scored = corpus_side.join(query_cells, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -384,6 +408,73 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_distortion(
+    cents: DataFrame,
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+) -> float | None:
+    """Mean angular distortion of an assignment: avg(1 - cosine(v,
+    centroid(cell))) over ``assigned`` (id, vector, cell). One bounded
+    agg (a scalar per call — a plan parameter, not a data collect);
+    None for an empty frame. Store the build-time value and hand it to
+    ``ivf_upsert`` as the drift baseline."""
+    row = (
+        assigned.join(F.broadcast(cents), "cell")
+        .agg(
+            F.avg(
+                F.lit(1.0) - cosine(F.col(vec_col), F.col("cvec"))
+            ).alias("d")
+        )
+        .first()
+    )
+    return None if row is None else row["d"]
+
+
+def ivf_upsert(
+    cents: DataFrame,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    base_distortion: float | None = None,
+    retrain_factor: float = 1.5,
+) -> tuple[DataFrame, dict]:
+    """Incremental IVF maintenance: assign ONLY the delta's vectors to
+    the EXISTING centroids — O(delta·K) broadcast work, the corpus
+    assignment table is never re-read or re-shuffled. The ANN
+    counterpart of ``dedup.neardup_upsert`` (r12) and the same IVM
+    shape as ``storage/ivm.py``: a continuously-ingesting corpus pays
+    per batch for the batch, not the corpus.
+
+    Returns ``(assigned, info)``: ``assigned`` is the delta's
+    (id, vector, cell) rows — append them to the stored assignment
+    table; ``corpus_cells UNION assigned`` is pointwise-identical to
+    re-assigning the grown corpus against the same centroids (pinned
+    in pytest), so ``ivf_search`` over the maintained state equals
+    rebuild-then-search exactly.
+
+    Drift guard: with ``base_distortion`` set (the build-time
+    ``ivf_distortion`` of the training corpus), ``info`` carries the
+    delta's distortion and ``retrain=True`` once it exceeds
+    ``retrain_factor ×`` the baseline — the signal that the ingest
+    distribution has drifted off the trained quantizer and recall is
+    degrading (new mass far from every centroid), at which point the
+    owner re-trains centroids and re-assigns (the one O(corpus) event
+    this operator exists to make RARE). With ``base_distortion=None``
+    the metrics agg is skipped entirely (zero extra jobs — the
+    bench/registry path).
+    """
+    assigned = assign_cells(new_vecs, cents, id_col, vec_col, 1)
+    info: dict = {}
+    if base_distortion is not None:
+        d = ivf_distortion(cents, assigned, vec_col)
+        info["delta_distortion"] = d
+        info["base_distortion"] = base_distortion
+        info["retrain"] = bool(
+            d is not None and d > retrain_factor * base_distortion
+        )
+    return assigned, info
 
 
 def quantize_embeddings(

@@ -1158,6 +1158,80 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# q_ivf_upsert: incremental ANN index maintenance (r12 verdict #5 —
+# the ANN counterpart of q_neardup_incremental). Centroids train on
+# the BASE corpus only; the delta is assigned to those EXISTING
+# centroids O(delta) by similarity.ivf_upsert, and the search runs
+# over the maintained state (base assignment UNION delta assignment)
+# via ivf_search. Because assignment is a pointwise-deterministic
+# function of (vector, centroids), the maintained state equals a full
+# re-assignment with the same quantizer, so the oracle replays
+# exactly that: base-trained centroids, assignment of ALL vectors,
+# nprobe probing — fully oracle-paired (recall trade-off cancels).
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        _centroids,
+        assign_cells,
+        ivf_search,
+        ivf_upsert,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    # the stored index state: base-trained centroids + base assignment
+    cents = _centroids(base, "embedding", "label", 64)
+    base_cells = assign_cells(base, cents, "vec_id", "embedding", 1)
+    # O(delta) maintenance leg (drift agg off — the bench path; the
+    # drift guard itself is pinned in pytest)
+    delta_cells, _info = ivf_upsert(cents, delta)
+    corpus_cells = base_cells.unionByName(delta_cells)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(cents, corpus_cells, queries, k=5, nprobe=2)
+
+
+Q_IVF_UPSERT_SQL = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos,
+    CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(16,6))) AS DOUBLE)
+      / COUNT(*) AS cv
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+  WHERE vec_id % 10 <> 0
+  GROUP BY label, g.i
+), cvecs AS (
+  SELECT cell, LIST(cv ORDER BY pos) AS cvec FROM cent GROUP BY cell
+), corpus_assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cell) AS rk
+    FROM embeddings e, cvecs c
+  ) WHERE rk = 1
+), query_assign AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cell) AS rk
+    FROM embeddings e, cvecs c
+    WHERE e.vec_id < 10
+  ) WHERE rk <= 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY LIST_COSINE_SIMILARITY(qv, nv) DESC, neighbor_id) AS rank
+  FROM corpus_assign JOIN query_assign USING (cell)
+  WHERE query_id <> neighbor_id
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_pii_redaction: scrub emails/IPs/phones. Deterministic PII is
 # injected per doc_id so the scrub demonstrably fires on every row; the
 # oracle replays injection + the same ordered regex passes.

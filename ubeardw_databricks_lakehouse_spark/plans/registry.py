@@ -830,6 +830,17 @@ QUERIES: list[QueryDef] = [
              "contract is the batch re-run's pairs touching >=1 delta "
              "doc, so the oracle replays the batch pipeline and filters "
              "— fully oracle-paired"),
+    # Tier 15 — added in r13 (deferred-new lane, see _DEFERRED_NEW).
+    QueryDef("q_ivf_upsert", llm_q.q_ivf_upsert, llm_q.Q_IVF_UPSERT_SQL,
+             "incremental ANN index maintenance (the ANN counterpart "
+             "of q_neardup_incremental): the delta's embeddings are "
+             "assigned to the EXISTING base-trained IVF centroids "
+             "O(delta·K) broadcast work (similarity.ivf_upsert, with a "
+             "distortion-drift retrain guard pinned in pytest), the "
+             "search runs over the maintained state via ivf_search; "
+             "assignment is pointwise-deterministic so the maintained "
+             "state equals full re-assignment and the oracle replays "
+             "it — fully oracle-paired"),
 ]
 
 # Driver window for the CURRENT round (see module docstring): these 50
@@ -1049,7 +1060,19 @@ _WINDOW: list[str] = [
 # the r13 window takes 25+1+24 and the demand sequence stays
 # satisfiable: r14 = 26 remaining-r10 + deferred + free slots,
 # r15 <= 50.
-_DEFERRED_NEW: list[str] = []
+# r13 addition (budget <=5, genuinely new classes only — the r12
+# verdict's named highest-value gap, #5): exactly ONE — q_ivf_upsert,
+# the incremental ANN index-maintenance class. The ANN family's builds
+# (IVF/IVF-fast/IVFPQ) were one-shot: a continuously-ingesting corpus
+# re-trained and re-assigned per batch. similarity.ivf_upsert assigns
+# only the delta against the existing centroids (O(delta·K) broadcast,
+# corpus assignment never re-read) with an ivf_distortion drift guard
+# that signals the rare retrain; ivf_search (split out of topk_ivf)
+# searches the maintained state. The same IVM shape as neardup_upsert
+# (r12) and storage/ivm.py, applied to ANN state. At 177 entries the
+# horizon stays 4 = ceil(177/50); demand r14 = 26 r10-stale + 1
+# deferred + 23 free.
+_DEFERRED_NEW: list[str] = ["q_ivf_upsert"]
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
