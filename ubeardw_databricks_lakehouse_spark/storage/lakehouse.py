@@ -422,9 +422,13 @@ class Lakehouse:
                         for f in self.read(name).schema.fields
                     ]
                 )
-                insert.write.format(self.fmt).mode("append").partitionBy(
-                    *pcols
-                ).save(self.path(name))
+                # one file per touched directory per append (the
+                # optimizeWrite shape) — without this, every write
+                # task holding rows of a partition opens its own file
+                # and steady micro-batches explode the file count
+                insert.repartition(*pcols).write.format(self.fmt).mode(
+                    "append"
+                ).partitionBy(*pcols).save(self.path(name))
                 self._maybe_auto_compact(name)
                 return
         target = full.withColumn("_tgt", F.lit(True)).alias("target")
@@ -521,7 +525,11 @@ class Lakehouse:
         atomic; the set of promotes is not — see ``upsert``'s crash
         note (idempotent-MERGE replay contract)."""
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
-        df.write.format(self.fmt).mode("overwrite").partitionBy(*pcols).save(tmp)
+        # one file per partition directory (optimizeWrite shape): a
+        # plain partitioned write would emit one file per (task x dir)
+        df.repartition(*pcols).write.format(self.fmt).mode(
+            "overwrite"
+        ).partitionBy(*pcols).save(tmp)
         final = self.path(name)
         trashes: list[str] = []
         # leaf partition dirs, relative to tmp (depth == len(pcols))

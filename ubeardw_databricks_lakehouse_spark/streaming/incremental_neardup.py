@@ -195,6 +195,18 @@ def start_incremental_neardup(
             finally:
                 release_local_checkpoint(pairs)
                 release_local_checkpoint(bands)
+            # steady appends (the insert-only MERGE fast path writes one
+            # file per touched bucket per batch) need compaction or the
+            # per-batch probe/verify reads degrade on file count; the
+            # threshold trades write amplification (one O(table)
+            # coalesce every ~8 full-touch batches) for bounded reads
+            for tbl in (pairs_table, index_table, corpus_table):
+                if (
+                    lake.exists(tbl)
+                    and lake.read_table_meta(tbl).get("auto_compact_max_files")
+                    is None
+                ):
+                    lake.set_auto_compact(tbl, max(512, 8 * state_buckets))
         else:
             lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
             lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
