@@ -90,6 +90,15 @@ HEADLINE = [
     # round-over-round anchor for keyed-shuffle iteration cost).
     "q_spatial_neighbors",
     "q_lpa_communities",
+    # r13 additions: the two incremental-maintenance entries — the
+    # costs a continuously-ingesting warehouse pays per batch (delta
+    # probe against the materialized LSH band index; delta assignment
+    # against the stored IVF quantizer + search over the maintained
+    # state). Round-over-round anchors for the O(delta) claim: if
+    # either ever scales with corpus size instead of delta size, it
+    # shows up here first.
+    "q_neardup_incremental",
+    "q_ivf_upsert",
 ]
 
 
