@@ -187,3 +187,61 @@ def test_incremental_neardup_bucketed_state_prunes_merges(spark, tmp_path):
     }
     assert got_idx == full_idx
     assert lake.read("neardup_corpus").count() == docs.count()
+
+
+def test_incremental_neardup_maintains_groups(spark, tmp_path):
+    """groups_table opt-in: the continuously-maintained dup-group
+    labels converge to batch CC over the full verified pair set, in
+    both the plain and the bucketed layouts, and a fresh-checkpoint
+    redelivery changes nothing."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    waves = [
+        docs.where("doc_id % 10 NOT IN (0, 5)"),
+        docs.where("doc_id % 10 = 0"),
+        docs.where("doc_id % 10 = 5"),
+    ]
+    for buckets in (0, 16):
+        lake = Lakehouse(spark, str(tmp_path / f"lake_g{buckets}"))
+        for n, w in enumerate(waves):
+            _run_wave(
+                spark, lake, tmp_path, w, n,
+                checkpoint=str(tmp_path / f"gck{buckets}_{n}"),
+                state_buckets=buckets,
+                groups_table="neardup_groups",
+            )
+        pairs = lake.read("neardup_pairs").select("id_a", "id_b")
+        verts = (
+            pairs.selectExpr("id_a as doc_id")
+            .union(pairs.selectExpr("id_b as doc_id"))
+            .distinct()
+        )
+        want = {
+            (r.doc_id, r.component)
+            for r in connected_components_auto(pairs, verts).collect()
+        }
+        got = {
+            (r.doc_id, r.component)
+            for r in lake.read("neardup_groups")
+            .select("doc_id", "component")
+            .collect()
+        }
+        assert got == want and want
+
+        # fresh-checkpoint redelivery: ids anti-join out, groups stay
+        _run_wave(
+            spark, lake, tmp_path, waves[2], 2,
+            checkpoint=str(tmp_path / f"gck{buckets}_replay"),
+            state_buckets=buckets,
+            groups_table="neardup_groups",
+        )
+        got2 = {
+            (r.doc_id, r.component)
+            for r in lake.read("neardup_groups")
+            .select("doc_id", "component")
+            .collect()
+        }
+        assert got2 == want

@@ -2636,3 +2636,107 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert n_persisted() == base + 2
     release_local_checkpoint(a)
     release_local_checkpoint(b)
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected-components maintenance (r13): cc_upsert
+# ---------------------------------------------------------------------------
+
+
+def _cc_state(spark, labels_rows):
+    return spark.createDataFrame(labels_rows, "doc_id long, component long")
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _apply_upsert(state, delta):
+    """MERGE-apply the cc_upsert output to an in-memory label dict."""
+    for r in delta.collect():
+        state[r.doc_id] = r.component
+    return state
+
+
+def test_cc_upsert_equals_batch_over_waves(spark):
+    """Random edge waves: after each wave the maintained label table
+    equals batch CC over every edge seen so far."""
+    import random
+
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import (
+        cc_upsert,
+        connected_components_auto,
+    )
+
+    rnd = random.Random(31)
+    all_edges: list[tuple[int, int]] = []
+    state: dict[int, int] = {}
+    for wave in range(4):
+        wave_edges = [
+            (rnd.randrange(60), rnd.randrange(60)) for _ in range(25)
+        ]
+        wave_edges = [(a, b) for a, b in wave_edges if a != b]
+        labels = _cc_state(spark, list(state.items()))
+        delta = cc_upsert(labels, _edges_df(spark, wave_edges))
+        _apply_upsert(state, delta)
+        all_edges += wave_edges
+        ed = _edges_df(spark, all_edges)
+        verts = ed.selectExpr("id_a as doc_id").union(
+            ed.selectExpr("id_b as doc_id")
+        ).distinct()
+        want = {
+            (r.doc_id, r.component)
+            for r in connected_components_auto(ed, verts).collect()
+        }
+        assert set(state.items()) == want and want
+
+
+def test_cc_upsert_relabels_only_the_loser(spark):
+    """Merging two components where one owns the min: only the losing
+    component's rows (plus nothing else) come back — the stored winner
+    rows are untouched, the O(corpus)-per-batch hazard the operator
+    exists to avoid."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import cc_upsert
+
+    # component 0 = {0,1,2,3,4}, component 10 = {10,11,12}
+    labels = _cc_state(
+        spark, [(i, 0) for i in range(5)] + [(i, 10) for i in (10, 11, 12)]
+    )
+    delta = cc_upsert(labels, _edges_df(spark, [(4, 11)]))
+    got = {(r.doc_id, r.component) for r in delta.collect()}
+    assert got == {(10, 0), (11, 0), (12, 0)}  # losers only
+
+
+def test_cc_upsert_transitive_delta_and_fresh_vertices(spark):
+    """One batch whose edges chain THREE existing components together
+    through a brand-new vertex, plus an unrelated all-new pair."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import cc_upsert
+
+    labels = _cc_state(
+        spark,
+        [(1, 1), (2, 1), (20, 20), (21, 20), (30, 30), (31, 30)],
+    )
+    delta = cc_upsert(
+        labels,
+        _edges_df(spark, [(2, 99), (99, 20), (31, 20), (50, 51)]),
+    )
+    got = {(r.doc_id, r.component) for r in delta.collect()}
+    assert got == {
+        (20, 1), (21, 1), (30, 1), (31, 1),  # losers relabel to min=1
+        (99, 1),                              # fresh vertex joins the merge
+        (50, 50), (51, 50),                   # fresh isolated pair
+    }
+
+
+def test_cc_upsert_replay_is_empty(spark):
+    """Re-applying a batch whose edges are already reflected returns
+    an empty delta (keyed-MERGE replay writes nothing)."""
+    from ubeardw_databricks_lakehouse_spark.operators.dedup import cc_upsert
+
+    labels = _cc_state(spark, [(1, 1), (2, 1)])
+    state = dict([(1, 1), (2, 1)])
+    delta = cc_upsert(labels, _edges_df(spark, [(1, 2), (2, 5)]))
+    _apply_upsert(state, delta)
+    labels2 = _cc_state(spark, list(state.items()))
+    replay = cc_upsert(labels2, _edges_df(spark, [(1, 2), (2, 5)]))
+    assert replay.count() == 0

@@ -1164,3 +1164,116 @@ def embedding_dedup_clusters_fast(
         dim=dim, n_blocks=n_blocks, assign=assign,
     )
     return _clusters_from_pairs(pairs, df, id_col, cc)
+
+
+def cc_upsert(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    NEW edges into a materialized (id, component) label table with
+    O(delta + relabeled) work — the group-maintenance counterpart of
+    ``neardup_upsert`` (pairs stream in; the dup GROUPS must update
+    without re-running CC over every edge ever seen).
+
+    ``labels`` is the stored state: one row per edge-endpoint seen so
+    far, ``component`` = the min id reachable from it — exactly what
+    ``connected_components*`` emit over the historical edge set (docs
+    never seen in a pair are implicit singletons and need no row).
+    ``delta_edges`` is the new batch (id_a, id_b).
+
+    Why ONE relabel round is exact (no iteration over the corpus):
+    the min-id representation is a depth-1 union-find — every member
+    points DIRECTLY at its component id. Merging components therefore
+    needs only (1) each delta endpoint's current label (a lookup),
+    (2) the transitive closure over the LABELS the delta connects —
+    a graph with one node per touched component, O(delta) edges,
+    resolved by ``connected_components_auto`` on that tiny frame —
+    and (3) a single map of old label -> min(merged labels). Since
+    each old label was the min of its sub-component, the min over
+    merged labels IS the min over the merged membership, so the
+    depth-1 invariant is restored without propagation.
+
+    Returns the MERGE-ready delta of the label table: rows for every
+    doc whose component CHANGED plus every previously-unseen endpoint
+    — upsert them keyed on ``id_col``; untouched components produce
+    zero rows (the component that already owned the winning min label
+    keeps all its rows — "relabel the loser", the classic amortized
+    bound: total relabel work over any insert sequence is
+    O(n log n), never O(corpus) per batch). Re-applying a batch whose
+    edges are already reflected returns an EMPTY delta (replay
+    idempotent).
+
+    Scale shape: the lookups and the label-graph are O(delta); the
+    relabel scan is a broadcast semi-join of the (delta-bounded)
+    changed-label set against the stored table — one pruned scan, no
+    shuffle of the corpus-sized side.
+    """
+    from ..core.session import release_local_checkpoint
+
+    edges = (
+        delta_edges.select("id_a", "id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    try:
+        stored = labels.select(
+            F.col(id_col).alias("v"), F.col("component").alias("lbl")
+        )
+        # (1) endpoint -> current label; unseen endpoints label as
+        # themselves (they are their own singleton component)
+        ends = (
+            edges.select(F.col("id_a").alias("v"))
+            .unionByName(edges.select(F.col("id_b").alias("v")))
+            .distinct()
+            .join(stored, "v", "left")
+            .select("v", F.coalesce("lbl", F.col("v")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        # (2) the label graph: one node per touched component
+        la = ends.select(F.col("v").alias("id_a"), F.col("lbl").alias("la"))
+        lb = ends.select(F.col("v").alias("id_b"), F.col("lbl").alias("lb"))
+        label_edges = (
+            edges.join(la, "id_a").join(lb, "id_b")
+            .where(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+            .distinct()
+        )
+        label_nodes = (
+            label_edges.select(F.col("id_a").alias("lbl"))
+            .unionByName(label_edges.select(F.col("id_b").alias("lbl")))
+            .distinct()
+        )
+        # (3) old label -> merged min label, changed rows only
+        mapping = (
+            connected_components_auto(label_edges, label_nodes, id_col="lbl")
+            .where(F.col("lbl") != F.col("component"))
+            .select("lbl", F.col("component").alias("new_lbl"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            # relabel the losers: stored rows whose component lost its
+            # label (broadcast — the mapping is delta-bounded)
+            relabeled = stored.join(
+                F.broadcast(mapping), stored["lbl"] == mapping["lbl"]
+            ).select(
+                F.col("v").alias(id_col), F.col("new_lbl").alias("component")
+            )
+            # previously-unseen endpoints enter with their final label
+            fresh = (
+                ends.join(stored.select("v"), "v", "left_anti")
+                .join(F.broadcast(mapping), "lbl", "left")
+                .select(
+                    F.col("v").alias(id_col),
+                    F.coalesce("new_lbl", F.col("lbl")).alias("component"),
+                )
+            )
+            out = relabeled.unionByName(fresh).localCheckpoint(eager=True)
+        finally:
+            release_local_checkpoint(mapping, allow_projection=True)
+            release_local_checkpoint(ends, allow_projection=True)
+        return out
+    finally:
+        release_local_checkpoint(edges, allow_projection=True)

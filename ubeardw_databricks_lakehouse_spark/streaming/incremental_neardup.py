@@ -81,6 +81,7 @@ def start_incremental_neardup(
     available_now: bool = True,
     broadcast_delta: bool = True,
     state_buckets: int = 0,
+    groups_table: str | None = None,
 ) -> StreamingQuery:
     """Start the foreachBatch query maintaining the near-dup tables.
 
@@ -98,6 +99,18 @@ def start_incremental_neardup(
     (module docstring) so each MERGE rewrites only touched buckets.
     The layout is fixed at table creation; changing B for existing
     tables requires a rewrite.
+
+    ``groups_table`` (opt-in) additionally maintains the dup-GROUPS
+    table — (id, component) with component = min reachable id, the
+    ``connected_components*`` contract — via ``dedup.cc_upsert``: the
+    batch's verified pairs fold into the stored labels O(delta +
+    relabeled), so group membership is always current without ever
+    re-running CC over the historical pair set. Write order: groups
+    merge BEFORE the corpus merge — the corpus table is the replay
+    fence (ids anti-join out once their corpus row lands), so every
+    derived write that must survive a mid-batch crash has to precede
+    it; a replayed batch re-derives the same pairs and ``cc_upsert``
+    returns an empty delta for already-reflected edges.
     """
     bucketed = state_buckets > 0
 
@@ -156,6 +169,36 @@ def start_incremental_neardup(
             finally:
                 release_local_checkpoint(batch)
 
+    def _merge_groups(pairs: DataFrame) -> None:
+        # fold the batch's verified pairs into the stored group labels
+        # (O(delta + relabeled)); BEFORE the corpus merge — see the
+        # docstring's crash-replay ordering argument
+        from ..operators.dedup import cc_upsert
+
+        if lake.exists(groups_table):
+            stored = lake.read(groups_table).select(id_col, "component")
+        else:
+            id_type = "long"
+            for f in pairs.schema.fields:
+                if f.name == "id_a":
+                    id_type = f.dataType.simpleString()
+            stored = spark.createDataFrame(
+                [], f"{id_col} {id_type}, component {id_type}"
+            )
+        delta = cc_upsert(stored, pairs.select("id_a", "id_b"), id_col=id_col)
+        try:
+            if bucketed:
+                lake.upsert(
+                    groups_table,
+                    _bucket(delta, id_col, "grp_bucket"),
+                    keys=["grp_bucket", id_col],
+                    partition_by=["grp_bucket"],
+                )
+            else:
+                lake.upsert(groups_table, delta, keys=[id_col])
+        finally:
+            release_local_checkpoint(delta)
+
     def _merge_all(
         batch: DataFrame, pairs: DataFrame, delta_bands: DataFrame
     ) -> None:
@@ -186,6 +229,8 @@ def start_incremental_neardup(
                     keys=["band_bucket", id_col, "band_idx"],
                     partition_by=["band_bucket"],
                 )
+                if groups_table:
+                    _merge_groups(pairs)
                 lake.upsert(
                     corpus_table,
                     _bucket(batch, id_col, "id_bucket"),
@@ -207,6 +252,20 @@ def start_incremental_neardup(
                     is None
                 ):
                     lake.set_auto_compact(tbl, max(512, 8 * state_buckets))
+        elif groups_table:
+            # pairs' lineage reads the index/corpus tables the MERGEs
+            # below rewrite — pin it before any write or the deferred
+            # cc_upsert materialization reads deleted files
+            pairs = pairs.localCheckpoint(eager=True)
+            try:
+                lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
+                lake.upsert(
+                    index_table, delta_bands, keys=[id_col, "band_idx"]
+                )
+                _merge_groups(pairs)
+                lake.upsert(corpus_table, batch, keys=[id_col])
+            finally:
+                release_local_checkpoint(pairs)
         else:
             lake.upsert(pairs_table, pairs, keys=["id_a", "id_b"])
             lake.upsert(index_table, delta_bands, keys=[id_col, "band_idx"])
