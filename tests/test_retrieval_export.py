@@ -706,3 +706,72 @@ def test_ivfpq_upsert_codes_equal_reencode(spark, emb):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert set(per_q) == {0, 1, 2, 3}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 maintenance (r13): bm25_upsert + doc_stats path
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_upsert_equals_rebuild(spark, docs):
+    """Maintained state (base index UNION upsert delta; base doclens
+    UNION delta doclens) is row-identical to rebuilding over the grown
+    corpus, and BM25 over it equals rebuild-then-search exactly."""
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import (
+        bm25_upsert,
+        build_tf_index,
+        doc_length_stats,
+    )
+
+    base = docs.where("doc_id % 10 != 0")
+    delta = docs.where("doc_id % 10 = 0")
+    base_idx = build_tf_index(base).localCheckpoint(eager=True)
+    base_dl = doc_length_stats(base).localCheckpoint(eager=True)
+    d_idx, d_dl = bm25_upsert(delta)
+
+    idx = base_idx.unionByName(d_idx)
+    dls = base_dl.unionByName(d_dl)
+    rebuilt_idx = build_tf_index(docs)
+    assert sorted(map(tuple, idx.collect())) == sorted(
+        map(tuple, rebuilt_idx.collect())
+    )
+    assert sorted(map(tuple, dls.collect())) == sorted(
+        map(tuple, doc_length_stats(docs).collect())
+    )
+
+    terms = ["spark", "hash", "join"]
+    maintained = sorted(
+        map(
+            tuple,
+            bm25_topk(docs, terms, k=15, tf_index=idx, doc_stats=dls).collect(),
+        )
+    )
+    direct = sorted(map(tuple, bm25_topk(docs, terms, k=15).collect()))
+    assert maintained == direct and maintained
+
+
+def test_bm25_doc_stats_path_drops_index_distinct(spark, docs):
+    """With doc_stats supplied, the per-query plan aggregates the slim
+    (id, dl) table — no HashAggregate-distinct over the fat tf index
+    (the O(index-rows) term a maintained index must not pay per
+    query). Pinned on the scan columns: the index is only ever read
+    term-filtered."""
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import (
+        build_tf_index,
+        doc_length_stats,
+    )
+
+    idx = build_tf_index(docs).localCheckpoint(eager=True)
+    dls = doc_length_stats(docs).localCheckpoint(eager=True)
+    with_stats = bm25_topk(
+        docs, ["spark", "hash"], k=5, tf_index=idx, doc_stats=dls
+    )
+    plan = with_stats._jdf.queryExecution().optimizedPlan().toString()
+    # the legacy path's dl derivation is a Deduplicate/Aggregate over
+    # (id, dl) projected from the index; with doc_stats it must be gone
+    assert "Deduplicate" not in plan
+    # and the results still match the legacy index path
+    legacy = bm25_topk(docs, ["spark", "hash"], k=5, tf_index=idx)
+    assert sorted(map(tuple, with_stats.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )

@@ -67,6 +67,66 @@ def build_tf_index(
     )
 
 
+def doc_length_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The slim per-doc length table (doc_id, dl) — the second half of
+    the maintained retrieval state (``bm25_upsert``). BM25's N and
+    avgdl are 2-scalar aggregates over it: a 2-column pruned scan,
+    versus the O(index-rows) ``dl.distinct()`` the fat tf index would
+    otherwise pay per query."""
+    return docs.select(
+        F.col(id_col), token_count(text_col).cast("double").alias("dl")
+    )
+
+
+def bm25_upsert(
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BM25 index maintenance — the retrieval counterpart
+    of ``dedup.neardup_upsert`` / ``similarity.ivf_upsert``: the tf
+    index is ADDITIVE (a new doc contributes only its own (doc, term,
+    tf, dl) rows; no existing row changes), so maintaining it costs
+    one tokenize-and-count pass over the DELTA, never the corpus.
+
+    Returns ``(delta_index, delta_doclens)``:
+
+    - ``delta_index`` — ``build_tf_index`` of the delta; MERGE into
+      the stored index keyed (id, term) (insert-only in practice —
+      the keyed MERGE makes at-least-once redelivery idempotent, the
+      same contract as every streaming face here);
+    - ``delta_doclens`` — ``doc_length_stats`` of the delta; MERGE
+      keyed (id). Queries then take ``bm25_topk(..., tf_index=index,
+      doc_stats=doclens)``: N/avgdl/dl all come from the slim table
+      and the per-query cost is O(hits) + one 2-column scan-agg —
+      nothing corpus-shaped, nothing re-tokenized.
+
+    Why a maintained TABLE and not a running (N, sum_dl) scalar row:
+    an additive read-modify-write scalar is a lost-update hazard under
+    concurrent/replayed writers, while the per-doc table is keyed (so
+    replay-idempotent) and its 2-scalar aggregate is a column-pruned
+    parallel scan — the Spark-idiomatic trade at any scale.
+
+    Exactness: ``index UNION delta_index`` is row-identical to
+    ``build_tf_index`` over the grown corpus (tokenization is
+    per-row), so search over the maintained state equals
+    rebuild-then-search — pinned in pytest.
+
+    Empty-doc edge: a zero-token doc's index sentinel row carries a
+    NULL term, and NULL merge keys never match (Delta MERGE parity),
+    so a replayed batch can duplicate that one sentinel row in the
+    index — harmless, since every scoring path filters to query terms
+    and N/avgdl come from the doclens table, whose doc_id key IS
+    replay-idempotent.
+    """
+    return (
+        build_tf_index(new_docs, id_col, text_col),
+        doc_length_stats(new_docs, id_col, text_col),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -76,6 +136,7 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     tf_index: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 against ``query_terms``.
 
@@ -88,12 +149,22 @@ def bm25_topk(
     the production path: the corpus text is tokenized once per
     snapshot, not per query; with it, a query touches only the index
     rows for its own terms (term-partition-pruned at scale).
+
+    ``doc_stats``: the slim (id, dl) table (``doc_length_stats`` /
+    ``bm25_upsert``'s second output). Without it the index path
+    derives lengths by an O(index-rows) distinct over the fat tf
+    table — fine for a one-shot snapshot, the wrong per-query cost on
+    a maintained index.
     """
     qlit = F.array(*[F.lit(t) for t in query_terms])
 
     if tf_index is not None:
         hits = tf_index.where(F.array_contains(qlit, F.col("term")))
-        dl = tf_index.select(F.col(id_col), F.col("dl")).distinct()
+        dl = (
+            doc_stats.select(F.col(id_col), F.col("dl"))
+            if doc_stats is not None
+            else tf_index.select(F.col(id_col), F.col("dl")).distinct()
+        )
         tf = hits.select(id_col, "term", "tf")
     else:
         # corpus-level pass: per-doc length + hit-filtered (doc, term) tf
