@@ -208,6 +208,7 @@ def triangle_counts(
     hub_cap: int | None = None,
     on_hub: str = "drop",
     hub_seed: int = 0,
+    broadcast_edges: int | None = 4_000_000,
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, triangles).
 
@@ -261,6 +262,25 @@ def triangle_counts(
     final count groupBy. No driver-side state, no iteration. The cap's
     row_number window shuffles on the same pivot key `u` the wedge
     self-join uses, so it adds no new partitioning.
+
+    ``broadcast_edges``: when the oriented edge count is at or under
+    this threshold, the wedge-join probe side and the closing edge set
+    are BROADCAST instead of shuffled. The planner cannot do this
+    itself — the checkpointed edge table is an ExistingRDD with
+    unknown stats, so it falls back to sort-merge, and the expensive
+    SMJ input is the WEDGE set (C(d,2) rows per pivot — always ≥ the
+    edge set, often 10-100x it on dense graphs), which then gets
+    shuffled AND sorted by (x, y) just to probe against the far
+    smaller edge table. Broadcasting the edge side makes wedge
+    enumeration + closure one map-only pass over the oriented edges;
+    the only remaining exchange is the final per-node count groupBy.
+    The sizing count() is a scan of already-checkpointed blocks
+    (cheap), and join strategy never changes counts. Default 4M edges
+    ≈ low-hundreds MB hydrated — inside the same broadcast budget as
+    ``pagerank``'s rank vector; pass None to force the shuffle path
+    (e.g. executors with tight memory), or a larger cap when the
+    cluster has room. At 100 TB the edge set of a THRESHOLDED
+    projection is routinely under the cap even when the input is not.
     """
     if hub_cap is not None and hub_cap < 2 and on_hub == "estimate":
         raise ValueError(f"on_hub='estimate' needs hub_cap >= 2, got {hub_cap}")
@@ -271,6 +291,13 @@ def triangle_counts(
     oriented = _oriented_edges(edges, src, dst, orient).localCheckpoint(
         eager=True
     )  # reused 3x below (wedge x2 + closure)
+    # size-gated broadcast of the edge side (see docstring): the count
+    # scans the just-materialized checkpoint blocks, no recompute
+    brd = (
+        F.broadcast
+        if broadcast_edges is not None and oriented.count() <= broadcast_edges
+        else (lambda df: df)
+    )
     # weighted only when capped: the exact path counts corner rows
     # (count(*), the r8 hot path); drop mode is an unweighted count
     # too; only the estimator carries real weights
@@ -320,15 +347,30 @@ def triangle_counts(
         # triangle
         *(["_w"] if weighted else []),
     )
+    if brd is F.broadcast:
+        # The broadcast path removes BOTH exchanges below the wedge
+        # explosion — including the one that used to SPREAD it: the
+        # checkpointed edge RDD arrives AQE-coalesced to a handful of
+        # partitions (it is small), and a map-only explosion inherits
+        # that, serializing the O(sum d^2) wedge work onto a few
+        # cores. Round-robin the small stream side out to the session's
+        # shuffle width first: one cheap exchange of |E| edge rows
+        # (vs the wedge-set exchange this path deletes), after which
+        # enumeration + closure run at full width with no further
+        # shuffle. Round-robin, not hash-by-u: a hot pivot's rows
+        # spread across partitions (each row carries ~d(u) probe work),
+        # which hash partitioning on u would concentrate instead.
+        spark = wedge_src.sparkSession
+        e1 = e1.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     e2 = wedge_src.select(
         F.col("u"), F.col("v").alias("y"), F.col("ord_v").alias("ord_y")
     )
     # wedge (x, y) at pivot u, canonicalized by the SAME order as the
     # orientation — so the closing edge, if present, is stored exactly
     # as (x -> y) in `oriented`.
-    wedges = e1.join(e2, "u").filter(F.col("ord_x") < F.col("ord_y"))
+    wedges = e1.join(brd(e2), "u").filter(F.col("ord_x") < F.col("ord_y"))
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
+    tri = wedges.join(brd(closing), ["x", "y"])
     # ONE explode projection, not a 3-way union of selects over `tri`:
     # union branches each re-derive the whole wedge+closing join
     # subtree (ReuseExchange does not fire across them — measured 3x
@@ -595,9 +637,21 @@ def community_lpa(
         .withColumn("community", F.col("node").cast("bigint"))
         .localCheckpoint(eager=True)
     )
+    # Broadcast the label vector into each round's edge join when the
+    # node set is small enough (the pagerank rank-vector pattern, same
+    # ~4M-row budget): labels are one (long, long) row per node — tiny
+    # next to the edge set — and the checkpointed frames are
+    # ExistingRDDs whose stats the planner cannot see, so without the
+    # hint every round pays a full shuffle+sort of the SYMMETRIZED
+    # EDGE TABLE by v (the round's dominant cost; the label side is
+    # noise). With it the join is map-side and each round's only
+    # shuffles are the two label aggregations. Join strategy never
+    # changes the picked labels.
+    n_nodes = labels.count()
+    brd = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
     for _ in range(n_iter):
         joined = und.join(
-            labels.select(F.col("node").alias("v"), "community"), "v"
+            brd(labels.select(F.col("node").alias("v"), "community")), "v"
         )
         if weight_col is None:
             nbr = joined.select(F.col("u").alias("node"), "community")
@@ -622,7 +676,8 @@ def community_lpa(
             # carry the previous label through the checkpoint so the
             # fixpoint probe is one scan of the materialized frame
             picked = picked.join(
-                labels.select("node", F.col("community").alias("_prev")), "node"
+                brd(labels.select("node", F.col("community").alias("_prev"))),
+                "node",
             )
         # every node has degree >= 1 in the symmetrized table, so the
         # join is total — no isolated-node coalesce needed here

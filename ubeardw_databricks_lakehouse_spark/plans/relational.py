@@ -1517,13 +1517,21 @@ GROUP BY o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 
 
 def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer-supplier edges with LONG node ids:
+    customer k -> 2k, supplier k -> 2k+1 (bijective, overflow-free at
+    any TPC-H scale). The public node names are the 'C<k>'/'S<k>'
+    strings — decode with ``_trading_node_str`` AFTER the iterations:
+    every pagerank join/groupBy then keys on 8-byte longs instead of
+    variable-width strings (less shuffle, cheaper hashing/compares),
+    while group structure — and therefore every decimal rank — is
+    identical under the bijection."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
         # checkpoint: e0 feeds BOTH symmetrize branches — without it
@@ -1532,18 +1540,30 @@ def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches; the triangle-corners lesson applied here).
         .localCheckpoint(eager=True)
     )
-    # no distinct after symmetrizing: the C*/S* node namespaces are
+    # no distinct after symmetrizing: the even/odd node namespaces are
     # disjoint, so a reversed edge can never collide with a forward one
     return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
+def _trading_node_str(col: str = "node"):
+    """Decode a ``_trading_edges`` long id back to its public name:
+    even -> 'C' + id/2, odd -> 'S' + (id-1)/2. A map-side projection
+    applied once after the iterations (the guide's narrow-types rule:
+    shuffle keys and metadata, render strings last)."""
+    n = F.col(col)
+    return F.when(
+        n % 2 == 0, F.concat(F.lit("C"), F.shiftright(n, 1).cast("string"))
+    ).otherwise(F.concat(F.lit("S"), F.shiftright(n, 1).cast("string")))
+
+
 def q_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3).select(
-        "node", F.col("rank").cast("double").alias("rank")
+        _trading_node_str("node").alias("node"),
+        F.col("rank").cast("double").alias("rank"),
     )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
@@ -1565,7 +1585,8 @@ def q_pagerank_trading_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = pagerank(_trading_edges(spark, sf_dir), n_iter=3, exact=False)
     return ranks.select(
-        "node", F.round("rank", 4).alias("rank_approx")
+        _trading_node_str("node").alias("node"),
+        F.round("rank", 4).alias("rank_approx"),
     ).orderBy(F.desc("rank_approx"), F.asc("node")).limit(50)
 
 
