@@ -97,12 +97,16 @@ def main() -> None:
 
     def timed_upsert(docs_b, idx, docs_d):
         stamp = load_stamp()
+        pins = []
         t0 = time.perf_counter()
         pairs, _bands = neardup_upsert(
-            idx, docs_d, docs_b, threshold=0.5, hash_fn="xxhash64"
+            idx, docs_d, docs_b, threshold=0.5, hash_fn="xxhash64", pins=pins
         )
         n_pairs = pairs.count()
-        return time.perf_counter() - t0, n_pairs, stamp
+        wall = time.perf_counter() - t0
+        for p in pins:  # rung-private intermediates: free across rungs
+            release_local_checkpoint(p)
+        return wall, n_pairs, stamp
 
     results = []
     largest = None

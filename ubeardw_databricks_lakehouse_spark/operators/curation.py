@@ -265,6 +265,13 @@ def bigram_logprob_score(
     bigram string (AQE broadcasts the model side when it fits), and V
     is a 1-row broadcast scalar. Same DECIMAL-rounding determinism
     policy as the unigram score.
+
+    Join geometry (guide §2.3/§3): the per-position ``grams`` table is
+    the corpus-sized side; the model tables (``bi``, ``ctx``) are
+    vocabulary-sized. The context count folds INTO the bigram table
+    first (model ⨝ model), so the corpus side crosses exactly one
+    join — attaching ``ctx`` to ``grams`` in a second big-side join
+    would shuffle the positions table twice for the same output.
     """
     grams = df.select(
         F.col(id_col), F.explode(ngram_list(tokens(text_col), 2)).alias("g")
@@ -275,14 +282,17 @@ def bigram_logprob_score(
         .groupBy("w1")
         .agg(F.sum("c2").alias("c1"))
     )
+    model = (
+        bi.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .join(ctx, "w1")
+        .select("g", "c2", "c1")
+    )
     vocab_size = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     scored = (
-        grams.join(bi, "g")
-        .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
-        .join(ctx, "w1")
+        grams.join(model, "g")
         .crossJoin(F.broadcast(vocab_size))
         .select(
             id_col,

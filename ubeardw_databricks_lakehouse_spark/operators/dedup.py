@@ -490,6 +490,8 @@ def neardup_upsert(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     broadcast_delta: bool = True,
+    materialize: bool = True,
+    pins: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: new docs against a MATERIALIZED LSH band
     index, O(new), never O(corpus).
@@ -532,11 +534,40 @@ def neardup_upsert(
     + touched docs), flat in corpus size (measured flat on the stress
     ladder; disable for a giant backfill delta where the planner
     should pick the join side itself).
+
+    ``materialize`` (default True) eagerly ``localCheckpoint``s the
+    three intermediates every later stage re-references — the delta's
+    band rows (referenced by the index probe, the delta self-join
+    twice, and the returned append frame), the candidate pair set
+    (referenced by the verify join and by the touched-docs semi-join
+    under BOTH shingle legs), and the touched-docs shingle table
+    (referenced once per pair side). Catalyst recomputes a referenced
+    DataFrame per reference, so without pinning the lazy plan scans
+    the inputs ~48x and re-runs the base-index subtree ~12x (measured
+    at sf0.1: the initial plan holds 48 parquet scans of the documents
+    table). All three frames are O(delta)/O(touched) — KBs to a few MB
+    per ingest batch, never O(corpus). Checkpoint blocks outlive the
+    frames on this runtime (core/session.py:122): callers running
+    per-micro-batch pass ``pins`` (a list the operator appends every
+    pinned frame to) and ``release_local_checkpoint`` each entry AFTER
+    the returned frames are materialized — the streaming face does.
+    One-shot batch callers can leave ``pins=None``.
     """
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if not materialize:
+            return df
+        out = df.localCheckpoint(eager=True)
+        if pins is not None:
+            pins.append(out)
+        return out
+
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, n_hashes, shingle_n, hash_fn
     )
-    delta_bands = lsh_band_index(new_sigs, id_col, n_hashes, band_size, hash_fn)
+    delta_bands = _pin(
+        lsh_band_index(new_sigs, id_col, n_hashes, band_size, hash_fn)
+    )
     nb = F.broadcast(delta_bands) if broadcast_delta else delta_bands
 
     # new-vs-base: delta bands probe the stored index
@@ -571,22 +602,29 @@ def neardup_upsert(
         & (F.col("band_hash") == F.col("_bh"))
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
-    cands = nv_base.union(nv_new).distinct()
+    cands = _pin(nv_base.union(nv_new).distinct())
 
     # exact-Jaccard verify against only the docs the candidates touch:
     # the semi-join keeps the corpus read O(touched), and on a real
-    # id-clustered table prunes to the touched files
+    # id-clustered table prunes to the touched files. cand_ids is
+    # O(collision buckets) — broadcast it (same size contract as the
+    # delta-band broadcast, same opt-out) so the corpus side of the
+    # semi-join is scanned map-side, never shuffled+sorted.
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    if broadcast_delta:
+        cand_ids = F.broadcast(cand_ids)
     touched_base = base_docs.join(cand_ids, id_col, "left_semi")
     verify_docs = new_docs.select(id_col, text_col).unionByName(
         touched_base.select(id_col, text_col)
     )
-    sh = with_shingles(verify_docs, id_col, text_col, shingle_n).select(
-        F.col(id_col).alias("_id"), F.col("_sh")
+    sh = _pin(
+        with_shingles(verify_docs, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("_id"), F.col("_sh")
+        )
     )
     joined = cands.join(
         sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"

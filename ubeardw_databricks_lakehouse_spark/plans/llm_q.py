@@ -1182,8 +1182,15 @@ def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
-    # the stored index state: base-trained centroids + base assignment
-    cents = _centroids(base, "embedding", "label", 64)
+    # the stored index state: base-trained centroids + base assignment.
+    # cents is referenced by THREE broadcast consumers (base assignment,
+    # the delta upsert, the query probe); each reference re-runs the
+    # N×D posexplode centroid aggregation — the query's heaviest
+    # subtree — so pin the K-row result once (guide §2.4: remove
+    # repeated passes; the frame is 64 rows, not corpus-sized)
+    cents = _centroids(base, "embedding", "label", 64).localCheckpoint(
+        eager=True
+    )
     base_cells = assign_cells(base, cents, "vec_id", "embedding", 1)
     # O(delta) maintenance leg (drift agg off — the bench path; the
     # drift guard itself is pinned in pytest)

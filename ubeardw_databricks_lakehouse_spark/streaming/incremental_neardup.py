@@ -133,6 +133,7 @@ def start_incremental_neardup(
             # so the plan runs once per branch, and because foreachBatch
             # overwrites/merges the very tables batch reads from
             batch = batch.localCheckpoint(eager=True)
+            pins: list = []
             try:
                 if batch.isEmpty():
                     return
@@ -142,17 +143,23 @@ def start_incremental_neardup(
                     id_col=id_col, text_col=text_col, n_hashes=n_hashes,
                     band_size=band_size, shingle_n=shingle_n,
                     threshold=threshold, hash_fn=hash_fn,
-                    broadcast_delta=broadcast_delta,
+                    broadcast_delta=broadcast_delta, pins=pins,
                 )
                 _merge_all(batch, pairs, delta_bands)
             finally:
                 # the batch's rows are merged (or the batch was empty):
-                # the pinned blocks are dead — free them NOW, or a
-                # forever-running stream accretes one per micro-batch
+                # the pinned blocks — the anti-joined batch AND the
+                # operator's internal intermediates (delta bands,
+                # candidate set, touched-doc shingles) — are dead;
+                # free them NOW, or a forever-running stream accretes
+                # them per micro-batch
                 release_local_checkpoint(batch)
+                for p in pins:
+                    release_local_checkpoint(p)
         else:
             # first batch bootstraps the state: empty index, empty corpus
             batch = batch.localCheckpoint(eager=True)
+            pins = []
             try:
                 id_type = batch.schema[id_col].dataType.simpleString()
                 empty_index = spark.createDataFrame(
@@ -163,11 +170,13 @@ def start_incremental_neardup(
                     id_col=id_col, text_col=text_col, n_hashes=n_hashes,
                     band_size=band_size, shingle_n=shingle_n,
                     threshold=threshold, hash_fn=hash_fn,
-                    broadcast_delta=broadcast_delta,
+                    broadcast_delta=broadcast_delta, pins=pins,
                 )
                 _merge_all(batch, pairs, delta_bands)
             finally:
                 release_local_checkpoint(batch)
+                for p in pins:
+                    release_local_checkpoint(p)
 
     def _merge_groups(pairs: DataFrame) -> None:
         # fold the batch's verified pairs into the stored group labels
