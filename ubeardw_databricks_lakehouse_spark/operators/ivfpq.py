@@ -85,7 +85,16 @@ def ivfpq_build(
         eager=True
     )
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
-    resid = _residuals(corpus_cells, cents, id_col, vec_col)
+    # resid is a DERIVED pipeline (N×K assignment scoring + window +
+    # centroid join) consumed by pq_train (which re-traverses its input
+    # n_iter+2 times — its documented input contract says to
+    # materialize derived inputs first) AND twice more by the code
+    # encoding below. Checkpoint it once: the assignment window runs
+    # once instead of ~5x. One O(N) residual table pinned per build —
+    # the per-snapshot artifact production would persist anyway.
+    resid = _residuals(corpus_cells, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     codebook = pq_train(
         resid, id_col=id_col, vec_col="rv", m=m, ksub=ksub, n_iter=n_iter,
         dim=dim,

@@ -198,7 +198,14 @@ def debezium_envelope(table: str, after: dict, op: str = "c", ts_ms: int = 0) ->
 def raw_kafka_df(
     spark: SparkSession, entity: str, rows: list[dict] | None = None, op: str = "c"
 ) -> DataFrame:
-    """Kafka-record-shaped DataFrame (post project_kafka_record) for tests."""
+    """Kafka-record-shaped DataFrame (post project_kafka_record) for tests.
+
+    Driver→JVM transfer goes through a pandas frame so the session's
+    Arrow path applies (guide §6: orders of magnitude over pickled
+    rows; measured 3x on the 13k-envelope gold-bench payload — the
+    per-row type verification of the plain-tuples path is the cost).
+    Falls back to the row path for empty input (no batch to convert).
+    """
     rows = rows if rows is not None else ENTITY_ROWS[entity]
     data = [
         (
@@ -211,8 +218,20 @@ def raw_kafka_df(
         )
         for i, r in enumerate(rows)
     ]
-    return spark.createDataFrame(
-        data,
+    schema = (
         "kafka_key string, raw_value string, kafka_topic string, "
-        "kafka_partition int, kafka_offset long, kafka_timestamp timestamp",
+        "kafka_partition int, kafka_offset long, kafka_timestamp timestamp"
     )
+    if data:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            data,
+            columns=[
+                "kafka_key", "raw_value", "kafka_topic",
+                "kafka_partition", "kafka_offset", "kafka_timestamp",
+            ],
+        )
+        pdf["kafka_timestamp"] = pd.to_datetime(pdf["kafka_timestamp"])
+        return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(data, schema)
