@@ -232,13 +232,24 @@ def test_bm25_broadcasts_stats_and_prunes_tf(spark):
     """BM25's corpus-side work must be the hit-filtered tf aggregation:
     idf and the (N, avgdl) scalar join back by broadcast, the final
     top-k compiles to TakeOrderedAndProject (never a global sort), and
-    the term filter sits below the first aggregation."""
-    from ubeardw_databricks_lakehouse_spark.plans.llm_q import q_bm25_search
+    the term filter sits below the first aggregation. The shipping
+    query pins the hit-filtered tf frame (its subtree then executes at
+    build time), so the filter-below-aggregation property is asserted
+    on the lazy twin (materialize=False — same code path, pin off)."""
+    from ubeardw_databricks_lakehouse_spark.plans.llm_q import (
+        _BM25_TERMS, q_bm25_search,
+    )
+    from ubeardw_databricks_lakehouse_spark.operators.retrieval import (
+        bm25_topk,
+    )
 
     p = _plan(q_bm25_search(spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # idf / dl joins
-    assert "array_contains" in p  # hit filter exists pre-shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lazy = _plan(bm25_topk(docs, _BM25_TERMS, k=20, materialize=False))
+    assert "array_contains" in lazy  # hit filter exists pre-shuffle
 
 
 def test_pagerank_iteration_is_equi_join(spark):

@@ -137,8 +137,13 @@ def bm25_topk(
     b: float = B,
     tf_index: DataFrame | None = None,
     doc_stats: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 against ``query_terms``.
+
+    ``materialize`` (default True) pins the corpus path's hit-filtered
+    tf frame once — see the inline comment; False keeps the plan fully
+    lazy (plan-shape tests inspect the pre-execution tree).
 
     Returns (doc_id, n_terms_hit, bm25) ordered by score desc with a
     doc-id tie-break; ``bm25`` is DOUBLE, produced as a deterministic
@@ -179,6 +184,15 @@ def bm25_topk(
             .groupBy(id_col, "term")
             .agg(F.count("*").cast("double").alias("tf"))
         )
+        # tf is referenced twice (the idf model build AND the scoring
+        # join); un-pinned, each reference re-runs the full corpus
+        # tokenize+explode pass. The post-filter frame is O(postings of
+        # the query's terms) — the standard "postings fit" retrieval
+        # bound — so pin it once (guide §2.4). Index-path queries
+        # (tf_index=) never reach here: their hits frame reads the
+        # materialized index, no corpus pass to save.
+        if materialize:
+            tf = tf.localCheckpoint(eager=True)
     # N docs and avg length — two scalar aggregates, broadcast back.
     stats = F.broadcast(
         dl.agg(

@@ -359,7 +359,14 @@ def topk_ivf(
     shuffle, at the cost of DuckDB-hashability of the training step.
     """
     builder = _centroids if exact_centroids else _centroids_fast
-    cents = builder(corpus, vec_col, cell_col, dim)
+    # cents feeds TWO broadcast consumers (corpus assignment + the
+    # query probe inside ivf_search); un-pinned, each re-runs the
+    # centroid training pass over the corpus — for the exact builder
+    # that is the N×D posexplode shuffle, the heaviest subtree here.
+    # The result is K rows: pin it once (guide §2.4).
+    cents = builder(corpus, vec_col, cell_col, dim).localCheckpoint(
+        eager=True
+    )
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
     return ivf_search(
         cents, corpus_cells, queries, id_col, vec_col, k=k, nprobe=nprobe
