@@ -62,6 +62,16 @@ def contamination_report(
     Scale shape: eval n-grams are broadcast (benchmarks are small by
     construction); the only wide shuffle is the per-doc groupBy, keyed
     by doc_id — no skew (each doc contributes its own distinct grams).
+
+    Measured negative result (r13, kept for the record): replacing the
+    totals leg's second gram pass with a map-side
+    ``size(shingles_from_tokens(...))`` per row was 2.3x SLOWER at
+    sf0.1 (interleaved A/B, 1.42 -> 3.22 s median): materializing the
+    full n-gram array as one row value costs more than the streamed
+    explode+partial-count it replaces, and the totals groupBy's
+    partial aggregation already collapses to one row per doc map-side,
+    so the "saved" pass was the cheap one. The two-pass exploded form
+    stays.
     """
     train_g = _doc_ngrams(train, id_col, text_col, n)
     eval_g = (
@@ -145,9 +155,44 @@ def gopher_quality_flags(
     top_word_frac, dup_bigram_frac, has_stopword, keep) — the numeric
     signals are exposed so downstream thresholds can be re-tuned
     without recomputing the corpus pass.
+
+    Entirely map-side (guide §2.4: remove shuffles outright): every
+    signal including top_word_frac is a per-row expression, so the
+    corpus is scanned once and never shuffled. top_word_frac — the max
+    token multiplicity over the token count — is the longest equal-run
+    in the doc's SORTED token array (sorting groups equal tokens
+    adjacently), one native array_sort + one linear fold per row,
+    replacing the former explode → (doc, word) groupBy → doc groupBy →
+    join-back (two wide shuffles of every token in the corpus plus a
+    corpus-sized join, all to compute a per-doc scalar).
     """
     c = F.col(text_col)
     toked = df.select(F.col(id_col), c.alias("_text"), tokens(text_col).alias("_toks"))
+    # zero-token docs contribute no (doc, word) rows in the exploded
+    # form and so dropped out of its inner join-back — keep that
+    # contract explicitly
+    toked = toked.where(F.size("_toks") > 0)
+    # longest equal-run over the sorted tokens == max multiplicity;
+    # acc = (prev token, current run, best run), one pass, native HOF
+    top_count = F.aggregate(
+        F.array_sort("_toks"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     base = toked.select(
         id_col,
         F.size("_toks").alias("n_words"),
@@ -172,17 +217,11 @@ def gopher_quality_flags(
             F.transform(F.col("_toks"), lambda x: F.lower(x)),
             F.array(*[F.lit(s) for s in STOPWORDS]),
         ).alias("has_stopword"),
+        # max multiplicity / token count — the sum of per-word counts
+        # IS the token count, so the denominator needs no aggregation
+        (top_count.cast("double") / F.size("_toks")).alias("top_word_frac"),
     )
-    word_counts = (
-        toked.select(id_col, F.explode("_toks").alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
-        )
-    )
-    out = base.join(word_counts, id_col)
+    out = base
     keep = (
         F.col("n_words").between(MIN_WORDS, MAX_WORDS)
         & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
@@ -343,9 +382,18 @@ def remove_duplicate_spans(
     positions; the first-occurrence pick is a groupBy-min on the gram
     (an agg, not a window — hot boilerplate grams collapse map-side);
     coverage expansion explodes at most k offsets per DUPLICATE
-    instance (tracks duplication mass, not corpus size); the removal
-    is one anti-join on (doc, position) and one per-doc reassembly
-    groupBy. Nothing collects to the driver.
+    instance (tracks duplication mass, not corpus size) and collapses
+    straight into ONE per-doc position-set aggregation; the removal
+    itself is map-side — a doc-level join attaches each doc's covered
+    position set and a native array filter drops those positions, so
+    no token-level row ever crosses a shuffle (the former shape
+    anti-joined every token position in the corpus and re-assembled
+    docs through a collect_list groupBy: two corpus-wide token-level
+    shuffles plus a per-doc sort, all replaced by per-row array ops —
+    guide §2.4). The covered-set join is doc-level and sized by
+    duplication mass; AQE broadcasts it when small. Per-doc removal
+    cost is O(n_tokens · |covered|) array probes, bounded by the
+    packed-ordinal doc-size cap below. Nothing collects to the driver.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     # packed (doc, start) ordinal below: one BIGINT min instead of a
@@ -381,34 +429,32 @@ def remove_duplicate_spans(
         .join(firsts.where(F.col("n_occ") > 1), "g")
         .where(F.col("ord") != F.col("first_ord"))
     )
-    covered = dup_inst.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
-        ).alias("pos"),
-    ).distinct()
-    toks = toked.select(id_col, F.posexplode("_toks").alias("pos", "tok"))
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text_clean"),
+    covered_sets = (
+        dup_inst.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
     )
-    totals = toked.select(
-        id_col, F.size("_toks").cast("bigint").alias("n_tokens")
+    kept_arr = F.when(F.col("_cov").isNull(), F.col("_toks")).otherwise(
+        F.filter("_toks", lambda tok, i: ~F.array_contains("_cov", i))
     )
-    return totals.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    return (
+        toked.join(covered_sets, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            kept_arr.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("bigint").alias("n_removed"),
+            F.array_join(F.col("_kept"), " ").alias("text_clean"),
+        )
     )
 
 

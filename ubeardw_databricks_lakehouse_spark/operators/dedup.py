@@ -451,6 +451,15 @@ def neardup_verified_pairs(
     sh = with_shingles(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_id"), F.col("_sh")
     )
+    # internally-computed signatures feed both sides of the LSH band
+    # self-join, so the signature aggregation executes twice. Measured
+    # negative result (r13 interleaved A/B at sf0.1): eagerly
+    # localCheckpoint-ing sigs to run it once was ~8% SLOWER on both
+    # hash families (md5 4.21 -> 4.54 s, xxhash64 2.45 -> 2.67 s
+    # medians) — the checkpoint barrier + block write costs more than
+    # the saved pass at this scale. At warehouse scale the answer is
+    # the ``signatures=`` parameter (a materialized signature table),
+    # not an in-plan pin.
     sigs = (
         signatures
         if signatures is not None
