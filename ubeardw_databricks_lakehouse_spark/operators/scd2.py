@@ -76,7 +76,11 @@ def apply_scd2(
         if surrogate_name:
             first = first.withColumn(surrogate_name, surrogate_key(business_keys))
         lake.overwrite(table, first)
-        return first.count()
+        # row count from the just-written parquet footers — counting the
+        # FRAME would re-execute its whole lineage (metrics aggregation +
+        # row hash) a second time just to report a number (guide §2.4);
+        # the footer read is metadata-only and returns the same count
+        return lake.read(table).count()
 
     current = lake.read(table).filter(F.col("is_current")).select(
         *business_keys, F.col("row_hash").alias("_cur_hash")
