@@ -360,6 +360,28 @@ def test_dup_span_removal_gram_agg_partial_and_no_cartesian(spark):
     assert "partial_min" in p or "partial_count" in p or "HashAggregate" in p
     # keep-first is an agg, not a row_number over gram partitions
     assert "row_number" not in p.lower()
+    # r13: removal is map-side — covered positions fold into ONE
+    # per-doc collect_set (dup-mass-sized) and tokens are dropped by an
+    # indexed array filter; a token-level collect_list reassembly (the
+    # pre-r13 shape: every corpus token through two shuffles) must
+    # never come back
+    assert "collect_set" in p
+    assert "collect_list" not in p
+
+
+def test_quality_rules_is_map_only(spark):
+    """The gopher rule battery (q_quality_rules) is pure per-row
+    expressions since r13 — top_word_frac is a sorted-array run-length
+    fold, not an explode + two token-level shuffles + join-back. Zero
+    Exchange nodes: a shuffle here means the corpus-token explosion
+    regressed."""
+    from ubeardw_databricks_lakehouse_spark.plans.curation_q import (
+        q_quality_rules,
+    )
+
+    p = _plan(q_quality_rules(spark, SF))
+    assert "Exchange" not in p
+    assert "Scan parquet" in p
 
 
 def test_tpch_completions_broadcast_dims_no_smj(spark):
