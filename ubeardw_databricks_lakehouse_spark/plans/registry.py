@@ -864,37 +864,52 @@ QUERIES: list[QueryDef] = [
 #   window (demand r14 floor = 26, well under 50).
 # 25 + 1 + 24 = 50/50: exactly full.
 _WINDOW: list[str] = [
-    # r9-latest-green lane (falls off the 4-report horizon now that
-    # r12 is on disk; the full 25-entry cohort in definition order)
-    "q_stratified_sample", "q_dim_time",
-    "q01_pricing_summary", "q_user_lifecycle_pivot",
-    "q03_shipping_priority", "q05_region_revenue",
-    "q06_forecast_revenue", "q_market_segment",
-    "q_top_customers", "q_order_gaps",
-    "q_union_entities", "q_export_manifest",
-    "q_embedding_topk_ivfpq", "q_embedding_topk_ivfpq_search",
-    "q_csv_roundtrip", "q_jsonl_roundtrip",
-    "q_orc_roundtrip", "q_pagerank_trading_fast",
-    "q_kmeans_clusters", "q_incremental_neardup",
-    "q_snapshot_diff", "q_image_resize",
-    "q_hard_negatives", "q_training_export",
-    "q_seasonal_decomposition",
-    # never-driver-graded lane (r12 deferred-new queue)
-    "q_neardup_incremental",
-    # r10-latest-green lane (first 24 of the 50-entry cohort in
-    # definition order; the other 26 head r14)
-    "q_token_stats", "q_embedding_dedup_fast",
-    "q_repetition_profile", "q_unigram_lm",
-    "q_dsir", "q_sessionization",
-    "q_scd2_history", "q_streaming_event_counts",
-    "q_streaming_windowed_counts", "q_funnel",
-    "q_retention_cohorts", "q_asof_attribution",
-    "q_cohort_set_ops", "q_salted_brand_revenue",
-    "q_unpivot_balances", "q_dim_date",
-    "q_customers_no_orders", "q_priority_filters",
-    "q_customer_tiers", "q_rollup_revenue",
-    "q_cube_orders", "q_part_stats",
-    "q12_late_shipments", "q14_promo_revenue",
+    # r14 window (mechanically generated by tools/rotation_plan.py,
+    # then fill-lane adjusted per the r13 verdict's "Next round #1":
+    # the r13-optimization-rewritten queries must be driver-graded
+    # this round — their semantics-bearing rewrites currently rest on
+    # the in-repo oracle sweep only).
+    # r10-latest-green lane (falls off the 4-report horizon now that
+    # r13 is on disk; the full 26-entry cohort in definition order)
+    "q04_priority_semi", "q10_returned_items",
+    "q_customer_deciles", "q07_nation_volume",
+    "q08_market_share", "q09_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q22_idle_customers", "q_props_json",
+    "q_moving_value", "q_daily_timeseries",
+    "q_top_purchasers", "q_event_quantiles",
+    "q_time_rollup_multires", "q_bm25_search",
+    "q_gapfill_daily", "q_pagerank_trading",
+    "q_customer_percentiles", "q_masked_read",
+    "q_interpolate_daily", "q_peak_concurrency",
+    # never-driver-graded lane (r13 deferred-new queue)
+    "q_ivf_upsert",
+    # verdict-priority fill (r13 "Next round #1"): the optimization
+    # round's semantics-bearing rewrites, promoted ahead of the plain
+    # oldest-evidence cohort so CORRECTNESS_r14 driver-verifies them
+    # (q_bm25_search / q_pagerank_trading / q_embedding_topk_ivf are
+    # already above via the staleness lanes; q_training_export and
+    # q_pagerank_trading_fast are r13-fresh)
+    "q_dup_span_removal", "q_bigram_lm",
+    "q_triangle_suppliers", "q_quality_rules",
+    "q_curated_corpus",
+    # r11-latest-green lane (first 17 of the cohort in definition
+    # order, plus q_embedding_topk_ivf_fast which shares the r13 ivf
+    # rewrite; the 5 displaced r11 entries — q_neardup_verified_fast,
+    # q_embedding_quantized, q_frame_sampling, q_pii_redaction,
+    # q_sentence_split — go red at the r15 boundary and rotate then:
+    # demand floor r15 = 29, satisfiable)
+    "q_lang_quality", "q_geo_enrichment",
+    "q_simhash", "q_embedding_topk_lsh",
+    "q_user_event_arrays", "q_approx_profile",
+    "q_editdist_verify", "q_dedup_clusters",
+    "q_embedding_topk_ivf", "q_winnow_fingerprints",
+    "q_winnow_overlap", "q_time_travel",
+    "q_ivm_refresh", "q_audio_windows",
+    "q_row_fingerprints", "q_embedding_dedup",
+    "q_sequence_packing", "q_embedding_topk_ivf_fast",
 ]
 
 # End-of-round full-gate mirror: ALL 130 oracle-paired entries swept
@@ -1072,7 +1087,15 @@ _WINDOW: list[str] = [
 # (r12) and storage/ivm.py, applied to ANN state. At 177 entries the
 # horizon stays 4 = ceil(177/50); demand r14 = 26 r10-stale + 1
 # deferred + 23 free.
-_DEFERRED_NEW: list[str] = ["q_ivf_upsert"]
+# r14 rotation: q_ivf_upsert promoted into the window above and this
+# list emptied (contract honored — every prior queue rotated on
+# schedule: r5: 24, r7: 19, r8: 24, r9: 1, r10: 1, r11: 4, r12: 1,
+# r13: 1, r14: 1). Ledger after r13 is r10=26, r11=50, r12=50, r13=50
+# (less the 5 no_oracle rows, which count as graded for rotation);
+# the r14 window takes 26+1+23 (fill = 5 verdict-priority rewritten
+# queries + 18 oldest-r11). r14 is an OPTIMIZATION round: no new
+# registry entries.
+_DEFERRED_NEW: list[str] = []
 
 _by_name = {q.name: q for q in QUERIES}
 assert len(_WINDOW) == 50 and set(_WINDOW) <= set(_by_name)
