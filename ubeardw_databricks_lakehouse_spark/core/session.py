@@ -168,6 +168,54 @@ def release_local_checkpoint(df, allow_projection: bool = False) -> bool:
     return False
 
 
+def resolve_broadcast_rows(spark, bytes_per_row: int, hydration: int = 4) -> int:
+    """Session-derived ROW budget for the iterative operators' explicit
+    broadcasts (pagerank's rank vector, LPA's label vector, the
+    triangle wedge probes, CC's endpoint labels) — r13 verdict #7: the
+    former 4M-row literals assumed one memory geometry; derive the gate
+    from the session the way ``resolve_auto_join_hint`` does, so small
+    executors shrink it and big ones relax it.
+
+    Derivation (guide §3.1/§5):
+
+    - broadcast disabled for the session
+      (``spark.sql.autoBroadcastJoinThreshold`` < 0) -> 0: the operator
+      falls back to its shuffle path — the explicit hint must respect
+      the session-wide opt-out (pinned by a plan test).
+    - otherwise ``budget = max(threshold, heap/32)`` bytes: never less
+      than what the session already authorizes the planner to broadcast
+      on its own, at most ~3% of the executor heap per relation (a
+      hydrated hash relation must coexist with execution memory; guide
+      §3.1 "a few hundred MB is usually fine, multiple GB is asking
+      for OOMs"), capped well under Spark's 8 GB broadcast hard limit.
+    - rows = budget / (``bytes_per_row`` × ``hydration``): hydration 4x
+      covers the unsafe-row + hash-relation overhead on narrow rows.
+
+    At the shipped 8 GB local session this lands within ~5% of the r13
+    4M-row literal for 16-byte edge rows — same bench behavior, now a
+    function of the config instead of a constant tuned to it.
+    """
+    try:
+        thr = int(
+            spark._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        thr = 10 * 1024 * 1024  # planner default — assume broadcasts allowed
+    if thr < 0:
+        return 0
+    jvm = spark.sparkContext._jvm
+    try:
+        mem_str = spark.conf.get("spark.executor.memory")
+        heap = int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(mem_str))
+    except Exception:
+        # local mode: the driver JVM IS the executor
+        heap = int(jvm.java.lang.Runtime.getRuntime().maxMemory())
+    budget = min(max(thr, heap // 32), 2 << 30)
+    return budget // (bytes_per_row * max(1, hydration))
+
+
 def resolve_auto_join_hint(build_df) -> str | None:
     """Size-trigger for the exploded-join operators' ``join_hint="AUTO"``
     (radius_join, range_join_binned — r12 verdict #4: the derived knobs

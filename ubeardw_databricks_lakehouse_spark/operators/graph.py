@@ -78,12 +78,14 @@ def pagerank(
     # The rank vector is one row per node — tiny next to the edge set
     # (a graph with fewer edges than nodes isn't worth iterating on).
     # Broadcasting it makes each iteration map-only over the edges plus
-    # ONE groupBy shuffle. The cutoff is broadcast-hint scale: ~4M
-    # (node, double) rows is ~100-200 MB hydrated per executor — the
-    # sane autoBroadcastJoinThreshold neighborhood; past it the vector
-    # would OOM the driver long before 50M rows, so the plain shuffle
-    # join (with AQE free to re-plan) takes over instead.
-    small = n <= 4_000_000
+    # ONE groupBy shuffle. The cutoff is the session-derived broadcast
+    # budget (core.session.resolve_broadcast_rows — r13 verdict #7:
+    # derived from autoBroadcastJoinThreshold + executor heap instead
+    # of a 4M-row literal); past it the vector would OOM executors, so
+    # the plain shuffle join (with AQE free to re-plan) takes over.
+    from ..core.session import resolve_broadcast_rows
+
+    small = n <= resolve_broadcast_rows(edges.sparkSession, 16)
     brd = F.broadcast if small else (lambda df: df)
     # out-degree is one row per SOURCE node (<= n) — same broadcast
     # budget as the rank vector, so folding it into the edge table is
@@ -208,7 +210,7 @@ def triangle_counts(
     hub_cap: int | None = None,
     on_hub: str = "drop",
     hub_seed: int = 0,
-    broadcast_edges: int | None = 4_000_000,
+    broadcast_edges: int | str | None = "auto",
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, triangles).
 
@@ -275,12 +277,15 @@ def triangle_counts(
     enumeration + closure one map-only pass over the oriented edges;
     the only remaining exchange is the final per-node count groupBy.
     The sizing count() is a scan of already-checkpointed blocks
-    (cheap), and join strategy never changes counts. Default 4M edges
-    ≈ low-hundreds MB hydrated — inside the same broadcast budget as
-    ``pagerank``'s rank vector; pass None to force the shuffle path
-    (e.g. executors with tight memory), or a larger cap when the
-    cluster has room. At 100 TB the edge set of a THRESHOLDED
-    projection is routinely under the cap even when the input is not.
+    (cheap), and join strategy never changes counts. The default
+    ``"auto"`` derives the row cap from the session's broadcast budget
+    (``core.session.resolve_broadcast_rows`` — threshold + executor
+    heap, the same budget as ``pagerank``'s rank vector; r13 verdict
+    #7: the former 4M literal assumed one memory geometry, and a
+    session with broadcasts disabled now flips this path to shuffle
+    too). Pass None to force the shuffle path, or an explicit row cap
+    to override. At 100 TB the edge set of a THRESHOLDED projection is
+    routinely under the cap even when the input is not.
     """
     if hub_cap is not None and hub_cap < 2 and on_hub == "estimate":
         raise ValueError(f"on_hub='estimate' needs hub_cap >= 2, got {hub_cap}")
@@ -293,6 +298,10 @@ def triangle_counts(
     )  # reused 3x below (wedge x2 + closure)
     # size-gated broadcast of the edge side (see docstring): the count
     # scans the just-materialized checkpoint blocks, no recompute
+    if broadcast_edges == "auto":
+        from ..core.session import resolve_broadcast_rows
+
+        broadcast_edges = resolve_broadcast_rows(edges.sparkSession, 16)
     brd = (
         F.broadcast
         if broadcast_edges is not None and oriented.count() <= broadcast_edges
@@ -639,7 +648,7 @@ def community_lpa(
     )
     # Broadcast the label vector into each round's edge join when the
     # node set is small enough (the pagerank rank-vector pattern, same
-    # ~4M-row budget): labels are one (long, long) row per node — tiny
+    # session-derived budget): labels are one (long, long) row per node — tiny
     # next to the edge set — and the checkpointed frames are
     # ExistingRDDs whose stats the planner cannot see, so without the
     # hint every round pays a full shuffle+sort of the SYMMETRIZED
@@ -647,8 +656,14 @@ def community_lpa(
     # noise). With it the join is map-side and each round's only
     # shuffles are the two label aggregations. Join strategy never
     # changes the picked labels.
+    from ..core.session import resolve_broadcast_rows
+
     n_nodes = labels.count()
-    brd = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
+    brd = (
+        F.broadcast
+        if n_nodes <= resolve_broadcast_rows(edges.sparkSession, 16)
+        else (lambda df: df)
+    )
     for _ in range(n_iter):
         joined = und.join(
             brd(labels.select(F.col("node").alias("v"), "community")), "v"
