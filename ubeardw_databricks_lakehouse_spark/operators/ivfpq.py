@@ -69,6 +69,7 @@ def ivfpq_build(
     m: int = 8,
     ksub: int = 16,
     n_iter: int = 1,
+    pins: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVFADC index once: (cents, codebook, codes).
 
@@ -78,7 +79,21 @@ def ivfpq_build(
     ``codebook`` as small tables); every query batch then pays only
     the LUT + ADC scan in ``ivfpq_search``. Splitting build from
     search is what amortizes the bench-visible index cost to zero
-    per-query at scale."""
+    per-query at scale.
+
+    ``pins``: checkpoint-lifecycle out-param (the ``neardup_upsert``
+    pattern — ADVICE r13): the build eagerly pins an O(N) residual
+    table whose blocks are NOT freed by GC on this runtime (see
+    ``core.session.release_local_checkpoint``), and the returned
+    ``codes`` frame reads them lazily, so the build cannot release
+    them itself. Pass a list and, once ``codes`` is materialized
+    (persisted / checkpointed / written), release every frame in it.
+    Callers that rebuild repeatedly in one session (bench reps, index
+    refresh loops, the stress ladder) accrete one residual-sized block
+    per build otherwise. The returned ``cents``/``codebook``
+    checkpoints are NOT in ``pins`` — they ARE the index (every search
+    broadcasts them); release them when the index itself is retired
+    (``plans.llm_q.invalidate_ivfpq_index`` is the reference caller)."""
     dsub = dim // m
     assert dsub * m == dim, "dim must be divisible by m"
     cents = _centroids_fast(corpus, vec_col, cell_col, dim).localCheckpoint(
@@ -87,28 +102,46 @@ def ivfpq_build(
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, 1)
     # resid is a DERIVED pipeline (N×K assignment scoring + window +
     # centroid join) consumed by pq_train (which re-traverses its input
-    # n_iter+2 times — its documented input contract says to
-    # materialize derived inputs first) AND twice more by the code
+    # n_iter+1 times — its documented input contract says to
+    # materialize derived inputs first) AND once more by the code
     # encoding below. Checkpoint it once: the assignment window runs
     # once instead of ~5x. One O(N) residual table pinned per build —
-    # the per-snapshot artifact production would persist anyway.
+    # the per-snapshot artifact production would persist anyway (and
+    # the ``pins`` out-param hands its lifecycle to the caller).
     resid = _residuals(corpus_cells, cents, id_col, vec_col).localCheckpoint(
         eager=True
     )
+    # pq_train returns its final Lloyd-round checkpoint; the rename to
+    # (sub_id, code, cvec) is a free projection over those pinned
+    # blocks — re-checkpointing it would just pin a second copy
     codebook = pq_train(
         resid, id_col=id_col, vec_col="rv", m=m, ksub=ksub, n_iter=n_iter,
         dim=dim,
-    ).select(
-        "sub_id", F.col("cell").alias("code"), F.col("cvec")
-    ).localCheckpoint(eager=True)
-    codes = _assign(
-        _subvectors(resid, id_col, "rv", m, dsub),
-        codebook.select("sub_id", F.col("code").alias("cell"), "cvec"),
-        id_col,
-    ).join(resid.select(id_col, "cell"), id_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell", "sub_id", "code"
     )
-    return cents, codebook, codes
+    codebook_pub = codebook.select(
+        "sub_id", F.col("cell").alias("code"), F.col("cvec")
+    )
+    # the cell label rides the subvector explosion and the argmin agg
+    # (constant per vector), so encoding is one shuffle — the former
+    # join-back against resid sort-merged two N×m/N-row sides purely
+    # to re-attach it (the 2 SMJ in the r13 plan; guide §2.4)
+    codes = _assign(
+        _subvectors(
+            resid.select(id_col, F.col("cell").alias("_ivf_cell"), "rv"),
+            id_col, "rv", m, dsub, extra=("_ivf_cell",),
+        ),
+        codebook,  # already keyed (sub_id, cell, cvec)
+        id_col,
+        carry=("_ivf_cell",),
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_ivf_cell").alias("cell"),
+        "sub_id",
+        "code",
+    )
+    if pins is not None:
+        pins.append(resid)
+    return cents, codebook_pub, codes
 
 
 def ivfpq_search(
@@ -193,12 +226,21 @@ def ivfpq_upsert(
     assert dsub * m == dim, "dim must be divisible by m"
     assigned = assign_cells(new_vecs, cents, id_col, vec_col, 1)
     resid = _residuals(assigned, cents, id_col, vec_col)
+    # cell rides the explosion + argmin (constant per vector) — no
+    # join-back against resid (same §2.4 rewrite as ivfpq_build)
     return _assign(
-        _subvectors(resid, id_col, "rv", m, dsub),
+        _subvectors(
+            resid.select(id_col, F.col("cell").alias("_ivf_cell"), "rv"),
+            id_col, "rv", m, dsub, extra=("_ivf_cell",),
+        ),
         codebook.select("sub_id", F.col("code").alias("cell"), "cvec"),
         id_col,
-    ).join(resid.select(id_col, "cell"), id_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell", "sub_id", "code"
+        carry=("_ivf_cell",),
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_ivf_cell").alias("cell"),
+        "sub_id",
+        "code",
     )
 
 

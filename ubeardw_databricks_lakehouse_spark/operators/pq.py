@@ -47,10 +47,12 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _subvectors(
-    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sub_id, sv) rows — each vector sliced into m double
-    subvectors."""
+    """(id, *extra, sub_id, sv) rows — each vector sliced into m double
+    subvectors; ``extra`` names per-id columns carried along the
+    explosion (so downstream consumers need no join back to ``df``)."""
     entries = F.array(
         *[
             F.struct(
@@ -63,12 +65,23 @@ def _subvectors(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col), F.inline(entries))
+    return df.select(F.col(id_col), *extra, F.inline(entries))
 
 
-def _assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+def _assign(
+    sub: DataFrame, cents: DataFrame, id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest codebook entry per (id, sub_id): broadcast-scored join +
-    groupBy-min with deterministic tie-break on cell id."""
+    groupBy-min with deterministic tie-break on cell id.
+
+    ``carry`` names columns of ``sub`` that are CONSTANT within an
+    (id, sub_id) group (the subvector itself, a per-id cell label);
+    they ride through the aggregation as ``first()`` — one map-side
+    combinable shuffle — instead of the N×m⨝N×m join-back the callers
+    used to pay to re-attach them (guide §2.4: the join shuffled and
+    sorted both sides just to recover a column the group already had;
+    measured as the 2 SortMergeJoin residue in the r13 ivfpq plan).
+    """
     scored = sub.join(F.broadcast(cents), "sub_id").select(
         id_col,
         "sub_id",
@@ -76,15 +89,21 @@ def _assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
             _l2sq(F.col("sv"), F.col("cvec")).alias("d"),
             F.col("cell").alias("c"),
         ).alias("dc"),
+        *carry,
     )
     return (
         scored.groupBy(id_col, "sub_id")
-        .agg(F.min("dc").alias("m"))
+        .agg(
+            F.min("dc").alias("m"),
+            # constant within the group -> first() is order-free
+            *[F.first(c).alias(c) for c in carry],
+        )
         .select(
             id_col,
             "sub_id",
             F.col("m.c").alias("code"),
             F.col("m.d").alias("dist"),
+            *carry,
         )
     )
 
@@ -108,11 +127,13 @@ def pq_train(
 
     Input contract (the CC-edge lesson, r10): each Lloyd round
     re-derives the subvector projection from ``df`` (a map-only slice,
-    so the real cost is re-SCANNING df n_iter + 1 times) — right when
+    so the real cost is re-SCANNING df once per round) — right when
     df is a table, wrong when it is a derived pipeline; materialize
     such inputs first. Centroids (the small frame) are checkpointed
-    every round here.
+    every round here, and each round's checkpoint releases the
+    previous round's blocks (ADVICE r13 lifecycle rule).
     """
+    from ..core.session import release_local_checkpoint
     from .kmeans import hash_seed_ranks, seed_override_ranks
     from .similarity import _centroids_fast
 
@@ -131,16 +152,26 @@ def pq_train(
     ).localCheckpoint(eager=True)
 
     for _ in range(max(0, n_iter)):
-        assigned = _assign(sub, cents, id_col)
-        rows = sub.join(assigned, [id_col, "sub_id"]).select(
+        # the subvector rides through the argmin agg (constant per
+        # (id, sub_id) group), so a Lloyd round is ONE map-side
+        # combinable shuffle — the former sub⨝assigned join-back
+        # re-shuffled and sorted both N×m-row sides per round purely
+        # to re-attach sv (guide §2.4)
+        assigned = _assign(sub, cents, id_col, carry=("sv",))
+        rows = assigned.select(
             (F.col("sub_id") * ksub + F.col("code")).alias("_ck"), F.col("sv")
         )
         folded = _centroids_fast(rows, "sv", "_ck", dsub)
+        prev_cents = cents
         cents = folded.select(
             (F.col("cell") / ksub).cast("long").alias("sub_id"),
             F.pmod(F.col("cell"), F.lit(ksub)).alias("cell"),
             F.col("cvec"),
         ).localCheckpoint(eager=True)
+        # the superseded round's (m × ksub)-row centroid checkpoint is
+        # dead once the new one is materialized — free its blocks now
+        # instead of accreting one per round per build (ADVICE r13)
+        release_local_checkpoint(prev_cents)
     return cents
 
 

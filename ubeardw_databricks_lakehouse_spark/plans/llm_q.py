@@ -1860,31 +1860,47 @@ _IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]
 
 def invalidate_ivfpq_index(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Drop cached IVFADC index entries (all for this app, or just
-    ``sf_dir``'s), unpersisting their checkpointed codes blocks so the
-    executor memory is reclaimed immediately."""
+    ``sf_dir``'s), releasing their checkpointed blocks (codes, coarse
+    centroids, codebook) so executor memory is reclaimed immediately —
+    ``release_local_checkpoint``, not ``unpersist()``, which does not
+    free checkpoint blocks on this runtime."""
+    from ..core.session import release_local_checkpoint
+
     app = spark.sparkContext.applicationId
     for key in [k for k in _IVFPQ_INDEX_CACHE if k[0] == app]:
         if sf_dir is not None and key[1] != sf_dir:
             continue
-        _, _, codes = _IVFPQ_INDEX_CACHE.pop(key)
+        cents, codebook, codes = _IVFPQ_INDEX_CACHE.pop(key)
         try:
-            codes.unpersist()
+            release_local_checkpoint(codes)
+            release_local_checkpoint(cents)
+            # codebook is a rename projection over pq_train's final
+            # checkpoint — single-leaf, owned exclusively by the index
+            release_local_checkpoint(codebook, allow_projection=True)
         except Exception:
             pass  # app shutting down — blocks die with it anyway
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    from ..core.session import release_local_checkpoint
     from ..operators.ivfpq import ivfpq_build
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_INDEX_CACHE:
         emb = t(spark, sf_dir, "embeddings")
-        cents, codebook, codes = ivfpq_build(emb, m=8, ksub=16, n_iter=1)
+        pins: list = []
+        cents, codebook, codes = ivfpq_build(
+            emb, m=8, ksub=16, n_iter=1, pins=pins
+        )
         _IVFPQ_INDEX_CACHE[key] = (
             cents,
             codebook,
             codes.localCheckpoint(eager=True),
         )
+        # codes is materialized — the build's residual pin is dead
+        # (ADVICE r13: one O(N) block otherwise survives per build)
+        for p in pins:
+            release_local_checkpoint(p)
     return _IVFPQ_INDEX_CACHE[key]
 
 
