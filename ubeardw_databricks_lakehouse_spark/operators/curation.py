@@ -439,8 +439,21 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_cov"))
     )
+    # kept positions = ordinals minus the covered set. array_except
+    # hashes its second argument once per row (O(n_tokens + |covered|)),
+    # where the former per-token array_contains probe was
+    # O(n_tokens × |covered|) — a large, heavily self-duplicated doc
+    # near the packed-ordinal cap made a single row quadratic on one
+    # executor thread (ADVICE r13). array_except preserves first-arg
+    # order and ordinals are distinct, so the kept list stays ascending
+    # and the gather below reproduces the filter exactly. The
+    # covered-set branch only runs when _cov is non-null, which implies
+    # n_tokens >= k >= 1, so the ordinal sequence is never empty.
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_toks") - 1), F.col("_cov")
+    )
     kept_arr = F.when(F.col("_cov").isNull(), F.col("_toks")).otherwise(
-        F.filter("_toks", lambda tok, i: ~F.array_contains("_cov", i))
+        F.transform(kept_pos, lambda p: F.element_at("_toks", p + F.lit(1)))
     )
     return (
         toked.join(covered_sets, id_col, "left")

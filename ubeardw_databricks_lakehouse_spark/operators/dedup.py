@@ -891,7 +891,7 @@ def _min_label_propagation(
 ) -> tuple[DataFrame, bool]:
     """The propagation core: endpoint labels plus a converged flag (so
     callers can tell a fixpoint from budget exhaustion)."""
-    from ..core.session import release_local_checkpoint
+    from ..core.session import release_local_checkpoint, resolve_broadcast_rows
 
     # materialize the symmetrized edge set ONCE: it is re-read by the
     # seed and by every round's join, and the caller's edge lineage is
@@ -912,10 +912,24 @@ def _min_label_propagation(
         .agg(F.least(F.col("v"), F.min("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # Broadcast the endpoint-label vector into each round's edge join
+    # when it fits the session budget (the LPA/pagerank pattern, r13
+    # verdict / r14 item #4): both per-round frames are checkpointed
+    # ExistingRDDs whose stats the planner cannot see, so without the
+    # hint every round pays a full shuffle+sort of the SYMMETRIZED
+    # EDGE SET against a label vector that is noise next to it. With
+    # it, a round's only exchange is the min-label aggregation. The
+    # endpoint count is corpus duplication mass, not corpus size —
+    # usually tiny — and join strategy never changes the min.
+    brd = (
+        F.broadcast
+        if labels.count() <= resolve_broadcast_rows(edges.sparkSession, 16)
+        else (lambda df: df)
+    )
     converged = False
     for _ in range(max_iter - 1):
         msgs_min = (
-            sym.join(labels, "v")
+            sym.join(brd(labels), "v")
             .select(F.col("u").alias("v"), "lbl")
             .groupBy("v")
             .agg(F.min("lbl").alias("_m"))
@@ -929,7 +943,7 @@ def _min_label_propagation(
             F.col("lbl"), F.coalesce(F.col("_m"), F.col("lbl"))
         )
         new_labels = (
-            labels.join(msgs_min, "v", "left")
+            labels.join(brd(msgs_min), "v", "left")
             .select(
                 "v",
                 new_lbl.alias("_new"),
@@ -1049,24 +1063,36 @@ def connected_components_star(
             df.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
 
-    def _large_star(df: DataFrame) -> DataFrame:
+    # Broadcast each half-round's per-node min table into its rewire
+    # join when it fits the session budget (same rationale as the
+    # propagation engine above: checkpointed ExistingRDDs have no
+    # stats, so the planner otherwise sort-merges the symmetrized edge
+    # set against a node-sized table every half-round). The min table
+    # has one row per node <= 2x the CURRENT edge count, which the
+    # round loop tracks from its own convergence checksum — edge
+    # counts are monotonically non-increasing, so the gate only ever
+    # relaxes as rounds shrink the graph.
+    def _brd(mins: DataFrame, n_edges: int, budget: int):
+        return F.broadcast(mins) if 2 * n_edges <= budget else mins
+
+    def _large_star(df: DataFrame, n_edges: int, budget: int) -> DataFrame:
         sym = _sym(df)
         mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
         m = F.least(F.col("a"), F.col("mn"))
         return (
-            sym.join(mins, "a")
+            sym.join(_brd(mins, n_edges, budget), "a")
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), m.alias("b"))
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
 
-    def _small_star(df: DataFrame) -> DataFrame:
+    def _small_star(df: DataFrame, n_edges: int, budget: int) -> DataFrame:
         # orient every edge large -> small, then rewire each node's
         # small neighborhood (plus itself) to its min
         oriented = _sym(df).where(F.col("b") <= F.col("a"))
         mins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
-        rewired = oriented.join(mins, "a").select(
+        rewired = oriented.join(_brd(mins, n_edges, budget), "a").select(
             F.col("b").alias("a"), F.col("mn").alias("b")
         )
         self_edges = mins.select(F.col("a"), F.col("mn").alias("b"))
@@ -1085,14 +1111,19 @@ def connected_components_star(
             F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
         ).first()
 
-    from ..core.session import release_local_checkpoint
+    from ..core.session import release_local_checkpoint, resolve_broadcast_rows
 
+    budget = resolve_broadcast_rows(edges.sparkSession, 16)
+    n_edges = e.count()  # scans the just-materialized checkpoint blocks
     prev = None
     for _ in range(max_iter):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(
+            _large_star(e, n_edges, budget), n_edges, budget
+        ).localCheckpoint(eager=True)
         release_local_checkpoint(prev_e, allow_projection=True)  # superseded round — free now
         cur = _checksum(e)
+        n_edges = cur["n"]
         if prev is not None and (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             break
         prev = cur
