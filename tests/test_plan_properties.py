@@ -689,3 +689,82 @@ def test_shipping_plans_use_derived_knobs(spark):
     # in the plan divides by 21_600_000_000 — check via the plan's
     # floor division constant
     assert "21600000000" in p.replace(",", "")
+
+
+# r13 verdict #9: structural tripwires for the UNTOUCHED headline
+# families — the TPC-H six's all-broadcast shape and the map-only
+# entries' zero-exchange shape. Wall-clock at sf0.1 drifts 2-5x on this
+# host (documented CPU steal); these pins are what future rounds
+# adjudicate "regressed" claims against instead. Ceilings are the
+# measured sf0.001 executed-plan counts (AQE initial plan).
+STRUCTURE_CEILINGS = {
+    # name: (max FileScan, max Exchange, max SortMergeJoin)
+    "q01_pricing_summary": (1, 1, 0),
+    "q02_min_cost_supplier": (5, 6, 0),
+    "q03_shipping_priority": (3, 3, 0),
+    "q05_region_revenue": (6, 6, 0),
+    "q06_forecast_revenue": (1, 1, 0),
+    "q18_large_orders": (3, 3, 0),
+    "q_text_profile": (1, 0, 0),
+    "q_pii_redaction": (1, 0, 0),
+    "q_quality_rules": (1, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(STRUCTURE_CEILINGS))
+def test_headline_structure_ceilings(spark, name):
+    import re
+
+    from ubeardw_databricks_lakehouse_spark.plans.registry import QUERIES
+
+    q = {q.name: q for q in QUERIES}[name]
+    p = _plan(q.fn(spark, SF))
+    got = (
+        len(re.findall(r"FileScan parquet", p)),
+        len(re.findall(r"Exchange", p)),
+        len(re.findall(r"SortMergeJoin", p)),
+    )
+    # element-wise (NOT lexicographic tuple order): each axis has its
+    # own ceiling
+    assert all(g <= c for g, c in zip(got, STRUCTURE_CEILINGS[name])), (
+        f"{name}: (scans, exchanges, SMJ) {got} exceeds pinned ceiling "
+        f"{STRUCTURE_CEILINGS[name]} — plan-shape regression"
+    )
+
+
+def test_broadcast_gate_follows_session_budget(spark):
+    """r13 verdict #7: the iterative operators' explicit-broadcast gates
+    derive from the session (autoBroadcastJoinThreshold + executor
+    heap) instead of 4M-row literals. Disabling broadcasts for the
+    session must flip the triangle wedge probes to the shuffle path —
+    with identical counts (join strategy never changes results)."""
+    from pyspark.sql import functions as F
+
+    from ubeardw_databricks_lakehouse_spark.core.session import (
+        resolve_broadcast_rows,
+    )
+    from ubeardw_databricks_lakehouse_spark.operators.graph import triangle_counts
+
+    assert resolve_broadcast_rows(spark, 16) > 0
+
+    # K4 plus a pendant — 4 triangles, every K4 node in 3
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)],
+        "src long, dst long",
+    )
+    base = {(r.node, r.triangles) for r in triangle_counts(edges).collect()}
+    tri = triangle_counts(edges)  # auto gate, broadcasts at this size
+    assert "BroadcastHashJoin" in _plan(tri)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert resolve_broadcast_rows(spark, 16) == 0
+        shuffled = triangle_counts(edges)
+        p = _plan(shuffled)
+        assert "BroadcastHashJoin" not in p, (
+            "gate must flip to shuffle when the session disables broadcasts"
+        )
+        assert {(r.node, r.triangles) for r in shuffled.collect()} == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
