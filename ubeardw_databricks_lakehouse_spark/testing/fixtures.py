@@ -196,7 +196,11 @@ def debezium_envelope(table: str, after: dict, op: str = "c", ts_ms: int = 0) ->
 
 
 def raw_kafka_df(
-    spark: SparkSession, entity: str, rows: list[dict] | None = None, op: str = "c"
+    spark: SparkSession,
+    entity: str,
+    rows: list[dict] | None = None,
+    op: str = "c",
+    arrow: bool = True,
 ) -> DataFrame:
     """Kafka-record-shaped DataFrame (post project_kafka_record) for tests.
 
@@ -205,6 +209,9 @@ def raw_kafka_df(
     rows; measured 3x on the 13k-envelope gold-bench payload — the
     per-row type verification of the plain-tuples path is the cost).
     Falls back to the row path for empty input (no batch to convert).
+    ``arrow=False`` keeps the pickled-row path — the A/B baseline arm
+    for the SCALING.md gold-pipeline rung (r13 verdict #8); production
+    code never sets it.
     """
     rows = rows if rows is not None else ENTITY_ROWS[entity]
     data = [
@@ -222,7 +229,7 @@ def raw_kafka_df(
         "kafka_key string, raw_value string, kafka_topic string, "
         "kafka_partition int, kafka_offset long, kafka_timestamp timestamp"
     )
-    if data:
+    if data and arrow:
         import pandas as pd
 
         pdf = pd.DataFrame(
