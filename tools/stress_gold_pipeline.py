@@ -85,7 +85,7 @@ def main() -> None:
                 collect_counts=True,
             )
         t["gold_s"] = round(time.perf_counter() - t0, 3)
-        t["fact_rows"] = counts.get("fact_trips") if counts else None
+        t["fact_rows"] = counts.get("trip_fact") if counts else None
         return t
 
     rows = []

@@ -172,9 +172,13 @@ def ivfpq_search(
             for s in range(m)
         ]
     )
+    # the codebook is m×ksub rows BY CONSTRUCTION (128 at the defaults)
+    # but reaches here as a stats-less checkpoint projection, so the
+    # planner sort-merged this join — the one SMJ left in the r13 plan:
+    # broadcast it explicitly (guide §3.1)
     lut = F.broadcast(
         qres.select("query_id", "cell", F.inline(entries))
-        .join(codebook, "sub_id")
+        .join(F.broadcast(codebook), "sub_id")
         .select(
             "query_id",
             "cell",
